@@ -1,0 +1,217 @@
+package graft
+
+import graft.schema._
+import graft.text.HebTokenizer
+import graft.label.Biose
+import graft.lattice.{Analyzer, Prune, Disambig}
+import graft.ner.{NerModel, Scorer}
+import graft.align.Align
+import graft.kg.{Linker, Canonicalize, Triples}
+import graft.io.TableFormat
+import graft.fixtures.Fixtures
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG-construction pipeline (SURVEY §2 G1-G7, §3.1 lifecycle).
+  *
+  * One narrow `mapPartitions` stage annotates documents (tokenize → token-multi
+  * NER → lattice → prune → MD → morph NER → alignments — the reference's whole
+  * morph_hybrid trace, nemo.py:315-373, with zero process boundaries); the
+  * first shuffle appears only at mention→entity linking (broadcast ⇒ none) and
+  * in the canonicalization loop. Media spans ride along as typed struct
+  * passengers — never exploded, never touched.
+  *
+  * Stage boundaries (§7.6): docs_labeled → mentions → linked → entities →
+  * triples; each is an idempotent bucketed-Parquet write with a manifest, so
+  * `runAll` is checkpoint-resumable.
+  */
+object Pipeline {
+
+  /** All broadcastable model state for one run. */
+  final case class Models(
+      single: NerModel,
+      multi: NerModel,
+      morph: NerModel,
+      lexicon: Set[String],
+      maxSentenceLength: Int = 250)
+
+  /** Oracle models over the fixture gazetteer (FIXTURES.md §5). */
+  def fixtureModels(): Models = {
+    val (s, m, mo) = Fixtures.oracleVocab(0)
+    Models(
+      NerModel.synthesizeOracle("token-single", s, s.values.toSeq.distinct),
+      NerModel.synthesizeOracle("token-multi", m, m.values.toSeq.distinct),
+      NerModel.synthesizeOracle("morph", mo, mo.values.toSeq.distinct),
+      Fixtures.lexicon)
+  }
+
+  // ---------- G1-G6: document annotation (one mapPartitions) ----------
+
+  /** Annotate documents with all scenario label layers. Narrow (no shuffle). */
+  def annotate(spark: SparkSession, docs: Dataset[InputDoc], models: Broadcast[Models]): Dataset[Doc] = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      val m = models.value
+      val lex: String => Boolean = m.lexicon.contains _
+      it.map { in =>
+        val textSpans = in.spans.filter(_.kind == "text")
+        val sents = textSpans.iterator.zipWithIndex.map { case (sp, idx) =>
+          val toks = HebTokenizer.tokenize(sp.text).toIndexedSeq
+          if (toks.isEmpty || toks.length >= m.maxSentenceLength) {
+            // B3 semantic filter: over-long sentences are not scored (ref drops
+            // them; we keep the tokens with O labels so passengers stay intact)
+            Sentence(idx.toLong, toks.map(t =>
+              Token(t, "O", "O", "O", "O", Array(Morpheme(t, t, "NN", "_", 0, "O", "O")))).toArray)
+          } else {
+            // G1 token-single + token-multi in one batch pass each
+            val single = Scorer.decodeBatch(m.single, IndexedSeq(toks)).head
+            val multi = Scorer.decodeBatch(m.multi, IndexedSeq(toks)).head
+            // D1 lattice → D2/D3 prune with multi labels → D4 MD
+            val lattice = Analyzer.sentenceLattice(toks, lex).toIndexedSeq
+            val pruned = Prune.pruneSentence(lattice, multi, nonOOnly = false)
+            val md = Disambig.disambiguate(pruned, lex)
+            // morph forms grouped per token (C7/C8)
+            val byTok = Align.groupByToken(md.map(_.tokenId).toSeq, md.toSeq)
+            val formsPerTok: IndexedSeq[IndexedSeq[String]] =
+              toks.indices.map { i =>
+                byTok.find(_._1 == i + 1).map(_._2.map(_.form).toIndexedSeq)
+                  .getOrElse(IndexedSeq(toks(i)))
+              }
+            // G4 second NER run on predicted morphemes
+            val morphFlat = formsPerTok.flatten
+            val morphLabels =
+              if (morphFlat.isEmpty) IndexedSeq.empty[String]
+              else Scorer.decodeBatch(m.morph, IndexedSeq(morphFlat)).head
+            // re-split morph labels back per token
+            val morphLabelsPerTok = {
+              var off = 0
+              formsPerTok.map { fs => val r = morphLabels.slice(off, off + fs.length); off += fs.length; r }
+            }
+            // G5 multi_align_hybrid: soft-merge multi atoms onto morphemes (C4)
+            val alignPerTok = toks.indices.map { i =>
+              Align.softMergeToken(formsPerTok(i), multi(i))._2.map(_._2)
+            }
+            val tokens = toks.indices.map { i =>
+              val morphs = formsPerTok(i).indices.map { j =>
+                val form = formsPerTok(i)(j)
+                Morpheme(form, form, if (j < formsPerTok(i).length - 1) "IN" else "NN", "_",
+                  i + 1,
+                  nemoMorph = morphLabelsPerTok(i).applyOrElse(j, (_: Int) => "O"),
+                  nemoMultiAlignMorph = alignPerTok(i).applyOrElse(j, (_: Int) => "O"))
+              }.toArray
+              Token(
+                text = toks(i),
+                nemoSingle = single(i),
+                nemoMulti = multi(i),
+                nemoMultiAlignToken = Biose.fixMultiBiose(multi(i)),       // G2/B5
+                nemoMorphAlignToken = Align.fixedTokenLabel(morphLabelsPerTok(i).toSeq), // G6/C6
+                morphs = morphs)
+            }.toArray
+            Sentence(idx.toLong, tokens)
+          }
+        }.toArray
+        Doc(in.doc_id, in.spans, sents)
+      }
+    }
+  }
+
+  // ---------- E1/E2/E6: mention extraction ----------
+
+  /** Scenario → (token texts, labels) extraction expressed as Catalyst
+    * higher-order functions over the nested Doc struct; the per-sentence BIOSE
+    * scan is the one UDF. level: token | morph. */
+  def extractMentions(docs: Dataset[Doc], scenario: String): DataFrame = {
+    val spark = docs.sparkSession
+    val scanUdf = udf { (toks: Seq[String], labels: Seq[String]) =>
+      val spans = Biose.parseSpans(labels.toIndexedSeq)
+      spans.map(s => (toks.slice(s.start, s.end).mkString(" "), s.label, s.start, s.end))
+    }
+    val s = docs.toDF()
+      .select(col("doc_id"), explode(col("sents")).as("sent"))
+      .select(col("doc_id"), col("sent.sent_id").as("sent_id"), col("sent.tokens").as("tokens"))
+    val (toksCol, labelsCol) = scenario match {
+      case "token-single" =>
+        (expr("transform(tokens, t -> t.text)"), expr("transform(tokens, t -> t.nemoSingle)"))
+      case "multi-align-token" =>
+        (expr("transform(tokens, t -> t.text)"), expr("transform(tokens, t -> t.nemoMultiAlignToken)"))
+      case "morph-align-token" =>
+        (expr("transform(tokens, t -> t.text)"), expr("transform(tokens, t -> t.nemoMorphAlignToken)"))
+      case "morph" =>
+        (expr("flatten(transform(tokens, t -> transform(t.morphs, m -> m.form)))"),
+         expr("flatten(transform(tokens, t -> transform(t.morphs, m -> m.nemoMorph)))"))
+      case "multi-align-morph" =>
+        (expr("flatten(transform(tokens, t -> transform(t.morphs, m -> m.form)))"),
+         expr("flatten(transform(tokens, t -> transform(t.morphs, m -> m.nemoMultiAlignMorph)))"))
+      case other => throw new IllegalArgumentException(s"unknown scenario: $other")
+    }
+    val exploded = s
+      .withColumn("ment", explode(scanUdf(toksCol, labelsCol)))
+      .select(col("doc_id"), col("sent_id"),
+        col("ment._1").as("surface"), col("ment._2").as("category"),
+        col("ment._3").as("start"), col("ment._4").as("end"))
+      .withColumn("level", lit(if (scenario.contains("morph") && !scenario.endsWith("token")) "morph" else "token"))
+      .withColumn("scenario", lit(scenario))
+    graft.eval.Mentions.withOccurrenceIndex(exploded)
+  }
+
+  // ---------- G7: full run with checkpointed stages ----------
+
+  final case class StagePaths(root: String) {
+    val docsLabeled = s"$root/docs_labeled"
+    val mentions = s"$root/mentions"
+    val linked = s"$root/linked"
+    val entities = s"$root/entities"
+    val triples = s"$root/triples"
+  }
+
+  /** Run the whole pipeline with checkpoint-resume: a stage whose manifest is
+    * already complete is loaded, not recomputed. Returns the triples DF. */
+  def runAll(
+      spark: SparkSession,
+      docs: Dataset[InputDoc],
+      dict: DataFrame,
+      workDir: String,
+      scenario: String = "morph",
+      buckets: Int = 32,
+      resume: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val paths = StagePaths(workDir)
+    val models = spark.sparkContext.broadcast(fixtureModels())
+
+    // (a) docs_labeled
+    if (!(resume && TableFormat.isComplete(paths.docsLabeled))) {
+      val annotated = annotate(spark, docs, models)
+      TableFormat.save(annotated.toDF(), paths.docsLabeled, "doc_id", buckets, "docs_labeled")
+    }
+    val labeled = TableFormat.load(spark, paths.docsLabeled).as[Doc]
+
+    // (b) mentions
+    if (!(resume && TableFormat.isComplete(paths.mentions))) {
+      TableFormat.save(extractMentions(labeled, scenario), paths.mentions, "doc_id", buckets, "mentions")
+    }
+    val mentions = TableFormat.load(spark, paths.mentions)
+
+    // (c) linked (broadcast join — shuffle-free)
+    if (!(resume && TableFormat.isComplete(paths.linked))) {
+      TableFormat.save(Linker.link(mentions, dict), paths.linked, "doc_id", buckets, "linked")
+    }
+    val linked = TableFormat.load(spark, paths.linked)
+
+    // (d) canonical entities
+    if (!(resume && TableFormat.isComplete(paths.entities))) {
+      TableFormat.save(Canonicalize.canonicalize(spark, dict), paths.entities, "entity_id", buckets, "entities")
+    }
+    val entities = TableFormat.load(spark, paths.entities)
+
+    // (e) triples
+    if (!(resume && TableFormat.isComplete(paths.triples))) {
+      val withCanon = linked.join(
+        broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"), "left")
+        .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+      TableFormat.save(Triples.fromLinkedMentions(withCanon), paths.triples, "doc_id", buckets, "triples")
+    }
+    TableFormat.load(spark, paths.triples)
+  }
+}

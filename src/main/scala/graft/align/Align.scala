@@ -1,0 +1,67 @@
+package graft.align
+
+import graft.label.Biose
+import scala.collection.mutable.ArrayBuffer
+
+/** Label/morpheme alignment algebra (SURVEY §2 C-group) — pure functions.
+  *
+  * The reference's "join zoo" is positional zipping keyed by (sent_id, token_id);
+  * in our engine both sides live inside one row, so these are in-row array
+  * functions invoked from `withColumn`/UDF or mapPartitions.
+  */
+object Align {
+
+  /** C1: atom count of a multi label (len(bio.split('^')) — nemo.py:66-75). */
+  def bioseCount(multi: String): Int = multi.split('^').length
+
+  /** C4: soft-merge token-multi atoms onto that token's predicted morphemes
+    * (exact port of soft_merge_bio_labels, nemo.py:117-137).
+    * Branches (reference's new_forms tuple tag):
+    *   1 — equal lengths: plain zip;
+    *   2 — more morphemes than atoms: first (diff) morphemes get O, remaining
+    *       zip RIGHT-aligned;
+    *   3 — fewer morphemes: zip right-aligned (atoms truncated from the left).
+    * Returns (branch, Seq(form → label)).
+    */
+  def softMergeToken(forms: Seq[String], multiLabel: String): (Int, Seq[(String, String)]) = {
+    val bio = multiLabel.split('^').toSeq
+    if (forms.length == bio.length) (1, forms.zip(bio))
+    else if (forms.length > bio.length) {
+      val dif = forms.length - bio.length
+      val padded = forms.take(dif).map(f => (f, "O")) ++
+        forms.reverse.zip(bio.reverse).reverse
+      (2, padded)
+    } else {
+      (3, forms.reverse.zip(bio.reverse).reverse)
+    }
+  }
+
+  /** C5: whole-sentence soft merge — one (form, label) list per sentence. */
+  def softMergeSentence(
+      tokenForms: Seq[Seq[String]],     // per token: its morpheme forms (MD output)
+      multiLabels: Seq[String]): Seq[(String, String)] = {
+    val out = new ArrayBuffer[(String, String)]()
+    for ((forms, label) <- tokenForms.zip(multiLabels))
+      out ++= softMergeToken(forms, label)._2
+    out.toSeq
+  }
+
+  /** C6: morph-level labels back to one token-level label: join the token's
+    * morpheme labels with '^' then fix via B6 (get_fixed_tok, nemo.py:217-226).
+    * Order of `morphLabels` must be morpheme order within the token —
+    * the Spark caller guarantees it via sort_array(collect_list(struct(idx, _)))
+    * or by keeping morphemes in-row (ordering hazard, SURVEY §7.5#4). */
+  def fixedTokenLabel(morphLabels: Seq[String]): String =
+    Biose.fixedBioSequence(morphLabels)
+
+  /** C7/C8: regroup a flat (tokenId, value) list into per-token sublists,
+    * preserving order (itertools.groupby semantics — consecutive runs). */
+  def groupByToken[T](tokenIds: Seq[Int], values: Seq[T]): Seq[(Int, Seq[T])] = {
+    val out = new ArrayBuffer[(Int, ArrayBuffer[T])]()
+    for ((tid, v) <- tokenIds.zip(values)) {
+      if (out.nonEmpty && out.last._1 == tid) out.last._2 += v
+      else out += ((tid, ArrayBuffer(v)))
+    }
+    out.map { case (t, vs) => (t, vs.toSeq) }.toSeq
+  }
+}

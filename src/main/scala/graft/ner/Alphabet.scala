@@ -1,0 +1,33 @@
+package graft.ner
+
+/** Bidirectional string↔int vocabulary (SURVEY §2 F2).
+  * Reference: utils/alphabet.py:17-91 — growable then frozen, UNKNOWN at a fixed
+  * slot. Index 0 is reserved for padding; UNKNOWN (for non-label alphabets) is
+  * index 1, exactly like NCRF++'s Alphabet.
+  * Immutable once built — shipped to executors inside a Broadcast.
+  */
+final case class Alphabet(instances: IndexedSeq[String], isLabel: Boolean) {
+  val unkIndex: Int = if (isLabel) -1 else 1
+  private val index: Map[String, Int] =
+    instances.iterator.zipWithIndex.map { case (s, i) => s -> (i + firstId) }.toMap
+
+  private def firstId: Int = if (isLabel) 1 else 2 // 0 pad (+1 unk for words)
+
+  /** string → id with UNK fallback (reference alphabet.py:47-56). */
+  def get(s: String): Int =
+    index.getOrElse(s, if (isLabel) 1 else unkIndex)
+
+  /** id → string; pad/unk render as sentinels. */
+  def instance(id: Int): String =
+    if (id >= firstId && id - firstId < instances.length) instances(id - firstId)
+    else if (id == unkIndex && !isLabel) "</unk>"
+    else "</pad>"
+
+  /** Number of ids including pad (and unk for word alphabets). */
+  def size: Int = instances.length + firstId
+}
+
+object Alphabet {
+  def fromStrings(xs: Iterable[String], isLabel: Boolean = false): Alphabet =
+    Alphabet(xs.toSeq.distinct.toIndexedSeq, isLabel)
+}

@@ -1,0 +1,273 @@
+package graft.ner
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The neural inner loop (SURVEY §2 F-group): batchify → word representation
+  * (embeddings + char CNN/LSTM) → BiLSTM or word-CNN → hidden2tag → CRF Viterbi
+  * → label strings.
+  *
+  * This is pure JVM math invoked from `Dataset.mapPartitions` — the reference's
+  * whole `ncrf_main.py evaluate()` decode trace (SURVEY §3.3) collapses into
+  * this object with no process boundary. Per-executor weight reuse comes from
+  * broadcasting the NerModel once and calling decode per partition.
+  *
+  * Faithfulness notes (behavior, not numerics):
+  *  - digit folding before vocab lookup (utils/functions.py:11-18, B1);
+  *  - sentences ≥ maxSentenceLength tokens are NOT scored (dropped upstream by
+  *    the pipeline filter, utils/data.py:25 — B3);
+  *  - batches are sorted desc by length, padded, and the original order is
+  *    restored before labels are zipped back (ncrf_main.py:202-277 — F1/F10);
+  *  - LSTM runs only to each sentence's true length (pack_padded_sequence);
+  *  - CRF Viterbi with START/STOP extra tags (model/crf.py:105-197 — F7).
+  */
+object Scorer {
+
+  /** B1: fold digits to 0 (number_normalized). */
+  def normalizeWord(w: String): String = w.map(c => if (c.isDigit) '0' else c)
+
+  // ---------- low-level math ----------
+
+  @inline private def dot(w: Array[Float], x: Array[Float]): Float = {
+    var s = 0f; var i = 0
+    while (i < w.length) { s += w(i) * x(i); i += 1 }
+    s
+  }
+
+  private def affine(w: Array[Array[Float]], b: Array[Float], x: Array[Float]): Array[Float] = {
+    val out = new Array[Float](w.length)
+    var o = 0
+    while (o < w.length) { out(o) = dot(w(o), x) + b(o); o += 1 }
+    out
+  }
+
+  @inline private def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x))).toFloat
+  @inline private def tanhF(x: Float): Float = math.tanh(x).toFloat
+
+  /** One LSTM direction over a sequence (gates [i,f,g,o]); returns h_t per step. */
+  def lstmRun(w: LstmCellWeights, xs: Array[Array[Float]], reverse: Boolean): Array[Array[Float]] = {
+    val h = w.wh(0).length
+    val out = Array.ofDim[Array[Float]](xs.length)
+    var hPrev = new Array[Float](h)
+    var cPrev = new Array[Float](h)
+    val idx = if (reverse) xs.indices.reverse else xs.indices
+    for (t <- idx) {
+      val gates = new Array[Float](4 * h)
+      var g = 0
+      while (g < 4 * h) { gates(g) = dot(w.wi(g), xs(t)) + dot(w.wh(g), hPrev) + w.b(g); g += 1 }
+      val hNew = new Array[Float](h)
+      val cNew = new Array[Float](h)
+      var j = 0
+      while (j < h) {
+        val i = sigmoid(gates(j))
+        val f = sigmoid(gates(h + j))
+        val gg = tanhF(gates(2 * h + j))
+        val o = sigmoid(gates(3 * h + j))
+        cNew(j) = f * cPrev(j) + i * gg
+        hNew(j) = o * tanhF(cNew(j))
+        j += 1
+      }
+      out(t) = hNew; hPrev = hNew; cPrev = cNew
+    }
+    out
+  }
+
+  /** Char CNN (F4): char embeds → 1-D conv (same pad) → global max pool. */
+  def charCnn(m: NerModel, word: String): Array[Float] = {
+    val cfg = m.config
+    val k = cfg.charKernel
+    val chars = word.map(c => m.charAlphabet.get(c.toString)).toArray
+    val L = math.max(chars.length, 1)
+    val embs = Array.tabulate(L)(i => if (i < chars.length) m.charEmb(chars(i)) else new Array[Float](cfg.charEmbDim))
+    val out = new Array[Float](cfg.charHidden)
+    java.util.Arrays.fill(out, Float.MinValue)
+    var pos = 0
+    while (pos < L) {
+      var h = 0
+      while (h < cfg.charHidden) {
+        var acc = m.charCnnB(h)
+        var kk = 0
+        while (kk < k) {
+          val p = pos + kk - k / 2
+          if (p >= 0 && p < L) {
+            val e = embs(p); val wRow = m.charCnnW(h)
+            var d = 0
+            while (d < cfg.charEmbDim) { acc += wRow(d)(kk) * e(d); d += 1 }
+          }
+          kk += 1
+        }
+        if (acc > out(h)) out(h) = acc
+        h += 1
+      }
+      pos += 1
+    }
+    out
+  }
+
+  /** Char BiLSTM (F5): last hidden of each direction, concatenated. */
+  def charLstm(m: NerModel, word: String): Array[Float] = {
+    val ws = m.charLstm.get
+    val chars = word.map(c => m.charAlphabet.get(c.toString)).toArray
+    val L = math.max(chars.length, 1)
+    val embs = Array.tabulate(L)(i => if (i < chars.length) m.charEmb(chars(i)) else new Array[Float](m.config.charEmbDim))
+    val fwd = lstmRun(ws(0), embs, reverse = false)
+    val bwd = lstmRun(ws(1), embs, reverse = true)
+    fwd(L - 1) ++ bwd(0)
+  }
+
+  /** Word representation (F3+F4/F5): wordEmb(id) ⧺ charRep. */
+  def wordRep(m: NerModel, token: String): Array[Float] = {
+    val norm = if (m.config.numberNormalized) normalizeWord(token) else token
+    val wid = m.wordAlphabet.get(norm)
+    val we = m.wordEmb(if (wid >= 0 && wid < m.wordEmb.length) wid else m.wordAlphabet.unkIndex)
+    m.config.charExtractor match {
+      case "NONE" => we
+      case "LSTM" => we ++ charLstm(m, token)
+      case _      => we ++ charCnn(m, token)
+    }
+  }
+
+  /** Sequence feature extractor (F6): stacked BiLSTM or 1-layer word CNN
+    * (NCRF++ word_feature_extractor), then hidden2tag → per-token tag scores. */
+  def emissions(m: NerModel, tokens: IndexedSeq[String]): Array[Array[Float]] = {
+    var reps: Array[Array[Float]] = tokens.map(t => wordRep(m, t)).toArray
+    if (m.config.wordExtractor == "CNN") {
+      val k = if (m.cnnW.nonEmpty) m.cnnW(0)(0).length else 1
+      val inDim = if (m.cnnW.nonEmpty) m.cnnW(0).length else 0
+      val L = reps.length
+      val out = Array.ofDim[Array[Float]](L)
+      var pos = 0
+      while (pos < L) {
+        val row = new Array[Float](m.cnnW.length)
+        var h = 0
+        while (h < m.cnnW.length) {
+          var acc = m.cnnB(h)
+          var kk = 0
+          while (kk < k) {
+            val p = pos + kk - k / 2
+            if (p >= 0 && p < L) {
+              val e = reps(p); val wRow = m.cnnW(h)
+              var d = 0
+              while (d < inDim) { acc += wRow(d)(kk) * e(d); d += 1 }
+            }
+            kk += 1
+          }
+          row(h) = math.max(acc, 0f) // ReLU, as in NCRF++ word CNN
+          h += 1
+        }
+        out(pos) = row
+        pos += 1
+      }
+      reps = out
+    } else {
+      var layer = 0
+      while (layer < m.lstm.length) {
+        val fwd = lstmRun(m.lstm(layer)(0), reps, reverse = false)
+        val bwd = lstmRun(m.lstm(layer)(1), reps, reverse = true)
+        reps = Array.tabulate(reps.length)(t => fwd(t) ++ bwd(t))
+        layer += 1
+      }
+    }
+    reps.map(r => affine(m.hidden2tag, m.hidden2tagB, r))
+  }
+
+  // ---------- CRF (F7/F8) ----------
+
+  /** Viterbi decode with START/STOP (transitions(from)(to)). Returns tag ids. */
+  def viterbi(m: NerModel, emit: Array[Array[Float]]): Array[Int] = {
+    val t = m.numTags
+    val L = emit.length
+    if (L == 0) return Array.empty
+    val tr = m.transitions
+    val start = m.startTag; val stop = m.stopTag
+    val dp = Array.ofDim[Float](L, t)
+    val bp = Array.ofDim[Int](L, t)
+    var j = 0
+    while (j < t) { dp(0)(j) = tr(start)(j) + emit(0)(j); j += 1 }
+    var i = 1
+    while (i < L) {
+      var to = 0
+      while (to < t) {
+        var best = Float.NegativeInfinity; var arg = 0
+        var from = 0
+        while (from < t) {
+          val s = dp(i - 1)(from) + tr(from)(to)
+          if (s > best) { best = s; arg = from }
+          from += 1
+        }
+        dp(i)(to) = best + emit(i)(to); bp(i)(to) = arg
+        to += 1
+      }
+      i += 1
+    }
+    var best = Float.NegativeInfinity; var arg = 0
+    j = 0
+    while (j < t) {
+      val s = dp(L - 1)(j) + tr(j)(stop)
+      if (s > best) { best = s; arg = j }
+      j += 1
+    }
+    val out = new Array[Int](L)
+    out(L - 1) = arg
+    i = L - 1
+    while (i > 0) { out(i - 1) = bp(i)(out(i)); i -= 1 }
+    out
+  }
+
+  /** k-best Viterbi (F8, model/crf.py:268-418) — returns up to k (score, path)
+    * pairs, best first. Used for nbest output fidelity (`# score` headers). */
+  def viterbiNbest(m: NerModel, emit: Array[Array[Float]], k: Int): Seq[(Float, Array[Int])] = {
+    val t = m.numTags
+    val L = emit.length
+    if (L == 0) return Seq.empty
+    val tr = m.transitions
+    // beam of (score, path) per tag
+    var beam: Array[List[(Float, List[Int])]] =
+      Array.tabulate(t)(j => List((tr(m.startTag)(j) + emit(0)(j), List(j))))
+    var i = 1
+    while (i < L) {
+      val next = Array.tabulate(t) { to =>
+        val cands = new ArrayBuffer[(Float, List[Int])]()
+        var from = 0
+        while (from < t) {
+          for ((s, p) <- beam(from)) cands += ((s + tr(from)(to) + emit(i)(to), to :: p))
+          from += 1
+        }
+        cands.sortBy(-_._1).take(k).toList
+      }
+      beam = next
+      i += 1
+    }
+    val fin = new ArrayBuffer[(Float, List[Int])]()
+    var j = 0
+    while (j < t) {
+      for ((s, p) <- beam(j)) fin += ((s + tr(j)(m.stopTag), p))
+      j += 1
+    }
+    fin.sortBy(-_._1).take(k).map { case (s, p) => (s, p.reverse.toArray) }.toSeq
+  }
+
+  // ---------- decode driver (F1 + F10) ----------
+
+  /** Decode a batch of sentences: sort desc by length (F1), score, restore
+    * input order (F10 recover), map tag ids to label strings. */
+  def decodeBatch(m: NerModel, sents: IndexedSeq[IndexedSeq[String]]): IndexedSeq[IndexedSeq[String]] = {
+    val order = sents.indices.sortBy(i => -sents(i).length) // F1 sort
+    val decoded = new Array[IndexedSeq[String]](sents.length)
+    for (i <- order) { // padding is a no-op for per-sentence JVM loops; the sort
+      val toks = sents(i) // is kept for fidelity of iteration order
+      val labs =
+        if (toks.isEmpty) IndexedSeq.empty[String]
+        else viterbi(m, emissions(m, toks)).map(m.labelAlphabet.instance).toIndexedSeq
+      decoded(i) = labs
+    }
+    decoded.toIndexedSeq // index-addressed writes == recover permutation
+  }
+
+  /** Partition-level decode: batches of cfg.batchSize, keys carried through.
+    * This is the body the pipeline hands to Dataset.mapPartitions. */
+  def decodePartition[K](m: NerModel, rows: Iterator[(K, IndexedSeq[String])]): Iterator[(K, IndexedSeq[String])] =
+    rows.grouped(m.config.batchSize).flatMap { group =>
+      val labs = decodeBatch(m, group.map(_._2).toIndexedSeq)
+      group.iterator.zip(labs.iterator).map { case ((k, _), l) => (k, l) }
+    }
+}
