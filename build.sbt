@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // throughput GC: the bench workload is allocation-heavy batch compute; G1's
+  // concurrent cycles steal mutator cores at local[32] and skew the N-vs-4N
+  // scaling measurement
+  "-XX:+UseParallelGC",
 )

@@ -62,7 +62,7 @@ object TextQuality {
         round(expr("aggregate(split(trim(lower(" + textCol + ")), '\\\\s+'), 0L, (a, t) -> a + length(t))")
           .cast("double") / greatest(size(toks), lit(1)), 4))
       .withColumn("q_stopword_ratio",
-        round(size(array_intersect(toks, sw)).cast("double") / greatest(size(toks), lit(1)), 4))
+        round(size(filter(toks, x => array_contains(sw, x))).cast("double") / greatest(size(toks), lit(1)), 4))
       .withColumn("q_distinct_ratio",
         round(size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)), 4))
       .withColumn("q_alpha_ratio",

@@ -157,9 +157,20 @@ object Fixtures {
     FixtureDoc(f"doc-$docIdNum%06d", sents, ordered.toIndexedSeq)
   }
 
-  /** The north-rule input table rows. */
+  /** The north-rule input table rows (driver-side; small fixtures only). */
   def inputDocs(n: Int): IndexedSeq[InputDoc] =
     (0 until n).map { i => val d = doc(i); InputDoc(d.docId, d.spans.toArray) }
+
+  /** Distributed generation: doc(i) is a pure function of i, so executors
+    * synthesize their own partitions — no driver-serial bottleneck, no shuffle
+    * (spark.range with explicit numPartitions). This is how the bench corpus
+    * scales without the generator becoming the measured serial section. */
+  def inputDocsDs(spark: org.apache.spark.sql.SparkSession, n: Int, partitions: Int)
+      : org.apache.spark.sql.Dataset[InputDoc] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions)
+      .mapPartitions(_.map { i => val d = doc(i.toInt); InputDoc(d.docId, d.spans.toArray) })
+  }
 
   /** Entity dictionary rows (linking target): canonical + aliases (incl.
     * clitic-prefixed variants of the first token, so token-level surfaces link). */

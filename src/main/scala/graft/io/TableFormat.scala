@@ -24,6 +24,9 @@ object TableFormat {
            stage: String = "", extra: Map[String, String] = Map.empty): Unit = {
     val out = df.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int"))
     out.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+    // an Overwrite replaces file names under an already-listed path — drop the
+    // session's cached FileIndex or later reads resolve to the deleted files
+    df.sparkSession.catalog.refreshByPath(path)
     writeManifest(df.sparkSession, path, stage, extra)
   }
 

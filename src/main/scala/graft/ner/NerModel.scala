@@ -117,18 +117,21 @@ object NerModel {
     val t = la.size
     val tr = Array.fill(t + 2, t + 2)(0f)
     val NEG = -10000f
-    def kind(id: Int): (String, String) = {
-      val s = la.instance(id)
-      if (s == "O" || s == "</pad>") ("O", "")
+    // A token-multi label is a ^-joined atom sequence; for transition legality
+    // its OUTGOING kind is the last atom's and its INCOMING kind the first's.
+    def atomKind(atom: String): (String, String) = {
+      if (atom == "O" || atom == "</pad>") ("O", "")
       else {
-        val i = s.indexOf('-')
-        if (i < 0) (s, "") else (s.substring(0, 1), s.substring(i + 1))
+        val i = atom.indexOf('-')
+        if (i < 0) (atom, "") else (atom.substring(0, 1), atom.substring(i + 1))
       }
     }
+    def outKind(id: Int): (String, String) = atomKind(la.instance(id).split('^').last)
+    def inKind(id: Int): (String, String) = atomKind(la.instance(id).split('^').head)
     val start = t; val stop = t + 1
     for (from <- 0 until t + 2; to <- 0 until t + 2) {
-      val (fb, fc) = if (from == start) ("<S>", "") else if (from == stop) ("</S>", "") else kind(from)
-      val (tb, tc) = if (to == start) ("<S>", "") else if (to == stop) ("</S>", "") else kind(to)
+      val (fb, fc) = if (from == start) ("<S>", "") else if (from == stop) ("</S>", "") else outKind(from)
+      val (tb, tc) = if (to == start) ("<S>", "") else if (to == stop) ("</S>", "") else inKind(to)
       val legal = (fb, tb) match {
         case (_, "<S>")            => false                   // nothing enters START
         case ("</S>", _)           => false                   // nothing leaves STOP

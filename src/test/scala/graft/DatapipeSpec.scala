@@ -1,0 +1,157 @@
+package graft
+
+import graft.datapipe.{Dedup, Similarity, TextQuality, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class DatapipeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Synthetic doc set with planted near-duplicates. */
+  lazy val docs = {
+    val r = new Random(5)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(_ => vocab(r.nextInt(vocab.length))).mkString(" "))
+    }
+    // plant near-dups: docs 100+i = doc i with one word changed
+    val dups = (0 until 10).map { i =>
+      val words = base(i)._2.split(" "); words(5) = "CHANGED"
+      ((100 + i).toLong, words.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text").cache()
+  }
+
+  test("exact dedup keeps one representative per fingerprint") {
+    val withDup = docs.union(docs.limit(5)) // 5 exact duplicates
+    val groups = Dedup.exactDuplicates(withDup, "doc_id", "text")
+    assert(groups.count() === 5)
+    val dedup = Dedup.exactDedup(withDup, "doc_id", "text")
+    assert(dedup.count() === docs.count())
+  }
+
+  test("minhash LSH finds every planted near-dup pair that exact Jaccard confirms") {
+    val exact = Dedup.ngramJaccardAllPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 10) // the planted pairs
+    val lsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 2, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH at 16 bands × 2 rows has >99.9% recall at j≥0.6; candidates are
+    // verified with exact Jaccard so precision is exact
+    assert(lsh === exact)
+  }
+
+  test("minhash signature similarity approximates Jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val sh = Dedup.shingleUdf(2)
+    val mh = Dedup.minhashUdf(128)
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      .withColumn("sh", sh(col("text"))).withColumn("sig", mh(col("sh")))
+    val rows = df.select("sh", "sig").collect()
+    val jac = {
+      val sa = rows(0).getSeq[Long](0).toSet; val sb = rows(1).getSeq[Long](0).toSet
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val est = {
+      val s1 = rows(0).getSeq[Long](1); val s2 = rows(1).getSeq[Long](1)
+      s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length
+    }
+    assert(math.abs(jac - est) < 0.15, s"jaccard=$jac minhash-est=$est")
+  }
+
+  test("simhash banding guarantees recall for hamming distance ≤ 3") {
+    // exact duplicates (distance 0) planted to make the guarantee zone non-empty
+    val withExact = docs.union(
+      docs.filter(col("doc_id") < 3).withColumn("doc_id", col("doc_id") + 200))
+    val sims = withExact.select(col("doc_id"), Dedup.simhashUdf(col("text")).as("sim"))
+      .as[(Long, Long)].collect()
+    val closePairs = (for {
+      i <- sims.indices; j <- i + 1 until sims.length
+      if java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2) <= 3
+    } yield (math.min(sims(i)._1, sims(j)._1), math.max(sims(i)._1, sims(j)._1))).toSet
+    assert(closePairs.nonEmpty)
+    val lsh = Dedup.simhashNearDuplicates(withExact, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 4 bands × 16 bits: any pair within distance 3 shares at least one clean
+    // band (pigeonhole) → LSH output must equal the exact close-pair set
+    assert(lsh === closePairs)
+  }
+
+  test("brute-force cosine top-k equals naive scala computation") {
+    val r = new Random(9)
+    val vecs = (0 until 30).map(i => (i.toLong, Array.fill(8)(r.nextFloat() * 2 - 1)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3).map { case (i, v) => (i, v) }.toDF("qid", "qvec")
+    val got = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .select("qid", "id", "rk").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for ((qid, qv) <- vecs.take(3)) {
+      val expect = vecs.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(got(qid) === expect, s"qid=$qid")
+    }
+  }
+
+  test("IVF top-k recall vs brute force ≥ 0.8 with nProbe=4/16 cells") {
+    val r = new Random(13)
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(16)(r.nextFloat() * 2 - 1)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(5).toDF("qid", "qvec")
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 10,
+      nCells = 16, nProbe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
+  test("quality features and langId") {
+    val df = Seq(
+      (1L, "the quick brown fox is on the hill with the dog"),
+      (2L, "x x x x x x x x x x"),
+      (3L, "der hund ist nicht hier und der mann ist da")).toDF("doc_id", "text")
+    val q = TextQuality.withQualityFeatures(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Double]("q_stopword_ratio") > 0.3)
+    assert(q(2L).getAs[Double]("q_distinct_ratio") === 0.1)
+    val langs = TextQuality.withLangId(df).select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(langs(1L) === "en")
+    assert(langs(3L) === "de")
+  }
+
+  test("token counting: whitespace and BPE-ish") {
+    val df = Seq((1L, "hello, world! 42 times")).toDF("doc_id", "text")
+    val n = df.select(TextQuality.tokenCount(col("text"))).as[Int].head()
+    assert(n === 4)
+    val b = df.select(TextQuality.bpeTokenCount("text")).as[Int].head()
+    // hello , world ! 42 times → 6
+    assert(b === 6)
+  }
+
+  test("multimodal: batched feature extraction preserves rows and shapes") {
+    val docs = spark.createDataset(graft.fixtures.Fixtures.inputDocs(50)).toDF()
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val nMedia = media.count()
+    assert(nMedia > 0)
+    val feats = Multimodal.extractFeatures(spark, media, batchSize = 8).collect()
+    assert(feats.length === nMedia)
+    feats.foreach { f =>
+      assert(f.feature.length === 16)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3, "histogram should normalize to 1")
+    }
+  }
+
+  test("rolling hash and fingerprint are deterministic and whitespace-insensitive") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("doc_id", "text")
+    val fps = df.select(TextQuality.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.kg.Canonicalize
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class KgSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Union-find oracle. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    edges.foreach { case (a, b) => union(a, b) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // min-id labeling
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  test("property: connected components equal union-find oracle on 20 random graphs") {
+    val r = new Random(31)
+    for (_ <- 0 until 20) {
+      val n = 5 + r.nextInt(30)
+      val nEdges = r.nextInt(40)
+      val edges = (0 until nEdges).map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong)).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val got = Canonicalize.connectedComponents(spark, df)
+          .as[(Long, Long)].collect().toMap
+        val expect = ufComponents(edges)
+        assert(got === expect)
+      }
+    }
+  }
+
+  test("canonicalize merges entities sharing an alias") {
+    val dict = Seq(
+      (0L, "acme corp", Seq("acme corp", "acme"), "ORG"),
+      (1L, "acme inc", Seq("acme inc", "acme"), "ORG"),   // shares "acme" with 0
+      (2L, "zebra", Seq("zebra"), "ANG"))
+      .toDF("entity_id", "canonical", "aliases", "category")
+    val out = Canonicalize.canonicalize(spark, dict)
+      .select("entity_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(out(0L) === 0L)
+    assert(out(1L) === 0L) // merged into min id
+    assert(out(2L) === 2L)
+  }
+}

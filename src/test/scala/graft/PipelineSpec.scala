@@ -1,0 +1,165 @@
+package graft
+
+import graft.fixtures.Fixtures
+import graft.eval.Mentions
+import graft.kg.{Linker, Canonicalize}
+import graft.io.TableFormat
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline gates (SURVEY §5): mention P/R ≥ 0.95, passenger
+  * invariant, linking/canonicalization/triples, checkpoint-resume. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val N = 60
+  lazy val models = spark.sparkContext.broadcast(Pipeline.fixtureModels())
+  lazy val inputDocs = spark.createDataset(Fixtures.inputDocs(N)).repartition(4)
+  lazy val annotated = Pipeline.annotate(spark, inputDocs, models).cache()
+
+  /** Gold mentions straight from the generator's ground truth. */
+  def goldMentions(level: String): Seq[(String, Long, String, String, Int)] =
+    (0 until N).flatMap { i =>
+      val d = Fixtures.doc(i)
+      d.sentences.zipWithIndex.flatMap { case (s, si) =>
+        val (toks, labels) =
+          if (level == "token") (s.tokens, s.goldSingle)
+          else (s.morphForms.flatten, s.goldMorph.flatten)
+        Mentions.sentenceMentions(si.toLong, toks, labels, joinChar = " ")
+          .map { case (sid, surf, cat, occ) => (d.docId, sid, surf, cat, occ) }
+      }
+    }
+
+  def predMentions(scenario: String): Seq[(String, Long, String, String, Int)] =
+    Pipeline.extractMentions(annotated, scenario)
+      .select("doc_id", "sent_id", "surface", "category", "occ")
+      .as[(String, Long, String, String, Int)].collect().toSeq
+
+  test("P/R gate: token-single mentions vs gold ≥ 0.95") {
+    val gold = goldMentions("token")
+    val pred = predMentions("token-single")
+    val prf = Mentions.evaluate(
+      gold.map(t => (t._1.hashCode.toLong * 1000 + t._2, t._3, t._4, t._5)),
+      pred.map(t => (t._1.hashCode.toLong * 1000 + t._2, t._3, t._4, t._5)))
+    assert(prf.precision >= 0.95, s"precision ${prf.precision}")
+    assert(prf.recall >= 0.95, s"recall ${prf.recall}")
+  }
+
+  test("P/R gate: morph-level mentions vs gold ≥ 0.95 (hybrid path)") {
+    val gold = goldMentions("morph")
+    val pred = predMentions("morph")
+    val prf = Mentions.evaluate(
+      gold.map(t => (t._1.hashCode.toLong * 1000 + t._2, t._3, t._4, t._5)),
+      pred.map(t => (t._1.hashCode.toLong * 1000 + t._2, t._3, t._4, t._5)))
+    assert(prf.precision >= 0.95, s"precision ${prf.precision}")
+    assert(prf.recall >= 0.95, s"recall ${prf.recall}")
+  }
+
+  test("P/R gate: multi-align-morph (G5, no second NER run) ≥ 0.95") {
+    val gold = goldMentions("morph")
+    val pred = predMentions("multi-align-morph")
+    val prf = Mentions.evaluate(
+      gold.map(t => (t._1.hashCode.toLong * 1000 + t._2, t._3, t._4, t._5)),
+      pred.map(t => (t._1.hashCode.toLong * 1000 + t._2, t._3, t._4, t._5)))
+    assert(prf.precision >= 0.95, s"precision ${prf.precision}")
+    assert(prf.recall >= 0.95, s"recall ${prf.recall}")
+  }
+
+  test("passenger invariant: span sequence (kind, text, media_ref, order) preserved per row") {
+    val in = inputDocs.collect().map(d => d.doc_id ->
+      d.spans.sortBy(_.offset).map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq).toMap
+    val out = annotated.collect()
+    assert(out.length === N)
+    out.foreach { d =>
+      val got = d.spans.sortBy(_.offset).map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq
+      assert(got === in(d.doc_id), s"spans mutated for ${d.doc_id}")
+    }
+  }
+
+  test("morph-hybrid segmentation: clitic-prefixed tokens split by MD") {
+    // every token starting with a clitic whose remainder is in the lexicon and
+    // whose multi label says two morphemes must come out as 2 morphemes
+    val docs = annotated.collect()
+    var checked = 0
+    docs.foreach(_.sents.foreach(_.tokens.foreach { t =>
+      if (t.nemoMulti.startsWith("O^")) {
+        assert(t.morphs.length === 2, s"token ${t.text} multi=${t.nemoMulti}")
+        assert(t.text === t.morphs.map(_.form).mkString)
+        checked += 1
+      }
+    }))
+    assert(checked > 0, "fixture produced no clitic-prefixed entity tokens")
+  }
+
+  test("G2/G6 token-level label transport: fixMultiBiose + morph-align agree with single") {
+    // On the oracle corpus all scenarios must agree at token level
+    val docs = annotated.collect()
+    docs.foreach(_.sents.foreach(_.tokens.foreach { t =>
+      assert(t.nemoMultiAlignToken === t.nemoSingle,
+        s"B5 disagrees for ${t.text}: ${t.nemoMultiAlignToken} vs ${t.nemoSingle}")
+      assert(t.nemoMorphAlignToken === t.nemoSingle,
+        s"C6 disagrees for ${t.text}: ${t.nemoMorphAlignToken} vs ${t.nemoSingle}")
+    }))
+  }
+
+  test("linking resolves fixture mentions to their planted entities") {
+    val mentions = Pipeline.extractMentions(annotated, "morph")
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    val linked = Linker.link(mentions, dict).cache()
+    val total = mentions.count()
+    val got = linked.count()
+    assert(got.toDouble / total >= 0.95, s"linked $got of $total")
+    // every linked mention's dictionary category matches (oracle corpus)
+    assert(linked.filter(col("category") =!= col("dict_category")).count() === 0)
+    // and the surface is genuinely an alias of the winning entity
+    val ids = linked.select("surface", "entity_id").as[(String, Long)].collect()
+    val byId = Fixtures.entityDictionary().map(e => e.entity_id -> e.aliases.toSet).toMap
+    ids.foreach { case (surf, eid) => assert(byId(eid).contains(surf), s"$surf -> $eid") }
+  }
+
+  test("salted shuffle-join path gives identical links as broadcast path") {
+    val mentions = Pipeline.extractMentions(annotated, "morph")
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    val a = Linker.link(mentions, dict, broadcastDict = true)
+      .select("doc_id", "sent_id", "surface", "occ", "entity_id")
+    val b = Linker.link(mentions, dict, broadcastDict = false, saltBuckets = 4)
+      .select("doc_id", "sent_id", "surface", "occ", "entity_id")
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("runAll writes all stages with manifests and resumes without recompute") {
+    val work = java.nio.file.Files.createTempDirectory("graft-stages").toString
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    val docs = spark.createDataset(Fixtures.inputDocs(20))
+    val nTriples = Pipeline.runAll(spark, docs, dict, work, buckets = 4).count()
+    assert(nTriples > 0)
+    for (stage <- Seq("docs_labeled", "mentions", "linked", "entities", "triples"))
+      assert(TableFormat.isComplete(s"$work/$stage"), s"manifest missing for $stage")
+    // resume: delete the triples stage only; earlier stages must be reused
+    val tDir = new java.io.File(s"$work/triples")
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(tDir)
+    val docsLabeledMtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$work/docs_labeled/_manifest.json"))
+    val triples2 = Pipeline.runAll(spark, docs, dict, work, buckets = 4)
+    assert(triples2.count() === nTriples)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$work/docs_labeled/_manifest.json")) === docsLabeledMtime,
+      "docs_labeled was recomputed on resume")
+    rm(new java.io.File(work))
+  }
+
+  test("triples carry all five predicates with consistent subjects") {
+    val mentions = Pipeline.extractMentions(annotated, "morph")
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    val linked = Linker.link(mentions, dict)
+    val entities = Canonicalize.canonicalize(spark, dict)
+    val withCanon = linked.join(broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"))
+    val triples = graft.kg.Triples.fromLinkedMentions(withCanon).cache()
+    val preds = triples.select("pred").distinct().as[String].collect().toSet
+    assert(Set("mentions", "inDoc", "label", "category").subsetOf(preds))
+    assert(triples.filter(!col("subj").startsWith("ent:")).count() === 0)
+  }
+}
