@@ -142,6 +142,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextQuality.fingerprint(col("text")).as("fp"))
     }),
+    "d_fingerprint_poly" -> ((s, dir) => {
+      // native codegen'd PolyHash64 expression (rows-only: splitmix finalizer
+      // is not expressible in DuckDB SQL; parity vs the UDF is in scalatest)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextQuality.fastFingerprint(col("text")).as("fp64"))
+    }),
     "d_exact_dup_groups" -> ((s, dir) => {
       // exact dedup on a 30-char prefix fingerprint (full texts are unique in
       // the synthetic table; prefix groups exercise the same plan shape)

@@ -50,7 +50,7 @@ object Dedup {
     }
   }
 
-  private[datapipe] def polyHash(s: String): Long = {
+  def polyHash(s: String): Long = {
     var h = 1125899906842597L
     var i = 0
     while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }

@@ -33,13 +33,19 @@ object TextQuality {
 
   /** 64-bit rolling polynomial hash of the normalized text (Karp-Rabin style,
     * base 1000003, native Long overflow arithmetic) — the cheap non-crypto
-    * fingerprint for shingling at scale. */
+    * fingerprint for shingling at scale. UDF form kept for the parity test. */
   val rollingHashUdf = udf { (s: String) =>
     var h = 0L
     var i = 0
     while (i < s.length) { h = h * 1000003L + s.charAt(i); i += 1 }
     h
   }
+
+  /** Codegen'd 64-bit content hash: native Catalyst expression (PolyHash64)
+    * over the normalized text — stays inside whole-stage codegen, unlike a UDF.
+    */
+  def fastFingerprint(text: Column): Column =
+    graft.functions.PolyHash64(normalizedText(text))
 
   // ---------- quality scoring ----------
 

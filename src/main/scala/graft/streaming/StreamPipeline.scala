@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.{Pipeline, SparkEntry}
+import graft.schema.InputDoc
+import graft.io.TableFormat
+import graft.kg.{Linker, Triples}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger, OutputMode}
+
+/** Structured-Streaming front end (SURVEY §2 H "streaming" note: the reference
+  * is batch/request-response; our engine is batch-first, and this is the thin
+  * streaming wrapper over the SAME stage functions).
+  *
+  * Design: annotation is a narrow per-row transform → it runs directly on the
+  * streaming Dataset (mapPartitions is stream-safe). Everything stateful
+  * (occurrence windows, linking joins, triple materialization) runs inside
+  * `foreachBatch`, where each micro-batch is a plain DataFrame processed by the
+  * identical batch-stage code and appended to the bucketed triple store —
+  * exactly-once per epoch via idempotent epoch-keyed output paths.
+  */
+object StreamPipeline {
+
+  /** Streaming annotate: same mapPartitions stage as the batch path. */
+  def annotateStream(spark: SparkSession, docs: Dataset[InputDoc],
+                     models: Broadcast[Pipeline.Models]): Dataset[graft.schema.Doc] =
+    Pipeline.annotate(spark, docs, models) // narrow → stream-safe as-is
+
+  /** Full streaming pipeline: docs stream → annotate → per-batch mentions →
+    * link → triples appended under `outDir/epoch=N`. Returns the running query.
+    */
+  def run(
+      spark: SparkSession,
+      docs: Dataset[InputDoc],
+      dict: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      scenario: String = "morph",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val models = spark.sparkContext.broadcast(Pipeline.fixtureModels())
+    val annotated = annotateStream(spark, docs, models)
+    annotated.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[graft.schema.Doc], epochId: Long) =>
+        val mentions = Pipeline.extractMentions(batch, scenario)
+        val linked = Linker.link(mentions, dict)
+        val triples = Triples.fromLinkedMentions(
+          linked.withColumn("canonical_id", col("entity_id")))
+        // idempotent epoch-keyed write: a replayed epoch overwrites itself
+        TableFormat.save(triples, s"$outDir/epoch=$epochId", "doc_id",
+          buckets = 8, stage = s"triples-epoch-$epochId")
+        ()
+      }
+      .start()
+  }
+}
