@@ -49,71 +49,78 @@ object Pipeline {
 
   // ---------- G1-G6: document annotation (one mapPartitions) ----------
 
+  /** Per-doc annotation body — pure function (broadcast value in, Doc out),
+    * shared by the batch/streaming mapPartitions stages, the tests, and the
+    * no-Spark profiling loop. */
+  def annotateDoc(m: Models, lex: String => Boolean, in: InputDoc): Doc = {
+    val textSpans = in.spans.filter(_.kind == "text")
+    val sents = textSpans.iterator.zipWithIndex.map { case (sp, idx) =>
+      val toks = HebTokenizer.tokenize(sp.text).toIndexedSeq
+      if (toks.isEmpty || toks.length >= m.maxSentenceLength) {
+        // B3 semantic filter: over-long sentences are not scored (ref drops
+        // them; we keep the tokens with O labels so passengers stay intact)
+        Sentence(idx.toLong, toks.map(t =>
+          Token(t, "O", "O", "O", "O", Array(Morpheme(t, t, "NN", "_", 0, "O", "O")))).toArray)
+      } else {
+        // G1 token-single + token-multi in one batch pass each
+        val single = Scorer.decodeBatch(m.single, IndexedSeq(toks)).head
+        val multi = Scorer.decodeBatch(m.multi, IndexedSeq(toks)).head
+        // D1 lattice → D2/D3 prune with multi labels → D4 MD
+        val lattice = Analyzer.sentenceLattice(toks, lex).toIndexedSeq
+        val pruned = Prune.pruneSentence(lattice, multi, nonOOnly = false)
+        val md = Disambig.disambiguate(pruned, lex)
+        // morph forms grouped per token (C7/C8); tokenId → forms map
+        val formsByTid = new java.util.HashMap[Int, IndexedSeq[String]]()
+        for ((tid, es) <- Align.groupByToken(md.map(_.tokenId).toSeq, md.toSeq))
+          formsByTid.put(tid, es.map(_.form).toIndexedSeq)
+        val formsPerTok: IndexedSeq[IndexedSeq[String]] =
+          toks.indices.map { i =>
+            val f = formsByTid.get(i + 1)
+            if (f != null) f else IndexedSeq(toks(i))
+          }
+        // G4 second NER run on predicted morphemes
+        val morphFlat = formsPerTok.flatten
+        val morphLabels =
+          if (morphFlat.isEmpty) IndexedSeq.empty[String]
+          else Scorer.decodeBatch(m.morph, IndexedSeq(morphFlat)).head
+        // re-split morph labels back per token
+        val morphLabelsPerTok = {
+          var off = 0
+          formsPerTok.map { fs => val r = morphLabels.slice(off, off + fs.length); off += fs.length; r }
+        }
+        // G5 multi_align_hybrid: soft-merge multi atoms onto morphemes (C4)
+        val alignPerTok = toks.indices.map { i =>
+          Align.softMergeToken(formsPerTok(i), multi(i))._2.map(_._2)
+        }
+        val tokens = toks.indices.map { i =>
+          val morphs = formsPerTok(i).indices.map { j =>
+            val form = formsPerTok(i)(j)
+            Morpheme(form, form, if (j < formsPerTok(i).length - 1) "IN" else "NN", "_",
+              i + 1,
+              nemoMorph = morphLabelsPerTok(i).applyOrElse(j, (_: Int) => "O"),
+              nemoMultiAlignMorph = alignPerTok(i).applyOrElse(j, (_: Int) => "O"))
+          }.toArray
+          Token(
+            text = toks(i),
+            nemoSingle = single(i),
+            nemoMulti = multi(i),
+            nemoMultiAlignToken = Biose.fixMultiBiose(multi(i)),       // G2/B5
+            nemoMorphAlignToken = Align.fixedTokenLabel(morphLabelsPerTok(i).toSeq), // G6/C6
+            morphs = morphs)
+        }.toArray
+        Sentence(idx.toLong, tokens)
+      }
+    }.toArray
+    Doc(in.doc_id, in.spans, sents)
+  }
+
   /** Annotate documents with all scenario label layers. Narrow (no shuffle). */
   def annotate(spark: SparkSession, docs: Dataset[InputDoc], models: Broadcast[Models]): Dataset[Doc] = {
     import spark.implicits._
     docs.mapPartitions { it =>
       val m = models.value
       val lex: String => Boolean = m.lexicon.contains _
-      it.map { in =>
-        val textSpans = in.spans.filter(_.kind == "text")
-        val sents = textSpans.iterator.zipWithIndex.map { case (sp, idx) =>
-          val toks = HebTokenizer.tokenize(sp.text).toIndexedSeq
-          if (toks.isEmpty || toks.length >= m.maxSentenceLength) {
-            // B3 semantic filter: over-long sentences are not scored (ref drops
-            // them; we keep the tokens with O labels so passengers stay intact)
-            Sentence(idx.toLong, toks.map(t =>
-              Token(t, "O", "O", "O", "O", Array(Morpheme(t, t, "NN", "_", 0, "O", "O")))).toArray)
-          } else {
-            // G1 token-single + token-multi in one batch pass each
-            val single = Scorer.decodeBatch(m.single, IndexedSeq(toks)).head
-            val multi = Scorer.decodeBatch(m.multi, IndexedSeq(toks)).head
-            // D1 lattice → D2/D3 prune with multi labels → D4 MD
-            val lattice = Analyzer.sentenceLattice(toks, lex).toIndexedSeq
-            val pruned = Prune.pruneSentence(lattice, multi, nonOOnly = false)
-            val md = Disambig.disambiguate(pruned, lex)
-            // morph forms grouped per token (C7/C8)
-            val byTok = Align.groupByToken(md.map(_.tokenId).toSeq, md.toSeq)
-            val formsPerTok: IndexedSeq[IndexedSeq[String]] =
-              toks.indices.map { i =>
-                byTok.find(_._1 == i + 1).map(_._2.map(_.form).toIndexedSeq)
-                  .getOrElse(IndexedSeq(toks(i)))
-              }
-            // G4 second NER run on predicted morphemes
-            val morphFlat = formsPerTok.flatten
-            val morphLabels =
-              if (morphFlat.isEmpty) IndexedSeq.empty[String]
-              else Scorer.decodeBatch(m.morph, IndexedSeq(morphFlat)).head
-            // re-split morph labels back per token
-            val morphLabelsPerTok = {
-              var off = 0
-              formsPerTok.map { fs => val r = morphLabels.slice(off, off + fs.length); off += fs.length; r }
-            }
-            // G5 multi_align_hybrid: soft-merge multi atoms onto morphemes (C4)
-            val alignPerTok = toks.indices.map { i =>
-              Align.softMergeToken(formsPerTok(i), multi(i))._2.map(_._2)
-            }
-            val tokens = toks.indices.map { i =>
-              val morphs = formsPerTok(i).indices.map { j =>
-                val form = formsPerTok(i)(j)
-                Morpheme(form, form, if (j < formsPerTok(i).length - 1) "IN" else "NN", "_",
-                  i + 1,
-                  nemoMorph = morphLabelsPerTok(i).applyOrElse(j, (_: Int) => "O"),
-                  nemoMultiAlignMorph = alignPerTok(i).applyOrElse(j, (_: Int) => "O"))
-              }.toArray
-              Token(
-                text = toks(i),
-                nemoSingle = single(i),
-                nemoMulti = multi(i),
-                nemoMultiAlignToken = Biose.fixMultiBiose(multi(i)),       // G2/B5
-                nemoMorphAlignToken = Align.fixedTokenLabel(morphLabelsPerTok(i).toSeq), // G6/C6
-                morphs = morphs)
-            }.toArray
-            Sentence(idx.toLong, tokens)
-          }
-        }.toArray
-        Doc(in.doc_id, in.spans, sents)
-      }
+      it.map(in => annotateDoc(m, lex, in))
     }
   }
 

@@ -35,6 +35,7 @@ object Disambig {
   def bestPath(tokenEdges: IndexedSeq[LatticeEdge],
                lexicon: String => Boolean): IndexedSeq[LatticeEdge] = {
     if (tokenEdges.isEmpty) return IndexedSeq.empty
+    if (tokenEdges.length == 1) return tokenEdges // unambiguous fast path
     val start = tokenEdges.head.id1
     val end = tokenEdges.last.id2
     // topological DP over node ids (ids are increasing along every path)

@@ -67,17 +67,34 @@ object Prune {
 
   /** Prune a whole sentence lattice given per-token multi labels (1-based
     * tokenId in edges; multiLabels(i) is token i+1's label). Keeps input edge
-    * order. */
+    * order. Iterates contiguous per-token runs (Analyzer emits them contiguous)
+    * with a single-edge fast path — an unambiguous token (the overwhelmingly
+    * common case) is kept whatever its label: with one edge the only path has
+    * 2 nodes, so it is either count-valid or restored by keep_all_if_no_valid;
+    * identical outcome to the full DFS, zero allocation. */
   def pruneSentence(
       edges: IndexedSeq[LatticeEdge],
       multiLabels: IndexedSeq[String],
       nonOOnly: Boolean = false,
       keepAllIfNoValid: Boolean = true): IndexedSeq[LatticeEdge] = {
-    val byToken = edges.groupBy(_.tokenId)
-    val valid = byToken.map { case (tid, es) =>
-      val label = if (tid - 1 < multiLabels.length) multiLabels(tid - 1) else "O"
-      tid -> validEdgesForToken(es, label, nonOOnly, keepAllIfNoValid)
+    if (edges.isEmpty) return edges
+    val out = new ArrayBuffer[LatticeEdge](edges.length)
+    var i = 0
+    while (i < edges.length) {
+      val tid = edges(i).tokenId
+      var j = i
+      while (j < edges.length && edges(j).tokenId == tid) j += 1
+      if (j - i == 1 && keepAllIfNoValid) {
+        out += edges(i) // fast path: single analysis always survives
+      } else {
+        val es = edges.slice(i, j)
+        val label = if (tid - 1 < multiLabels.length) multiLabels(tid - 1) else "O"
+        val valid = validEdgesForToken(es, label, nonOOnly, keepAllIfNoValid)
+        var k = i
+        while (k < j) { if (valid.contains((edges(k).id1, edges(k).id2))) out += edges(k); k += 1 }
+      }
+      i = j
     }
-    edges.filter(e => valid.getOrElse(e.tokenId, Set.empty).contains((e.id1, e.id2)))
+    out.toIndexedSeq
   }
 }

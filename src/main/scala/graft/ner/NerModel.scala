@@ -36,11 +36,11 @@ final case class NerModel(
     labelAlphabet: Alphabet,
     wordEmb: Array[Array[Float]],                  // wordVocab × wordEmbDim
     charEmb: Array[Array[Float]],                  // charVocab × charEmbDim
-    charCnnW: Array[Array[Array[Float]]],          // charHidden × charEmbDim × k
+    charCnnW: Array[Array[Array[Float]]],          // charHidden × k × charEmbDim (kernel-major, contiguous d)
     charCnnB: Array[Float],
     charLstm: Option[Array[LstmCellWeights]],      // [fwd, bwd] when charExtractor=LSTM
     lstm: Array[Array[LstmCellWeights]],           // layers × [fwd, bwd]
-    cnnW: Array[Array[Array[Float]]],              // (wordExtractor=CNN) hidden2 × inDim × k, one layer
+    cnnW: Array[Array[Array[Float]]],              // (wordExtractor=CNN) featDim × k × inDim, one layer
     cnnB: Array[Float],
     hidden2tag: Array[Array[Float]],               // (T+2) × featDim
     hidden2tagB: Array[Float],
@@ -51,6 +51,14 @@ final case class NerModel(
   def stopTag: Int = numTags + 1
   def featDim: Int =
     if (config.wordExtractor == "CNN") cnnW.length else 2 * config.hidden
+
+  /** Transposed transitions (to × from): the Viterbi inner max runs over
+    * `from` — row-contiguous access instead of a column stride through T+2
+    * separate row objects. Rebuilt lazily per executor after broadcast. */
+  @transient lazy val transitionsT: Array[Array[Float]] = {
+    val n = transitions.length
+    Array.tabulate(n, n)((to, from) => transitions(from)(to))
+  }
 }
 
 /** One LSTM direction's parameters: gates ordered [i, f, g, o]. */
@@ -90,12 +98,12 @@ object NerModel {
       Array(lstmWeights(r, in, cfg.hidden), lstmWeights(r, in, cfg.hidden))
     }
     val featDim = if (cfg.wordExtractor == "CNN") cfg.hidden * 2 else cfg.hidden * 2
-    val cnnW = Array.fill(featDim)(mat(r, wordRepDim, 3, uniformScale(wordRepDim)))
+    val cnnW = Array.fill(featDim)(mat(r, 3, wordRepDim, uniformScale(wordRepDim)))
     NerModel(
       cfg, wa, ca, la,
       wordEmb = mat(r, wa.size, cfg.wordEmbDim, uniformScale(cfg.wordEmbDim)),
       charEmb = mat(r, ca.size, cfg.charEmbDim, uniformScale(cfg.charEmbDim)),
-      charCnnW = Array.fill(cfg.charHidden)(mat(r, cfg.charEmbDim, cfg.charKernel, uniformScale(cfg.charEmbDim))),
+      charCnnW = Array.fill(cfg.charHidden)(mat(r, cfg.charKernel, cfg.charEmbDim, uniformScale(cfg.charEmbDim))),
       charCnnB = Array.fill(cfg.charHidden)(0f),
       charLstm =
         if (cfg.charExtractor == "LSTM")
@@ -173,8 +181,8 @@ object NerModel {
       row(lab) = 10f
       row
     }
-    // CNN: featDim = t2, kernel 1, identity
-    val cnnW = Array.tabulate(t2)(o => Array.tabulate(t2)(i => Array(if (i == o) 1f else 0f)))
+    // CNN: featDim = t2, kernel 1, identity (layout featDim × k × inDim)
+    val cnnW = Array.tabulate(t2)(o => Array(Array.tabulate(t2)(i => if (i == o) 1f else 0f)))
     val h2t = Array.tabulate(t2)(o => Array.tabulate(t2)(i => if (i == o) 1f else 0f))
     NerModel(cfg, wa, ca, la,
       wordEmb = emb,

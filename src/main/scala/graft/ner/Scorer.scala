@@ -89,9 +89,9 @@ object Scorer {
         while (kk < k) {
           val p = pos + kk - k / 2
           if (p >= 0 && p < L) {
-            val e = embs(p); val wRow = m.charCnnW(h)
+            val e = embs(p); val wk = m.charCnnW(h)(kk) // contiguous over d
             var d = 0
-            while (d < cfg.charEmbDim) { acc += wRow(d)(kk) * e(d); d += 1 }
+            while (d < cfg.charEmbDim) { acc += wk(d) * e(d); d += 1 }
           }
           kk += 1
         }
@@ -131,8 +131,8 @@ object Scorer {
   def emissions(m: NerModel, tokens: IndexedSeq[String]): Array[Array[Float]] = {
     var reps: Array[Array[Float]] = tokens.map(t => wordRep(m, t)).toArray
     if (m.config.wordExtractor == "CNN") {
-      val k = if (m.cnnW.nonEmpty) m.cnnW(0)(0).length else 1
-      val inDim = if (m.cnnW.nonEmpty) m.cnnW(0).length else 0
+      val k = if (m.cnnW.nonEmpty) m.cnnW(0).length else 1
+      val inDim = if (m.cnnW.nonEmpty) m.cnnW(0)(0).length else 0
       val L = reps.length
       val out = Array.ofDim[Array[Float]](L)
       var pos = 0
@@ -141,13 +141,14 @@ object Scorer {
         var h = 0
         while (h < m.cnnW.length) {
           var acc = m.cnnB(h)
+          val wh = m.cnnW(h)
           var kk = 0
           while (kk < k) {
             val p = pos + kk - k / 2
             if (p >= 0 && p < L) {
-              val e = reps(p); val wRow = m.cnnW(h)
+              val e = reps(p); val wk = wh(kk) // contiguous over d
               var d = 0
-              while (d < inDim) { acc += wRow(d)(kk) * e(d); d += 1 }
+              while (d < inDim) { acc += wk(d) * e(d); d += 1 }
             }
             kk += 1
           }
@@ -172,37 +173,44 @@ object Scorer {
 
   // ---------- CRF (F7/F8) ----------
 
-  /** Viterbi decode with START/STOP (transitions(from)(to)). Returns tag ids. */
+  /** Viterbi decode with START/STOP (transitions(from)(to)). Returns tag ids.
+    * Rolling two-row DP (backpointers keep the full L×T matrix) — halves the
+    * allocation of the hot path. */
   def viterbi(m: NerModel, emit: Array[Array[Float]]): Array[Int] = {
     val t = m.numTags
     val L = emit.length
     if (L == 0) return Array.empty
     val tr = m.transitions
+    val trT = m.transitionsT // (to × from): inner max runs row-contiguous
     val start = m.startTag; val stop = m.stopTag
-    val dp = Array.ofDim[Float](L, t)
+    var prev = new Array[Float](t)
+    var cur = new Array[Float](t)
     val bp = Array.ofDim[Int](L, t)
     var j = 0
-    while (j < t) { dp(0)(j) = tr(start)(j) + emit(0)(j); j += 1 }
+    while (j < t) { prev(j) = tr(start)(j) + emit(0)(j); j += 1 }
     var i = 1
     while (i < L) {
+      val bpi = bp(i); val emi = emit(i)
       var to = 0
       while (to < t) {
+        val trTo = trT(to)
         var best = Float.NegativeInfinity; var arg = 0
         var from = 0
         while (from < t) {
-          val s = dp(i - 1)(from) + tr(from)(to)
+          val s = prev(from) + trTo(from)
           if (s > best) { best = s; arg = from }
           from += 1
         }
-        dp(i)(to) = best + emit(i)(to); bp(i)(to) = arg
+        cur(to) = best + emi(to); bpi(to) = arg
         to += 1
       }
+      val tmp = prev; prev = cur; cur = tmp
       i += 1
     }
     var best = Float.NegativeInfinity; var arg = 0
     j = 0
     while (j < t) {
-      val s = dp(L - 1)(j) + tr(j)(stop)
+      val s = prev(j) + tr(j)(stop)
       if (s > best) { best = s; arg = j }
       j += 1
     }
@@ -251,6 +259,19 @@ object Scorer {
   /** Decode a batch of sentences: sort desc by length (F1), score, restore
     * input order (F10 recover), map tag ids to label strings. */
   def decodeBatch(m: NerModel, sents: IndexedSeq[IndexedSeq[String]]): IndexedSeq[IndexedSeq[String]] = {
+    if (sents.length == 1) { // trivial batch: skip the sort/recover machinery
+      val toks = sents.head
+      val labs =
+        if (toks.isEmpty) IndexedSeq.empty[String]
+        else {
+          val ids = viterbi(m, emissions(m, toks))
+          val arr = new Array[String](ids.length)
+          var i = 0
+          while (i < ids.length) { arr(i) = m.labelAlphabet.instance(ids(i)); i += 1 }
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+        }
+      return IndexedSeq(labs)
+    }
     val order = sents.indices.sortBy(i => -sents(i).length) // F1 sort
     val decoded = new Array[IndexedSeq[String]](sents.length)
     for (i <- order) { // padding is a no-op for per-sentence JVM loops; the sort

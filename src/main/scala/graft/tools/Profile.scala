@@ -18,9 +18,29 @@ object Profile {
     s
   }
 
+  /** Single-thread pure-Scala run of the annotate body (no Spark, no encoder):
+    * isolates NLP-inner-loop cost from Dataset serialization overhead. */
+  def localLoop(nDocs: Int): (Double, Long) = {
+    val m = SparkEntry.fixtureModels
+    val lex: String => Boolean = m.lexicon.contains _
+    val t0 = System.nanoTime()
+    var i = 0
+    var acc = 0L
+    while (i < nDocs) {
+      val fd = Fixtures.doc(i)
+      val doc = Pipeline.annotateDoc(m, lex, graft.schema.InputDoc(fd.docId, fd.spans.toArray))
+      acc += doc.sents.length
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toInt else 40000
     val parts = 256
+    localLoop(3000) // JIT warm the pure loop
+    val (secLocal, _) = localLoop(20000)
+    println(f"[profile] local-loop single-thread: $secLocal%.2f s for 20000 docs = ${20000 / secLocal}%.0f docs/s/thread")
     // full JIT warmup BEFORE any timing, on a throwaway session
     locally {
       val spark = session(32)
