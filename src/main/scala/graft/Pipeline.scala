@@ -51,8 +51,14 @@ object Pipeline {
 
   /** Per-doc annotation body — pure function (broadcast value in, Doc out),
     * shared by the batch/streaming mapPartitions stages, the tests, and the
-    * no-Spark profiling loop. */
-  def annotateDoc(m: Models, lex: String => Boolean, in: InputDoc): Doc = {
+    * no-Spark profiling loop.
+    *
+    * `usePruning = true` is the hybrid path (G4/G5/G6: token-multi output
+    * prunes the MD search space, the paper's headline idea); `false` is the
+    * morph_yap path (G3: MD over the raw ambiguous lattice, nemo.py:278-312).
+    */
+  def annotateDoc(m: Models, lex: String => Boolean, in: InputDoc,
+                  usePruning: Boolean = true): Doc = {
     val textSpans = in.spans.filter(_.kind == "text")
     val sents = textSpans.iterator.zipWithIndex.map { case (sp, idx) =>
       val toks = HebTokenizer.tokenize(sp.text).toIndexedSeq
@@ -65,9 +71,11 @@ object Pipeline {
         // G1 token-single + token-multi in one batch pass each
         val single = Scorer.decodeBatch(m.single, IndexedSeq(toks)).head
         val multi = Scorer.decodeBatch(m.multi, IndexedSeq(toks)).head
-        // D1 lattice → D2/D3 prune with multi labels → D4 MD
+        // D1 lattice → (D2/D3 prune with multi labels, hybrid only) → D4 MD
         val lattice = Analyzer.sentenceLattice(toks, lex).toIndexedSeq
-        val pruned = Prune.pruneSentence(lattice, multi, nonOOnly = false)
+        val pruned =
+          if (usePruning) Prune.pruneSentence(lattice, multi, nonOOnly = false)
+          else lattice
         val md = Disambig.disambiguate(pruned, lex)
         // morph forms grouped per token (C7/C8); tokenId → forms map
         val formsByTid = new java.util.HashMap[Int, IndexedSeq[String]]()
@@ -115,12 +123,13 @@ object Pipeline {
   }
 
   /** Annotate documents with all scenario label layers. Narrow (no shuffle). */
-  def annotate(spark: SparkSession, docs: Dataset[InputDoc], models: Broadcast[Models]): Dataset[Doc] = {
+  def annotate(spark: SparkSession, docs: Dataset[InputDoc], models: Broadcast[Models],
+               usePruning: Boolean = true): Dataset[Doc] = {
     import spark.implicits._
     docs.mapPartitions { it =>
       val m = models.value
       val lex: String => Boolean = m.lexicon.contains _
-      it.map(in => annotateDoc(m, lex, in))
+      it.map(in => annotateDoc(m, lex, in, usePruning))
     }
   }
 

@@ -35,9 +35,10 @@ object SparkEntry {
   private def fixtureDocsDf(spark: SparkSession, n: Int): org.apache.spark.sql.Dataset[graft.schema.InputDoc] =
     Fixtures.inputDocsDs(spark, n, spark.sparkContext.defaultParallelism)
 
-  private def annotatedMentions(spark: SparkSession, n: Int, scenario: String): DataFrame = {
+  private def annotatedMentions(spark: SparkSession, n: Int, scenario: String,
+                                usePruning: Boolean = true): DataFrame = {
     val models = spark.sparkContext.broadcast(fixtureModels)
-    val docs = Pipeline.annotate(spark, fixtureDocsDf(spark, n), models)
+    val docs = Pipeline.annotate(spark, fixtureDocsDf(spark, n), models, usePruning)
     Pipeline.extractMentions(docs, scenario)
   }
 
@@ -167,6 +168,20 @@ object SparkEntry {
         (size(filter(toks, x => array_contains(sw, x))).cast("long") * 10000L / size(toks).cast("long")).cast("long").as("stopword_bp"),
         (size(array_distinct(toks)).cast("long") * 10000L / size(toks).cast("long")).cast("long").as("distinct_bp"))
     }),
+    "d_bpe_token_count" -> ((s, dir) => {
+      // BPE-ish pre-tokenizer counting (letter runs / digit runs / punct)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextQuality.bpeTokenCount("text").as("n_bpe"))
+    }),
+    "d_cosine_pairs_exact" -> ((s, dir) => {
+      // exact embedding near-dup pairs (cross join baseline; ids only)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(Similarity.cosineCol("vec_a", "vec_b") >= 0.4)
+        .select("id_a", "id_b")
+    }),
     "d_lang_id" -> ((s, dir) => {
       // heuristic n-gram langId (not SQL-expressible → rows-only check)
       TextQuality.withLangId(t(s, dir, "documents"))
@@ -211,6 +226,9 @@ object SparkEntry {
     // ---- the KG-construction pipeline itself (nemo_*; rows-only) ----
     "nemo_mentions_single" -> ((s, _) => annotatedMentions(s, 300, "token-single")),
     "nemo_mentions_morph" -> ((s, _) => annotatedMentions(s, 300, "morph")),
+    "nemo_mentions_morph_yap" -> ((s, _) =>
+      // G3: MD over the raw ambiguous lattice (no NER-guided pruning)
+      annotatedMentions(s, 300, "morph", usePruning = false)),
     "nemo_mentions_multi_align" -> ((s, _) => annotatedMentions(s, 300, "multi-align-morph")),
     "nemo_linked" -> ((s, _) => {
       import s.implicits._
@@ -306,6 +324,14 @@ object SparkEntry {
         |  (CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with'], x))) AS BIGINT) * 10000) // len(toks) AS stopword_bp,
         |  (CAST(len(list_distinct(toks)) AS BIGINT) * 10000) // len(toks) AS distinct_bp
         |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)""".stripMargin,
+    "d_bpe_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS INT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "d_cosine_pairs_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
     "d_ann_topk" ->
       """SELECT qid, id, rk FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS id,

@@ -66,6 +66,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(prf.recall >= 0.95, s"recall ${prf.recall}")
   }
 
+  test("P/R gate: morph_yap (G3, no pruning) ≥ 0.95 on the fixture corpus") {
+    val gold = goldMentions("morph")
+    val yap = Pipeline.annotate(spark, inputDocs, models, usePruning = false)
+    val pred = Pipeline.extractMentions(yap, "morph")
+      .select("doc_id", "sent_id", "surface", "category", "occ")
+      .as[(String, Long, String, String, Int)].collect().toSeq
+    val prf = Mentions.evaluate(
+      gold.map(t => (t._1.hashCode.toLong * 1000 + t._2, t._3, t._4, t._5)),
+      pred.map(t => (t._1.hashCode.toLong * 1000 + t._2, t._3, t._4, t._5)))
+    assert(prf.precision >= 0.95, s"precision ${prf.precision}")
+    assert(prf.recall >= 0.95, s"recall ${prf.recall}")
+  }
+
   test("passenger invariant: span sequence (kind, text, media_ref, order) preserved per row") {
     val in = inputDocs.collect().map(d => d.doc_id ->
       d.spans.sortBy(_.offset).map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq).toMap
