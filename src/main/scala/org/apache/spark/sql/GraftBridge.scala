@@ -8,4 +8,6 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def sameTypeIgnoreNullability(a: types.DataType, b: types.DataType): Boolean =
+    types.DataType.equalsIgnoreNullability(a, b)
 }

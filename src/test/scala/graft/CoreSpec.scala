@@ -116,6 +116,22 @@ class CoreSpec extends AnyFunSuite {
       Seq((1, Seq("a", "b")), (2, Seq("c")), (3, Seq("d", "e"))))
   }
 
+  // ---- dep stub (A8/A11/C10, verbosity 2) ----
+
+  test("dep stub emits a well-formed tree; clitics attach to their host") {
+    val lex = Set("גדנק", "צצצ")
+    val md = Disambig.disambiguate(
+      Analyzer.sentenceLattice(IndexedSeq("בגדנק", "צצצ"), lex.contains _).toIndexedSeq, lex.contains _)
+    val dep = graft.lattice.DepStub.depTree(md)
+    assert(dep.map(_.form) === IndexedSeq("ב", "גדנק", "צצצ"))
+    assert(dep.count(_.head == 0) === 1)                    // exactly one root
+    assert(dep(0).head === 2 && dep(0).deprel === "case")   // clitic → host
+    assert(dep(1).deprel === "root")
+    // C10 zip keeps parallel order
+    val zipped = graft.lattice.DepStub.addDepInfo(md.map(_.form), dep)
+    assert(zipped.map(_._1) === dep.map(_.form))
+  }
+
   // ---- mention eval (E1-E3) ----
 
   test("sentenceMentions assigns occurrence indices") {
