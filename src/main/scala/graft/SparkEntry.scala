@@ -134,6 +134,23 @@ object SparkEntry {
       m.join(broadcast(dict), Seq("block")).select(col("p_partkey"), col("p_brand"))
     }),
 
+    "q_event_window" -> ((s, dir) => {
+      // tumbling time-window aggregation over the events stream table — the
+      // batch shape of the Structured Streaming windowed agg (values
+      // integerized per row for cross-engine hash stability)
+      t(s, dir, "events")
+        .groupBy(col("event_type"), window(col("ts"), "1 hour").getField("start").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).cast("long").as("sum_value_c"))
+    }),
+    "q_rollup" -> ((s, dir) => {
+      // rollup with sentinel fill so both engines hash identically
+      t(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"), col("n"))
+    }),
+
     // ---- training-data pipeline ops (d_*) ----
     "d_token_count" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -310,6 +327,13 @@ object SparkEntry {
         |FROM part m JOIN (SELECT DISTINCT p_brand FROM part) d
         |ON trim(regexp_replace(regexp_replace(lower(m.p_brand), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g'))
         | = trim(regexp_replace(regexp_replace(lower(d.p_brand), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g'))""".stripMargin,
+    "q_event_window" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) AS n
+        |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
     "d_token_count" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens FROM documents""".stripMargin,
     "d_fingerprint" ->

@@ -46,11 +46,14 @@ object Canonicalize {
     labels
   }
 
-  /** Build equivalence edges between entities that share an alias blocking key,
-    * then assign canonical_id = component min. Input: dict DataFrame
+  /** Build equivalence edges between entities that share a FULL normalized
+    * alias (not the first-token blocking key — that is a candidate-generation
+    * signature, far too coarse for merging identities), then assign
+    * canonical_id = component min. Input: dict DataFrame
     * (entity_id, canonical, aliases, category). Output: dict + canonical_id. */
   def canonicalize(spark: SparkSession, dict: DataFrame): DataFrame = {
-    val blocks = Linker.aliasBlocks(dict).select("entity_id", "block")
+    val blocks = Linker.aliasBlocks(dict)
+      .select(col("entity_id"), col("alias_norm").as("block"))
     val a = blocks.withColumnRenamed("entity_id", "src")
     val b = blocks.withColumnRenamed("entity_id", "dst")
     val edges = a.join(b, "block")

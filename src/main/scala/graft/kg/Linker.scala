@@ -18,9 +18,27 @@ import org.apache.spark.sql.expressions.Window
   */
 object Linker {
 
-  /** Blocking key: case fold, strip punctuation, collapse whitespace. */
+  /** Normalization: case fold, strip punctuation, collapse whitespace. */
   def normalizeKeyCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(regexp_replace(lower(c), "[\\p{Punct}]", ""), "\\s+", " "))
+
+  /** Blocking key: FIRST TOKEN of the normalized string. A genuine blocking
+    * key (candidates share a cheap signature, scoring decides) rather than
+    * exact-match lookup — candidate sets stay small while near-miss surfaces
+    * ("acme corp" vs "acme corporation") still meet their entity. */
+  def blockKeyCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(split(normalizeKeyCol(c), " "), 1)
+
+  /** Token-set Jaccard between two normalized strings (candidate scorer). */
+  val tokenJaccardUdf = udf { (a: String, b: String) =>
+    if (a == null || b == null) 0.0
+    else {
+      val sa = a.split(" ").filter(_.nonEmpty).toSet
+      val sb = b.split(" ").filter(_.nonEmpty).toSet
+      if (sa.isEmpty || sb.isEmpty) 0.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+  }
 
   /** Dictionary (entity_id, canonical, aliases, category) → one row per alias
     * block key. */
@@ -28,7 +46,9 @@ object Linker {
     dict
       .select(col("entity_id"), col("canonical"), col("category").as("dict_category"),
         explode(col("aliases")).as("alias"))
-      .withColumn("block", normalizeKeyCol(col("alias")))
+      .withColumn("alias_norm", normalizeKeyCol(col("alias")))
+      .withColumn("block", blockKeyCol(col("alias")))
+      .filter(col("block").isNotNull && col("block") =!= "")
 
   /** Link mentions (needs columns surface, category, doc_id, sent_id, occ,
     * scenario, level) against the dictionary.
@@ -40,16 +60,19 @@ object Linker {
       mentions: DataFrame,
       dict: DataFrame,
       broadcastDict: Boolean = true,
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8,
+      minScore: Double = 0.6): DataFrame = {
     val blocks0 = aliasBlocks(dict)
-    val m = mentions.withColumn("block", normalizeKeyCol(col("surface")))
+    val m = mentions
+      .withColumn("surface_norm", normalizeKeyCol(col("surface")))
+      .withColumn("block", blockKeyCol(col("surface")))
+      .filter(col("block").isNotNull && col("block") =!= "")
 
     val joined =
       if (broadcastDict) {
         m.join(broadcast(blocks0), Seq("block"), "inner")
       } else {
         // salted shuffle join: dict exploded over salts, mention side hashed
-        val salts = spark_partition_id() // placeholder never used; keep API simple
         val dictSalted = blocks0.withColumn("salt",
           explode(array((0 until saltBuckets).map(lit): _*)))
         val mSalted = m.withColumn("salt",
@@ -57,9 +80,13 @@ object Linker {
         mSalted.join(dictSalted, Seq("block", "salt"), "inner").drop("salt")
       }
 
-    val scored = joined.withColumn(
-      "score",
-      lit(1.0) + when(col("category") === col("dict_category"), lit(0.5)).otherwise(lit(0.0)))
+    // candidate score: token-set Jaccard of normalized surface vs alias,
+    // + 0.5 category agreement; below minScore a candidate is discarded
+    val scored = joined
+      .withColumn("score",
+        tokenJaccardUdf(col("surface_norm"), col("alias_norm")) +
+          when(col("category") === col("dict_category"), lit(0.5)).otherwise(lit(0.0)))
+      .filter(col("score") >= minScore)
 
     val w = Window
       .partitionBy("doc_id", "sent_id", "scenario", "level", "start", "surface", "category", "occ")
@@ -67,6 +94,6 @@ object Linker {
     scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .drop("rk", "block", "alias")
+      .drop("rk", "block", "alias", "alias_norm", "surface_norm")
   }
 }

@@ -40,6 +40,24 @@ class KgSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy linking: near-miss surface reaches its entity through the block") {
+    import org.apache.spark.sql.functions._
+    val dict = Seq(
+      (0L, "acme corporation", Seq("acme corporation"), "ORG"),
+      (1L, "zebra park", Seq("zebra park"), "LOC"))
+      .toDF("entity_id", "canonical", "aliases", "category")
+    val mentions = Seq(
+      ("d1", 0L, "acme corporation ltd", "ORG", 1, 0, "token", "t"), // near miss
+      ("d1", 0L, "zebra park", "LOC", 1, 1, "token", "t"),           // exact
+      ("d1", 0L, "unrelated thing", "ORG", 1, 2, "token", "t"))      // no block hit
+      .toDF("doc_id", "sent_id", "surface", "category", "occ", "start", "level", "scenario")
+    val linked = graft.kg.Linker.link(mentions, dict)
+      .select("surface", "entity_id").as[(String, Long)].collect().toMap
+    assert(linked("acme corporation ltd") === 0L) // jaccard 2/3 + cat 0.5 ≥ 0.6
+    assert(linked("zebra park") === 1L)
+    assert(!linked.contains("unrelated thing"))
+  }
+
   test("canonicalize merges entities sharing an alias") {
     val dict = Seq(
       (0L, "acme corp", Seq("acme corp", "acme"), "ORG"),

@@ -11,6 +11,38 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("watermarked tumbling-window aggregation over the events stream") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // FileStreamSource needs a directory, the fixture is a single file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(streamDir, "events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", col("ts").cast("timestamp")) // watermark needs TIMESTAMP, parquet is NTZ
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory").queryName("ev_window")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT event_type, window.start AS hour, n FROM ev_window")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").getField("start").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    // streaming result equals the batch computation on the same input
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+  }
+
   test("streaming pipeline: docs stream → annotate → triples per epoch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[InputDoc]
