@@ -68,9 +68,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     run(1, aqeSkew = false) // warmup
-    val noSalt = run(1, aqeSkew = false)
-    val salted = run(cpus, aqeSkew = false)
-    val aqe = run(1, aqeSkew = true)
+    // best-of-2 per variant — host noise otherwise flips the comparison
+    val noSalt = math.min(run(1, aqeSkew = false), run(1, aqeSkew = false))
+    val salted = math.min(run(cpus, aqeSkew = false), run(cpus, aqeSkew = false))
+    val aqe = math.min(run(1, aqeSkew = true), run(1, aqeSkew = true))
     spark.stop()
     (noSalt, salted, aqe)
   }
@@ -113,14 +114,20 @@ object Bench {
       val steal = if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
       (sec, steal)
     }
-    // interleaved rounds, best-of per level: guards against JVM state drift
-    // (JIT, heap shape) systematically favoring whichever level runs later;
-    // min because noise (host jitter, GC, scheduling) only ever slows a run
-    // down; many short samples → better odds of landing in a quiet window
-    def measure(level: Int, repeats: Int): (Double, Double) = {
+    // best-of per level with bounded retries: noise (host neighbors, GC,
+    // scheduling) only ever slows a run down, so min is the honest estimator;
+    // keep sampling until a sample ran on a quiet host (steal ≤ 1%) or the
+    // retry budget is spent — a sustained noisy window is then visible in the
+    // reported steal column rather than silently folded into "efficiency"
+    def measure(level: Int, minRepeats: Int, maxRepeats: Int = 5): (Double, Double) = {
       val s = session(level)
       pipelineRun(s, 4000, parts)
-      val xs = (1 to repeats).map(_ => timedOnce(level, s))
+      var xs = List.empty[(Double, Double)]
+      var i = 0
+      while (i < maxRepeats && (i < minRepeats || !xs.exists(_._2 <= 0.01))) {
+        xs = timedOnce(level, s) :: xs
+        i += 1
+      }
       s.stop()
       xs.minBy(_._1)
     }
@@ -142,6 +149,9 @@ object Bench {
     val dpsLow = nDocs / secLow
     val dpsHigh = nDocs / secHigh
     val eff = (dpsHigh / dpsLow) / (pairHigh.toDouble / pairLow)
+    // steal-adjusted: scales each side's throughput to a zero-steal host
+    // (labeled secondary — raw numbers stay the headline)
+    val effAdj = ((dpsHigh / (1 - stealHigh)) / (dpsLow / (1 - stealLow))) / (pairHigh.toDouble / pairLow)
     val dps8 = nDocs / sec8
     val dps32 = nDocs / sec32
     val eff2 = (dps32 / dps8) / (cpus.toDouble / nLow)
@@ -150,7 +160,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scaling =
-      s"""{"n_low":$pairLow,"n_high":$pairHigh,"docs":$nDocs,"docs_per_sec_low":${f(dpsLow)},"docs_per_sec_high":${f(dpsHigh)},"efficiency":${f(eff)},"steal_low":${f(stealLow)},"steal_high":${f(stealHigh)},"secondary_pair":{"n_low":$nLow,"n_high":$cpus,"docs_per_sec_low":${f(dps8)},"docs_per_sec_high":${f(dps32)},"efficiency":${f(eff2)},"steal_low":${f(steal8)},"steal_high":${f(steal32)}}}"""
+      s"""{"n_low":$pairLow,"n_high":$pairHigh,"docs":$nDocs,"docs_per_sec_low":${f(dpsLow)},"docs_per_sec_high":${f(dpsHigh)},"efficiency":${f(eff)},"efficiency_steal_adjusted":${f(effAdj)},"steal_low":${f(stealLow)},"steal_high":${f(stealHigh)},"secondary_pair":{"n_low":$nLow,"n_high":$cpus,"docs_per_sec_low":${f(dps8)},"docs_per_sec_high":${f(dps32)},"efficiency":${f(eff2)},"steal_low":${f(steal8)},"steal_high":${f(steal32)}}}"""
     val skew =
       s"""{"unsalted_sec":${f(skewNoSalt)},"salted_sec":${f(skewSalt)},"aqe_sec":${f(skewAqe)}}"""
     println(
@@ -181,7 +191,8 @@ object Bench {
          || local[$pairHigh] | ${f(secHigh)} | ${f(dpsHigh)} | ${f(stealHigh * 100)}% |
          |
          |Scaling efficiency (throughput_high / throughput_low) / ($pairHigh/$pairLow) = **${f(eff)}**
-         |(target ≥ 0.8, BASELINE.md).
+         |(target ≥ 0.8, BASELINE.md). Steal-adjusted (normalizing both sides to a
+         |zero-steal host): ${f(effAdj)}.
          |
          |Secondary pair N=$nLow vs 4N=$cpus cores (diagnostic — the sandbox host
          |oversubscribes beyond ~8-16 concurrent vCPUs, so this pair's efficiency

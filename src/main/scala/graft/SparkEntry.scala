@@ -191,8 +191,11 @@ object SparkEntry {
         TextQuality.bpeTokenCount("text").as("n_bpe"))
     }),
     "d_cosine_pairs_exact" -> ((s, dir) => {
-      // exact embedding near-dup pairs (cross join baseline; ids only)
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // exact embedding near-dup pairs (cross join baseline; ids only;
+      // bounded to vec_id < 1000 — the n² baseline is for validation, the
+      // scale path is the LSH variant)
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"))
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
       a.join(b, col("id_a") < col("id_b"))
@@ -354,7 +357,7 @@ object SparkEntry {
     "d_cosine_pairs_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
+        |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
     "d_ann_topk" ->
       """SELECT qid, id, rk FROM (
