@@ -20,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash64].getName, "polyhash64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSim(children(0), children(1))))
   }
 }

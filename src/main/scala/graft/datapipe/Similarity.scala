@@ -19,8 +19,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Codegen'd cosine similarity between two array<float> columns. */
-  def cosineCol(a: String, b: String): Column = expr(
+  /** Codegen'd cosine similarity between two array<float> columns — the native
+    * CosineSim expression (one static call in whole-stage codegen; bit-identical
+    * to the HOF formulation below, which is kept for the parity test). */
+  def cosineCol(a: String, b: String): Column =
+    graft.functions.CosineSim(col(a), col(b))
+
+  /** zip_with + aggregate higher-order-function formulation (parity baseline). */
+  def cosineColHof(a: String, b: String): Column = expr(
     s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)
        | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))
        |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))))""".stripMargin)

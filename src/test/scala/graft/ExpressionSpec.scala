@@ -4,6 +4,7 @@ import graft.functions.PolyHash64
 import graft.datapipe.Dedup
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
 
 class ExpressionSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -39,6 +40,21 @@ class ExpressionSpec extends AnyFunSuite {
         PolyHash64(children.head))
     val got = spark.sql("SELECT polyhash64('abc') AS h").as[Long].head()
     assert(got === Dedup.polyHash("abc"))
+  }
+
+  test("CosineSim expression is bit-identical to the HOF formulation and codegen'd") {
+    import graft.datapipe.Similarity
+    val r = new Random(41)
+    val df = (0 until 200).map(i => (i.toLong, Array.fill(32)(r.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    val viaExpr = pairs.select(Similarity.cosineCol("va", "vb").as("c")).as[Double].collect()
+    val viaHof = pairs.select(Similarity.cosineColHof("va", "vb").as("c")).as[Double].collect()
+    assert(viaExpr.length === viaHof.length)
+    viaExpr.zip(viaHof).foreach { case (a, b) => assert(a === b, s"$a != $b") }
+    val plan = pairs.select(Similarity.cosineCol("va", "vb")).queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"), plan)
   }
 
   test("null propagates") {

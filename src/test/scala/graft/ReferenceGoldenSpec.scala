@@ -61,6 +61,19 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(math.abs(prf2.f1 - 0.577778) < 1e-6, prf2.f1)
   }
 
+  test("tokenizer reproduces bclm.tokenize on the reference's example.txt (all 10 sentences)") {
+    // golden token sequences = forms column of example_output_SINGLE.txt,
+    // which the reference produced by running bclm.tokenize on example.txt
+    val input = java.nio.file.Files.readString(java.nio.file.Paths.get("/root/reference/example.txt"))
+    val goldenSents = ConllFiles.readFileSents(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(files("SINGLE"))))
+      .map(_._2.map(_._1))
+    val ours = graft.text.HebTokenizer.tokenizeText(input).map(_.toSeq).toSeq
+    assert(ours.length === goldenSents.length)
+    for ((mine, gold) <- ours.zip(goldenSents))
+      assert(mine === gold)
+  }
+
   test("nbest score headers in SINGLE golden are skipped by the reader") {
     val content = java.nio.file.Files.readString(
       java.nio.file.Paths.get(files("SINGLE")))
