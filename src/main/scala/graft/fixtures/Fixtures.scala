@@ -55,8 +55,9 @@ object Fixtures {
     Iterator.continually(word(r)).distinct.take(60).toIndexedSeq
   }
 
-  /** Entity gazetteer: unique tokens, disjoint from fillers and each other. */
-  def entities(n: Int = 80): IndexedSeq[FixtureEntity] = {
+  /** Entity gazetteer: unique tokens, disjoint from fillers and each other.
+    * ~500 entities per FIXTURES.md §4; the Zipf pick makes a handful hot. */
+  def entities(n: Int = 500): IndexedSeq[FixtureEntity] = {
     val r = new Random(Seed + 1)
     val used = scala.collection.mutable.HashSet[String](fillers: _*)
     (0 until n).map { i =>
