@@ -114,22 +114,25 @@ object Bench {
       val steal = if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
       (sec, steal)
     }
-    // best-of per level with bounded retries: noise (host neighbors, GC,
-    // scheduling) only ever slows a run down, so min is the honest estimator;
-    // keep sampling until a sample ran on a quiet host (steal ≤ 1%) or the
-    // retry budget is spent — a sustained noisy window is then visible in the
-    // reported steal column rather than silently folded into "efficiency"
-    def measure(level: Int, minRepeats: Int, maxRepeats: Int = 5): (Double, Double) = {
+    // median-of-quiet-samples per level: sample until ≥3 runs landed on a
+    // quiet host (steal ≤ 1%) or the retry budget is spent, then take the
+    // MEDIAN wall time of the quiet runs — min would let one lucky sample on
+    // either side bias the ratio, median is robust both ways; a sustained
+    // noisy window is visible in the reported steal column rather than
+    // silently folded into "efficiency"
+    def measure(level: Int, minQuiet: Int = 3, maxRepeats: Int = 6): (Double, Double) = {
       val s = session(level)
       pipelineRun(s, 4000, parts)
       var xs = List.empty[(Double, Double)]
       var i = 0
-      while (i < maxRepeats && (i < minRepeats || !xs.exists(_._2 <= 0.01))) {
+      while (i < maxRepeats && xs.count(_._2 <= 0.01) < minQuiet) {
         xs = timedOnce(level, s) :: xs
         i += 1
       }
       s.stop()
-      xs.minBy(_._1)
+      val quiet = xs.filter(_._2 <= 0.01)
+      val pool = if (quiet.nonEmpty) quiet else xs
+      pool.sortBy(_._1).apply(pool.length / 2)
     }
     // Primary pair: N=2 vs 4N=8 cores — measured stable on this sandbox host.
     // The host oversubscribes beyond ~8-16 concurrent vCPUs (see steal +
@@ -138,10 +141,10 @@ object Bench {
     // job (a real N vs 4N executor fleet has per-host isolation).
     val pairLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIR_LOW", "2").toInt
     val pairHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIR_HIGH", "8").toInt
-    val (secLow, stealLow) = measure(pairLow, 2)
-    val (secHigh, stealHigh) = measure(pairHigh, 2)
-    val (sec8, steal8) = measure(nLow, 2)
-    val (sec32, steal32) = measure(cpus, 2)
+    val (secLow, stealLow) = measure(pairLow)
+    val (secHigh, stealHigh) = measure(pairHigh)
+    val (sec8, steal8) = measure(nLow)
+    val (sec32, steal32) = measure(cpus)
 
     // --- skew: hot-key shuffle join, unsalted vs salted vs AQE skew-split ---
     val (skewNoSalt, skewSalt, skewAqe) = skewBench(cpus)
