@@ -27,6 +27,18 @@ object StreamPipeline {
                      models: Broadcast[Pipeline.Models]): Dataset[graft.schema.Doc] =
     Pipeline.annotate(spark, docs, models) // narrow → stream-safe as-is
 
+  /** Streaming exact dedup: drop re-ingested documents by content fingerprint,
+    * with watermarked state cleanup (an unbounded-state dropDuplicates would
+    * OOM a long-running ingest — the watermark bounds it to the late-data
+    * window). Input needs an event-time column `ingest_ts`. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.datapipe.TextQuality.fingerprint(
+        org.apache.spark.sql.functions.to_json(org.apache.spark.sql.functions.col("spans"))))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   /** Full streaming pipeline: docs stream → annotate → per-batch mentions →
     * link → triples appended under `outDir/epoch=N`. Returns the running query.
     */

@@ -43,6 +43,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming dedup: re-ingested duplicate docs dropped within the watermark") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val base = Fixtures.inputDocs(10)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 10 docs + 5 duplicates re-ingested in the same window
+    stream.addData(base.map(d => (d.doc_id, t0)) ++ base.take(5).map(d => (d.doc_id, t0)): _*)
+    val byId = spark.createDataset(base).toDF()
+    val docsStream = stream.toDS().toDF("doc_id", "ingest_ts")
+      .join(byId, "doc_id") // attach spans (stream-static join, stream side preserved)
+    val deduped = graft.streaming.StreamPipeline.dedupStream(docsStream)
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id FROM dedup_stream")
+    assert(got.count() === 10) // 15 in, 5 dupes dropped
+    assert(got.distinct().count() === 10)
+  }
+
   test("streaming pipeline: docs stream → annotate → triples per epoch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[InputDoc]
