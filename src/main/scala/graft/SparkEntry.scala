@@ -143,6 +143,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).cast("long").as("sum_value_c"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join: each purchase matched to the user's most recent prior
+      // signup (union+window technique — one shuffle, no range explosion)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
+      graft.operators.AsOfJoin.asofBackward(
+        purchases, signups, Seq("user_id"), "ts", "s_ts", Seq("signup_id"))
+        .select(col("event_id"), col("asof_signup_id").as("signup_id"))
+    }),
+    "q_json_extract" -> ((s, dir) => {
+      // JSON scalar extraction from the props column
+      t(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
     "q_rollup" -> ((s, dir) => {
       // rollup with sentinel fill so both engines hash identically
       t(s, dir, "events")
@@ -337,6 +354,13 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) AS n
         |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, s.event_id AS signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""".stripMargin,
     "d_token_count" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens FROM documents""".stripMargin,
     "d_fingerprint" ->
