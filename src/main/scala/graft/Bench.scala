@@ -160,6 +160,9 @@ object Bench {
     val eff2 = (dps32 / dps8) / (cpus.toDouble / nLow)
 
     def f(d: Double) = f"$d%.4f".toDouble
+    // rows joined with an explicit margin prefix — a bare "|" at line start
+    // would be stripped by stripMargin
+    val queryRows = results.map { case (k, v) => s"| $k | ${f(v)} |" }.mkString("\n         |")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scaling =
@@ -177,7 +180,7 @@ object Bench {
          |
          || query | sec |
          ||---|---|
-         |${results.map { case (k, v) => s"| $k | ${f(v)} |" }.mkString("\n")}
+         |$queryRows
          |
          |## Scaling (north rule: same job, same input, two parallelism levels)
          |
