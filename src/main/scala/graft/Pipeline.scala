@@ -60,63 +60,76 @@ object Pipeline {
   def annotateDoc(m: Models, lex: String => Boolean, in: InputDoc,
                   usePruning: Boolean = true): Doc = {
     val textSpans = in.spans.filter(_.kind == "text")
-    val sents = textSpans.iterator.zipWithIndex.map { case (sp, idx) =>
-      val toks = HebTokenizer.tokenize(sp.text).toIndexedSeq
-      if (toks.isEmpty || toks.length >= m.maxSentenceLength) {
-        // B3 semantic filter: over-long sentences are not scored (ref drops
-        // them; we keep the tokens with O labels so passengers stay intact)
-        Sentence(idx.toLong, toks.map(t =>
-          Token(t, "O", "O", "O", "O", Array(Morpheme(t, t, "NN", "_", 0, "O", "O")))).toArray)
-      } else {
-        // G1 token-single + token-multi in one batch pass each
-        val single = Scorer.decodeBatch(m.single, IndexedSeq(toks)).head
-        val multi = Scorer.decodeBatch(m.multi, IndexedSeq(toks)).head
-        // D1 lattice → (D2/D3 prune with multi labels, hybrid only) → D4 MD
-        val lattice = Analyzer.sentenceLattice(toks, lex).toIndexedSeq
-        val pruned =
-          if (usePruning) Prune.pruneSentence(lattice, multi, nonOOnly = false)
-          else lattice
-        val md = Disambig.disambiguate(pruned, lex)
-        // morph forms grouped per token (C7/C8); tokenId → forms map
-        val formsByTid = new java.util.HashMap[Int, IndexedSeq[String]]()
-        for ((tid, es) <- Align.groupByToken(md.map(_.tokenId).toSeq, md.toSeq))
-          formsByTid.put(tid, es.map(_.form).toIndexedSeq)
-        val formsPerTok: IndexedSeq[IndexedSeq[String]] =
-          toks.indices.map { i =>
-            val f = formsByTid.get(i + 1)
-            if (f != null) f else IndexedSeq(toks(i))
+    val tokenized: IndexedSeq[IndexedSeq[String]] =
+      textSpans.iterator.map(sp => HebTokenizer.tokenize(sp.text).toIndexedSeq).toIndexedSeq
+    // B3 semantic filter: empty / over-long sentences are not scored (ref
+    // drops them; we keep the tokens with O labels so passengers stay intact)
+    val scoreIdx = tokenized.indices.filter(i =>
+      tokenized(i).nonEmpty && tokenized(i).length < m.maxSentenceLength)
+    val batchPos = scoreIdx.zipWithIndex.toMap
+    // G1: the F1 batch machinery (desc-length sort → score → recover order) IS
+    // the production path — all scoreable sentences of a doc decode as ONE
+    // batch per model, not one call per sentence.
+    val batchToks = scoreIdx.map(tokenized)
+    val singleB = Scorer.decodeBatch(m.single, batchToks)
+    val multiB = Scorer.decodeBatch(m.multi, batchToks)
+    // D1 lattice → (D2/D3 prune with multi labels, hybrid only) → D4 MD,
+    // per sentence; morph forms grouped per token (C7/C8)
+    val formsPerSent: IndexedSeq[IndexedSeq[IndexedSeq[String]]] = scoreIdx.map { si =>
+      val toks = tokenized(si)
+      val multi = multiB(batchPos(si))
+      val lattice = Analyzer.sentenceLattice(toks, lex).toIndexedSeq
+      val pruned =
+        if (usePruning) Prune.pruneSentence(lattice, multi, nonOOnly = false)
+        else lattice
+      val md = Disambig.disambiguate(pruned, lex)
+      val formsByTid = new java.util.HashMap[Int, IndexedSeq[String]]()
+      for ((tid, es) <- Align.groupByToken(md.map(_.tokenId).toSeq, md.toSeq))
+        formsByTid.put(tid, es.map(_.form).toIndexedSeq)
+      toks.indices.map { i =>
+        val f = formsByTid.get(i + 1)
+        if (f != null) f else IndexedSeq(toks(i))
+      }
+    }
+    // G4 second NER run on predicted morphemes — again one batch per doc
+    val morphB = Scorer.decodeBatch(m.morph, formsPerSent.map(_.flatten))
+    val sents = tokenized.indices.map { idx =>
+      val toks = tokenized(idx)
+      batchPos.get(idx) match {
+        case None =>
+          Sentence(idx.toLong, toks.map(t =>
+            Token(t, "O", "O", "O", "O", Array(Morpheme(t, t, "NN", "_", 0, "O", "O")))).toArray)
+        case Some(bi) =>
+          val single = singleB(bi)
+          val multi = multiB(bi)
+          val formsPerTok = formsPerSent(bi)
+          val morphLabels = morphB(bi)
+          // re-split morph labels back per token
+          val morphLabelsPerTok = {
+            var off = 0
+            formsPerTok.map { fs => val r = morphLabels.slice(off, off + fs.length); off += fs.length; r }
           }
-        // G4 second NER run on predicted morphemes
-        val morphFlat = formsPerTok.flatten
-        val morphLabels =
-          if (morphFlat.isEmpty) IndexedSeq.empty[String]
-          else Scorer.decodeBatch(m.morph, IndexedSeq(morphFlat)).head
-        // re-split morph labels back per token
-        val morphLabelsPerTok = {
-          var off = 0
-          formsPerTok.map { fs => val r = morphLabels.slice(off, off + fs.length); off += fs.length; r }
-        }
-        // G5 multi_align_hybrid: soft-merge multi atoms onto morphemes (C4)
-        val alignPerTok = toks.indices.map { i =>
-          Align.softMergeToken(formsPerTok(i), multi(i))._2.map(_._2)
-        }
-        val tokens = toks.indices.map { i =>
-          val morphs = formsPerTok(i).indices.map { j =>
-            val form = formsPerTok(i)(j)
-            Morpheme(form, form, if (j < formsPerTok(i).length - 1) "IN" else "NN", "_",
-              i + 1,
-              nemoMorph = morphLabelsPerTok(i).applyOrElse(j, (_: Int) => "O"),
-              nemoMultiAlignMorph = alignPerTok(i).applyOrElse(j, (_: Int) => "O"))
+          // G5 multi_align_hybrid: soft-merge multi atoms onto morphemes (C4)
+          val alignPerTok = toks.indices.map { i =>
+            Align.softMergeToken(formsPerTok(i), multi(i))._2.map(_._2)
+          }
+          val tokens = toks.indices.map { i =>
+            val morphs = formsPerTok(i).indices.map { j =>
+              val form = formsPerTok(i)(j)
+              Morpheme(form, form, if (j < formsPerTok(i).length - 1) "IN" else "NN", "_",
+                i + 1,
+                nemoMorph = morphLabelsPerTok(i).applyOrElse(j, (_: Int) => "O"),
+                nemoMultiAlignMorph = alignPerTok(i).applyOrElse(j, (_: Int) => "O"))
+            }.toArray
+            Token(
+              text = toks(i),
+              nemoSingle = single(i),
+              nemoMulti = multi(i),
+              nemoMultiAlignToken = Biose.fixMultiBiose(multi(i)),       // G2/B5
+              nemoMorphAlignToken = Align.fixedTokenLabel(morphLabelsPerTok(i).toSeq), // G6/C6
+              morphs = morphs)
           }.toArray
-          Token(
-            text = toks(i),
-            nemoSingle = single(i),
-            nemoMulti = multi(i),
-            nemoMultiAlignToken = Biose.fixMultiBiose(multi(i)),       // G2/B5
-            nemoMorphAlignToken = Align.fixedTokenLabel(morphLabelsPerTok(i).toSeq), // G6/C6
-            morphs = morphs)
-        }.toArray
-        Sentence(idx.toLong, tokens)
+          Sentence(idx.toLong, tokens)
       }
     }.toArray
     Doc(in.doc_id, in.spans, sents)

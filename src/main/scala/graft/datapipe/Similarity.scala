@@ -13,9 +13,13 @@ import org.apache.spark.sql.expressions.Window
   *
   * The scale path is IVF: k-means-lite centroids partition the corpus into
   * `nCells` inverted lists; a query probes only `nProbe` nearest cells, cutting
-  * scanned rows by ~nCells/nProbe. Cell assignment is precomputed once
-  * (write-time) so repeated queries reuse it — at 100 TB the corpus pass is the
-  * cost, and IVF turns it into a partition-pruned read of probed cells only.
+  * scanned rows by ~nCells/nProbe. The write-time artifact is real here:
+  * `centroids` + `assignCells` produce the cell column once (persist it
+  * bucketed by cell), and `ivfTopKAssigned` serves queries against it — at
+  * 100 TB the corpus pass is the cost, and IVF turns it into a
+  * partition-pruned read of probed cells only. The Lloyd refinement shuffles
+  * fixed-point per-dimension partial sums (O(nCells × dim) rows), never whole
+  * vectors into one reducer.
   */
 object Similarity {
 
@@ -46,8 +50,20 @@ object Similarity {
       .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rk"))
   }
 
+  /** Fixed-point scale for Lloyd partial sums: float×2^24 is exactly
+    * representable in a double, so floor() is exact and long sums are
+    * order-independent → centroids are bit-deterministic at any parallelism
+    * (and replicable by the DuckDB oracle). */
+  val FixedPoint: Long = 1L << 24
+
   /** Deterministic k-means-lite centroids: seeded from the first nCells rows
-    * (by id order), refined with `iters` Lloyd steps computed distributed. */
+    * (by id order), refined with `iters` Lloyd steps computed distributed.
+    *
+    * Scale shape: each Lloyd step shuffles O(nCells × dim) fixed-point partial
+    * sums (posexplode → groupBy(cell, dim) with map-side combine) — NEVER a
+    * collect_list of vectors into one reducer, which would OOM a single task
+    * on a popular cell at 100 TB. The driver collects only nCells × dim longs
+    * per iteration. */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
                 nCells: Int, iters: Int = 2): Array[(Int, Array[Float])] = {
     val spark = corpus.sparkSession
@@ -59,57 +75,72 @@ object Similarity {
       val bc = spark.sparkContext.broadcast(cents)
       val assignUdf = udf { (v: Seq[Float]) => nearestCell(bc.value, v.toArray) }
       val sums = corpus
-        .select(assignUdf(col(vecCol)).as("cell"), col(vecCol).as("vec"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"),
-          expr("aggregate(collect_list(vec), cast(array() as array<double>), (acc, v) -> " +
-            "case when size(acc) = 0 then transform(v, x -> cast(x as double)) " +
-            "else zip_with(acc, v, (a, b) -> a + cast(b as double)) end)").as("sum"))
+        .select(assignUdf(col(vecCol)).as("cell"), posexplode(col(vecCol)))
+        .select(col("cell"), col("pos").as("dim"),
+          floor(col("col").cast("double") * FixedPoint).cast("long").as("xf"))
+        .groupBy("cell", "dim")
+        .agg(count(lit(1)).as("n"), sum("xf").as("s"))
         .collect()
-      val updated = cents.map { case (i, c) =>
-        sums.find(_.getInt(0) == i) match {
-          case Some(r) if r.getLong(1) > 0 =>
-            val n = r.getLong(1).toDouble
-            (i, r.getSeq[Double](2).map(x => (x / n).toFloat).toArray)
-          case _ => (i, c)
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (i, c) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val arr = c.clone()
+            for (r <- rows) {
+              val d = r.getInt(1); val n = r.getLong(2); val s = r.getLong(3)
+              if (d < arr.length && n > 0) arr(d) = (s.toDouble / n / FixedPoint).toFloat
+            }
+            (i, arr)
+          case None => (i, c)
         }
       }
-      cents = updated
     }
     cents
+  }
+
+  /** Squared L2 in double (promote floats BEFORE subtracting — keeps the
+    * arithmetic identical to the DuckDB oracle's double fold). */
+  private[datapipe] def sqDist(c: Array[Float], v: Array[Float]): Double = {
+    var d = 0.0; var j = 0
+    val L = math.min(c.length, v.length)
+    while (j < L) { val t = c(j).toDouble - v(j).toDouble; d += t * t; j += 1 }
+    d
   }
 
   private[datapipe] def nearestCell(cents: Array[(Int, Array[Float])], v: Array[Float]): Int = {
     var best = -1; var bestD = Double.MaxValue
     for ((i, c) <- cents) {
-      var d = 0.0; var j = 0
-      val L = math.min(c.length, v.length)
-      while (j < L) { val t = c(j) - v(j); d += t * t; j += 1 }
+      val d = sqDist(c, v)
       if (d < bestD) { bestD = d; best = i }
     }
     best
   }
 
-  /** IVF approximate top-k: corpus pre-assigned to cells; each query probes the
-    * nProbe nearest cells only. Returns same shape as bruteForceTopK. */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    val cents = centroids(corpus, idCol, vecCol, nCells)
-    val bc = spark.sparkContext.broadcast(cents)
+  /** Write-time cell assignment: corpus + `cell` column for the given
+    * centroids. At scale this runs ONCE when the table is written (store the
+    * cell as a partition/bucket column); queries then do a partition-pruned
+    * read of probed cells only. */
+  def assignCells(corpus: DataFrame, vecCol: String,
+                  cents: Array[(Int, Array[Float])]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     val assignUdf = udf { (v: Seq[Float]) => nearestCell(bc.value, v.toArray) }
+    corpus.withColumn("cell", assignUdf(col(vecCol)))
+  }
+
+  /** IVF approximate top-k over a corpus whose `cell` column is already
+    * assigned (the write-time artifact): each query probes the nProbe nearest
+    * cells only. */
+  def ivfTopKAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String, qvecCol: String,
+                      k: Int, cents: Array[(Int, Array[Float])], nProbe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
     val probeUdf = udf { (v: Seq[Float]) =>
       val arr = v.toArray
-      bc.value.map { case (i, c) =>
-        var d = 0.0; var j = 0
-        val L = math.min(c.length, arr.length)
-        while (j < L) { val t = c(j) - arr(j); d += t * t; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(nProbe).map(_._1)
+      bc.value.map { case (i, c) => (i, sqDist(c, arr)) }
+        .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
     }
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", assignUdf(col("vec")))
+    val c = assigned.select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
       .withColumn("cell", explode(probeUdf(col("qvec"))))
     val scored = c.join(broadcast(q), "cell")
@@ -118,6 +149,19 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rk"))
+  }
+
+  /** IVF approximate top-k, one-shot convenience: centroids + assignment
+    * computed inline (for repeated query loads, compute `centroids` once,
+    * persist `assignCells` output bucketed by cell, and call
+    * `ivfTopKAssigned`). */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4,
+              precomputed: Option[Array[(Int, Array[Float])]] = None): DataFrame = {
+    val cents = precomputed.getOrElse(centroids(corpus, idCol, vecCol, nCells))
+    val assigned = assignCells(corpus.select(col(idCol), col(vecCol)), vecCol, cents)
+    ivfTopKAssigned(assigned, idCol, vecCol, queries, qidCol, qvecCol, k, cents, nProbe)
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via random

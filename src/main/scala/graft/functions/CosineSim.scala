@@ -42,22 +42,33 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object CosineSim {
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    *
+    * Degenerate-input contract (documented, deliberate):
+    *  - a null ELEMENT contributes 0.0 (ArrayData.getFloat on a null slot is
+    *    undefined, so elements are null-checked; parquet array schemas are
+    *    routinely containsNull=true even for dense data);
+    *  - mismatched lengths: dot over the common prefix, norms over each full
+    *    array (mirrors the zip_with/aggregate HOF baseline);
+    *  - a zero-norm vector yields NaN (0/0), matching the HOF baseline and
+    *    DuckDB's list_cosine_similarity — callers ordering by cosine must
+    *    filter empty/zero vectors upstream rather than rely on NaN placement.
+    */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     // full norms even if lengths differ (mirrors the HOF version)
     var j = n
-    while (j < a.numElements()) { val x = a.getFloat(j).toDouble; na += x * x; j += 1 }
+    while (j < a.numElements()) { val x = if (a.isNullAt(j)) 0.0 else a.getFloat(j).toDouble; na += x * x; j += 1 }
     j = n
-    while (j < b.numElements()) { val y = b.getFloat(j).toDouble; nb += y * y; j += 1 }
+    while (j < b.numElements()) { val y = if (b.isNullAt(j)) 0.0 else b.getFloat(j).toDouble; nb += y * y; j += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 

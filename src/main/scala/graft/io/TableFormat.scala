@@ -32,7 +32,12 @@ object TableFormat {
 
   private def writeManifest(spark: SparkSession, path: String, stage: String,
                             extra: Map[String, String]): Unit = {
+    // Per-partition lineage counts from a scan that projects ONLY the bucket
+    // partition column: the parquet reader materializes row counts from file
+    // footers (zero data columns read), so this is metadata-priced even when
+    // the table is huge — not a re-read of the data.
     val counts = spark.read.parquet(path)
+      .select(col(BucketCol))
       .groupBy(col(BucketCol)).count()
       .collect()
       .map(r => s""""${r.get(0)}": ${r.getLong(1)}""")
@@ -41,7 +46,18 @@ object TableFormat {
     val kv = (extra + ("stage" -> stage, "wall_ms" -> System.currentTimeMillis().toString))
       .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
     val json = s"""{$kv, "partition_rows": $counts, "complete": true}"""
-    Files.writeString(Paths.get(path, "_manifest.json"), json)
+    // Atomic publish: the manifest is the stage's "complete" marker, so a
+    // crash mid-write must not leave a readable half manifest (resume would
+    // then trust a broken snapshot). Write to a temp name, fsync-free rename.
+    val tmp = Paths.get(path, "._manifest.json.tmp")
+    Files.writeString(tmp, json)
+    try Files.move(tmp, Paths.get(path, "_manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, Paths.get(path, "_manifest.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** True iff the path holds a complete snapshot (manifest present). */

@@ -50,15 +50,23 @@ object Canonicalize {
     * alias (not the first-token blocking key — that is a candidate-generation
     * signature, far too coarse for merging identities), then assign
     * canonical_id = component min. Input: dict DataFrame
-    * (entity_id, canonical, aliases, category). Output: dict + canonical_id. */
+    * (entity_id, canonical, aliases, category). Output: dict + canonical_id.
+    *
+    * Edge generation is STAR-shaped, not all-pairs: every entity of an alias
+    * block gets one edge to the block's min entity_id. A degenerate alias
+    * shared by k entities emits k−1 edges (all-pairs would emit k²/2 — a
+    * quadratic blowup on a hot alias at dictionary scale). The connected
+    * components of the star graph equal those of the all-pairs graph by
+    * construction (every member reaches every other through the hub). */
   def canonicalize(spark: SparkSession, dict: DataFrame): DataFrame = {
     val blocks = Linker.aliasBlocks(dict)
       .select(col("entity_id"), col("alias_norm").as("block"))
-    val a = blocks.withColumnRenamed("entity_id", "src")
-    val b = blocks.withColumnRenamed("entity_id", "dst")
-    val edges = a.join(b, "block")
-      .filter(col("src") <= col("dst"))
-      .select("src", "dst")
+      .distinct()
+    val hub = org.apache.spark.sql.expressions.Window.partitionBy("block")
+    val edges = blocks
+      .withColumn("dst", min("entity_id").over(hub))
+      .filter(col("entity_id") =!= col("dst"))
+      .select(col("entity_id").as("src"), col("dst"))
       .distinct()
     val comp = connectedComponents(spark, edges)
     dict.join(comp.withColumnRenamed("node", "entity_id"), Seq("entity_id"), "left")

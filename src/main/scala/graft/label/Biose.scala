@@ -38,7 +38,12 @@ object Biose {
     val parts = tag.split('^').map(p => if (p.isEmpty) ' ' else p.charAt(0))
     val cat =
       if (tag.contains('-')) {
-        val seg = tag.split('-')(1)
+        // Scala's split drops trailing empty strings, so a tag whose only '-'
+        // is trailing (e.g. "B-") yields one segment; Python's split keeps the
+        // empty "" and the reference returns "B-" — degrade identically
+        // instead of throwing on malformed external corpora.
+        val segs = tag.split('-')
+        val seg = if (segs.length > 1) segs(1) else ""
         "-" + seg.substring(0, math.min(3, seg.length))
       } else ""
     val bio =

@@ -55,7 +55,8 @@ case class Token(
 
 /** One sentence of a document (one text span of the input). */
 case class Sentence(
-    sent_id: Long,                   // global: docIdNum * 1000 + index within doc
+    sent_id: Long,                   // DOC-LOCAL text-span index (0-based); only
+                                     // (doc_id, sent_id) together are unique
     tokens: Array[Token])
 
 /** A fully processed document (one input doc; sentences are the text spans). */

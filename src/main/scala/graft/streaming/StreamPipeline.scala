@@ -51,6 +51,14 @@ object StreamPipeline {
       scenario: String = "morph",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val models = spark.sparkContext.broadcast(Pipeline.fixtureModels())
+    // Canonicalization is dictionary-side and static for the stream's lifetime:
+    // run it ONCE at stream start, materialize (localCheckpoint — joining the
+    // raw plan would re-run the CC loop every micro-batch), and broadcast-join
+    // it per batch — the streaming path emits the same canonical subjects and
+    // sameAs triples as the batch path for the same input.
+    val entities = graft.kg.Canonicalize.canonicalize(spark, dict)
+      .select(col("entity_id"), col("canonical_id"))
+      .localCheckpoint()
     val annotated = annotateStream(spark, docs, models)
     annotated.writeStream
       .outputMode(OutputMode.Append())
@@ -60,7 +68,8 @@ object StreamPipeline {
         val mentions = Pipeline.extractMentions(batch, scenario)
         val linked = Linker.link(mentions, dict)
         val triples = Triples.fromLinkedMentions(
-          linked.withColumn("canonical_id", col("entity_id")))
+          linked.join(broadcast(entities), Seq("entity_id"), "left")
+            .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id"))))
         // idempotent epoch-keyed write: a replayed epoch overwrites itself
         TableFormat.save(triples, s"$outDir/epoch=$epochId", "doc_id",
           buckets = 8, stage = s"triples-epoch-$epochId")
