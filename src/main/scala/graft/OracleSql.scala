@@ -1,0 +1,253 @@
+package graft
+
+/** DuckDB oracle SQL for the queries whose expected output is re-derived from
+  * aux tables (`{{AUX}}` is substituted by Verify with `<outDir>/aux`).
+  *
+  * Design note: every query here is verified end-to-end by an INDEPENDENT
+  * computation — the SQL reimplements the operator's semantics from scratch
+  * over (a) the fixture generator's gold layers and (b) the frozen randomness
+  * of the LSH/IVF ops (minhash coefficients, hyperplanes, k-means centroids),
+  * never by replaying the engine's own output. All float-sensitive compares
+  * are integerized (basis points via integer division, fixed-point sums) or
+  * performed on arithmetic both engines execute identically (sequential
+  * double folds).
+  */
+object OracleSql {
+
+  private def norm(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** BIOSE run extraction over a gold (forms, labels) pair. Grouping by a
+    * running count of run-starts (S-/B-) is exactly Biose.parseSpans for
+    * WELL-FORMED sequences — fixture gold is well-formed by construction
+    * (every B…E closes, no dangling I/E). */
+  private def mentionCtes(formsCol: String, labelsCol: String): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, sent_id, $formsCol AS forms, $labelsCol AS labels
+       |  FROM read_parquet('{{AUX}}/gold_sents/*.parquet')
+       |), tok AS (
+       |  SELECT doc_id, sent_id, forms, i, labels[i] AS lab
+       |  FROM s, unnest(generate_series(1, len(labels))) AS t(i)
+       |  WHERE labels[i] <> 'O'
+       |), grp AS (
+       |  SELECT doc_id, sent_id, forms, i, lab,
+       |    SUM(CASE WHEN lab LIKE 'S-%' OR lab LIKE 'B-%' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id, sent_id ORDER BY i) AS g
+       |  FROM tok
+       |), ment AS (
+       |  SELECT doc_id, sent_id,
+       |    string_agg(forms[i], ' ' ORDER BY i) AS surface,
+       |    substr(first(lab ORDER BY i), 3) AS category,
+       |    MIN(i) - 1 AS start, MAX(i) AS "end"
+       |  FROM grp GROUP BY doc_id, sent_id, g
+       |)""".stripMargin
+
+  def mentions(formsCol: String, labelsCol: String, level: String, scenario: String): String =
+    s"""${mentionCtes(formsCol, labelsCol)}
+       |SELECT doc_id, sent_id, surface, category, start, "end",
+       |  '$level' AS level, '$scenario' AS scenario,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id, sent_id, surface, category ORDER BY start) AS occ
+       |FROM ment""".stripMargin
+
+  /** Blocking-key linking: first-token block join + token-set Jaccard + 0.5
+    * category bonus, best candidate by (score desc, entity_id). Mirrors
+    * Linker.link semantics over the morph-scenario mentions. */
+  private def linkCtes(level: String, scenario: String): String =
+    s""", mnorm AS (
+       |  SELECT *, ${norm("surface")} AS surface_norm
+       |  FROM (SELECT doc_id, sent_id, surface, category, start, "end",
+       |          '$level' AS level, '$scenario' AS scenario,
+       |          ROW_NUMBER() OVER (PARTITION BY doc_id, sent_id, surface, category ORDER BY start) AS occ
+       |        FROM ment)
+       |), mblk AS (
+       |  SELECT * FROM (SELECT *, string_split(surface_norm, ' ')[1] AS block FROM mnorm)
+       |  WHERE block IS NOT NULL AND block <> ''
+       |), dnorm AS (
+       |  SELECT entity_id, canonical, category AS dict_category,
+       |    ${norm("alias")} AS alias_norm
+       |  FROM (SELECT entity_id, canonical, category, unnest(aliases) AS alias
+       |        FROM read_parquet('{{AUX}}/dict/*.parquet'))
+       |), dblk AS (
+       |  SELECT * FROM (SELECT *, string_split(alias_norm, ' ')[1] AS block FROM dnorm)
+       |  WHERE block IS NOT NULL AND block <> ''
+       |), scored AS (
+       |  SELECT *, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb)))
+       |       + CASE WHEN category = dict_category THEN 0.5 ELSE 0.0 END AS score
+       |  FROM (SELECT m.*, d.entity_id, d.canonical, d.dict_category,
+       |          list_distinct(list_filter(string_split(m.surface_norm, ' '), x -> x <> '')) AS sa,
+       |          list_distinct(list_filter(string_split(d.alias_norm, ' '), x -> x <> '')) AS sb
+       |        FROM mblk m JOIN dblk d USING (block))
+       |  WHERE len(sa) > 0 AND len(sb) > 0
+       |), linked AS (
+       |  SELECT doc_id, sent_id, surface, category, start, "end", level, scenario, occ,
+       |         entity_id, canonical, dict_category
+       |  FROM (SELECT *, ROW_NUMBER() OVER (
+       |          PARTITION BY doc_id, sent_id, scenario, level, start, surface, category, occ
+       |          ORDER BY score DESC, entity_id) AS rk
+       |        FROM scored WHERE score >= 0.6)
+       |  WHERE rk = 1
+       |)""".stripMargin
+
+  def linked: String =
+    s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph")}
+       |SELECT * FROM linked""".stripMargin
+
+  /** Full KG chain: mentions → linking → star-edge connected components
+    * (recursive-CTE transitive closure, canonical_id = component min) →
+    * 5-predicate triple union (mentions multiset, the rest distinct). */
+  def triples: String = {
+    val body =
+      s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph")}
+         |, star AS (
+         |  SELECT entity_id AS src, MIN(entity_id) OVER (PARTITION BY alias_norm) AS dst
+         |  FROM (SELECT DISTINCT entity_id, alias_norm FROM dblk)
+         |), e AS (SELECT DISTINCT src, dst FROM star WHERE src <> dst),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         |reach(node, comp) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+         |), comp AS (SELECT node, MIN(comp) AS canonical_id FROM reach GROUP BY node),
+         |base AS (
+         |  SELECT 'ent:' || CAST(COALESCE(c.canonical_id, l.entity_id) AS VARCHAR) AS subj,
+         |         l.entity_id, l.canonical, l.dict_category, l.surface, l.doc_id
+         |  FROM linked l LEFT JOIN comp c ON c.node = l.entity_id
+         |)
+         |SELECT subj, 'mentions' AS pred, surface AS obj, doc_id FROM base
+         |UNION ALL SELECT DISTINCT subj, 'inDoc' AS pred, doc_id AS obj, doc_id FROM base
+         |UNION ALL SELECT DISTINCT subj, 'label' AS pred, canonical AS obj, doc_id FROM base
+         |UNION ALL SELECT DISTINCT subj, 'category' AS pred, dict_category AS obj, doc_id FROM base
+         |UNION ALL SELECT DISTINCT subj, 'sameAs' AS pred, 'ent:' || CAST(entity_id AS VARCHAR) AS obj, doc_id FROM base
+         |  WHERE 'ent:' || CAST(entity_id AS VARCHAR) <> subj""".stripMargin
+    body.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+  }
+
+  def langId: String =
+    """WITH m(lang, marker) AS (VALUES
+      |  ('en',' the '),('en',' and '),('en',' of '),('en',' is '),('en',' to '),('en','ing '),('en',' that '),
+      |  ('de',' der '),('de',' die '),('de',' das '),('de',' und '),('de',' ist '),('de','sch'),('de',' nicht '),
+      |  ('fr',' le '),('fr',' la '),('fr',' les '),('fr',' et '),('fr',' est '),('fr',' une '),('fr',' que '),
+      |  ('es',' el '),('es',' la '),('es',' los '),('es',' y '),('es',' es '),('es',' que '),('es','ción'),
+      |  ('he','של'),('he','את'),('he','הוא'),('he','היא'),('he','אשר')),
+      |d AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+      |sc AS (SELECT d.doc_id, m.lang, SUM(CASE WHEN contains(d.padded, m.marker) THEN 1 ELSE 0 END) AS score
+      |       FROM d CROSS JOIN m GROUP BY d.doc_id, m.lang),
+      |best AS (SELECT doc_id, lang FROM (SELECT doc_id, lang,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+      |         FROM sc WHERE score > 0) WHERE rk = 1),
+      |pick AS (SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred FROM d LEFT JOIN best b USING (doc_id))
+      |SELECT lang_pred, COUNT(*) AS n FROM pick GROUP BY lang_pred""".stripMargin
+
+  /** Distinct 2-gram shingles of whitespace-tokenized lowercase text —
+    * Dedup.ngramShinglesCol / shingleStrings semantics. */
+  private val ngram2 =
+    """CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+      |    WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) END""".stripMargin
+
+  def ngramJaccard: String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents WHERE doc_id < 500
+       |), sh AS (SELECT id, $ngram2 AS sh FROM toks0),
+       |nz AS (SELECT * FROM sh WHERE len(sh) > 0)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  (len(list_intersect(a.sh, b.sh)) * 10000) // len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_bp
+       |FROM nz a JOIN nz b ON a.id < b.id
+       |WHERE len(list_intersect(a.sh, b.sh)) * 4 >= len(list_distinct(list_concat(a.sh, b.sh)))""".stripMargin
+
+  /** hash48: first 12 md5 hex chars folded to a 48-bit BIGINT — Dedup.hash48. */
+  private def h48(s: String) =
+    s"list_reduce(list_transform(regexp_extract_all(substr(md5($s),1,12), '.'), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x,y) -> x*16+y)"
+
+  def annIvf: String = {
+    def sq(v: String) =
+      s"(CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE)) * (CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE))"
+    s"""WITH cents AS (SELECT cell, cent FROM read_parquet('{{AUX}}/ivf_centroids/*.parquet')),
+       |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 5),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |cd AS (SELECT c.id, c.vec, ct.cell,
+       |  list_reduce(list_transform(range(1, len(ct.cent)+1), j -> ${sq("c.vec")}), (a,b) -> a + b) AS d
+       |  FROM c CROSS JOIN cents ct),
+       |assign AS (SELECT id, vec, cell FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cell) AS rk FROM cd) WHERE rk = 1),
+       |qd AS (SELECT q.qid, q.qvec, ct.cell,
+       |  list_reduce(list_transform(range(1, len(ct.cent)+1), j -> ${sq("q.qvec")}), (a,b) -> a + b) AS d
+       |  FROM q CROSS JOIN cents ct),
+       |probe AS (SELECT qid, qvec, cell FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cell) AS rk FROM qd) WHERE rk <= 4),
+       |scored AS (SELECT p.qid, a.id, list_cosine_similarity(a.vec, p.qvec) AS cos FROM probe p JOIN assign a USING (cell))
+       |SELECT qid, id, rk FROM (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk FROM scored) WHERE rk <= 3""".stripMargin
+  }
+
+  def minhashNearDup: String =
+    s"""WITH coefs AS (SELECT i, a, b FROM read_parquet('{{AUX}}/minhash_coefs/*.parquet')),
+       |toks0 AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),
+       |shs AS (SELECT id, $ngram2 AS sh FROM toks0),
+       |hx AS (SELECT id, list_transform(sh, s -> ${h48("s")}) AS hs FROM shs WHERE len(sh) > 0),
+       |h1 AS (SELECT id, unnest(hs) AS h FROM hx),
+       |sigv AS (SELECT h1.id, c.i,
+       |    MIN(CAST(((CAST(c.a >> 32 AS HUGEINT) * h1.h) % 4294967296 * 4294967296
+       |          + CAST(c.a & 4294967295 AS HUGEINT) * h1.h + c.b) % 18446744073709551616 AS UBIGINT)) AS mv
+       |         FROM h1 CROSS JOIN coefs c GROUP BY h1.id, c.i),
+       |sig AS (SELECT id, array_agg(mv ORDER BY i) AS sig FROM sigv GROUP BY id),
+       |mem AS (SELECT id, b AS band, sig[b*2+1:b*2+2] AS slice FROM sig, unnest(generate_series(0, 15)) AS t(b)),
+       |sized AS (SELECT band, slice FROM mem GROUP BY band, slice HAVING COUNT(*) BETWEEN 2 AND 64),
+       |pairs AS (SELECT DISTINCT m1.id AS id_a, m2.id AS id_b
+       |          FROM mem m1 JOIN mem m2 USING (band, slice) JOIN sized USING (band, slice) WHERE m1.id < m2.id),
+       |v AS (SELECT p.id_a, p.id_b,
+       |        len(list_intersect(a.hs, b.hs)) AS inter,
+       |        len(list_distinct(list_concat(a.hs, b.hs))) AS uni
+       |      FROM pairs p JOIN hx a ON a.id = p.id_a JOIN hx b ON b.id = p.id_b)
+       |SELECT id_a, id_b, (inter * 10000) // uni AS jaccard_bp FROM v WHERE inter * 4 >= uni""".stripMargin
+
+  def simhashNearDup: String =
+    s"""WITH t1 AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok FROM documents),
+       |th AS (SELECT id, ${h48("tok")} AS h FROM t1),
+       |bits AS (SELECT id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+       |         FROM th CROSS JOIN unnest(generate_series(0, 47)) AS t(b) GROUP BY id, b),
+       |sim AS (SELECT id, SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS sim FROM bits GROUP BY id),
+       |mem AS (SELECT id, sim, b AS band, (sim >> (b*12)) & 4095 AS chunk FROM sim, unnest(generate_series(0, 3)) AS t(b)),
+       |sized AS (SELECT band, chunk FROM mem GROUP BY band, chunk HAVING COUNT(*) BETWEEN 2 AND 64),
+       |pairs AS (SELECT DISTINCT m1.id AS id_a, m2.id AS id_b, bit_count(xor(m1.sim, m2.sim)) AS dist
+       |          FROM mem m1 JOIN mem m2 USING (band, chunk) JOIN sized USING (band, chunk) WHERE m1.id < m2.id)
+       |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 10""".stripMargin
+
+  def cosineNearDup: String =
+    """WITH planes AS (SELECT plane_id, plane FROM read_parquet('{{AUX}}/lsh_planes/*.parquet')),
+      |e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      |dots AS (SELECT e.id, p.plane_id,
+      |  list_reduce(list_transform(range(1, len(p.plane)+1), j -> CAST(p.plane[j] AS DOUBLE) * CAST(e.vec[j] AS DOUBLE)), (a,b) -> a + b) AS d
+      |  FROM e CROSS JOIN planes p),
+      |sig AS (SELECT id, SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << plane_id) ELSE CAST(0 AS BIGINT) END) AS sig FROM dots GROUP BY id),
+      |mem AS (SELECT id, b AS band, (sig >> (b*4)) & 15 AS chunk FROM sig, unnest(generate_series(0, 7)) AS t(b)),
+      |sized AS (SELECT band, chunk FROM mem GROUP BY band, chunk HAVING COUNT(*) BETWEEN 2 AND 512),
+      |pairs AS (SELECT DISTINCT m1.id AS id_a, m2.id AS id_b
+      |          FROM mem m1 JOIN mem m2 USING (band, chunk) JOIN sized USING (band, chunk) WHERE m1.id < m2.id)
+      |SELECT id_a, id_b FROM pairs p JOIN e a ON a.id = p.id_a JOIN e b ON b.id = p.id_b
+      |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.3""".stripMargin
+
+  /** 64-bit wraparound polynomial hash + splitmix64 finalizer, replayed in SQL
+    * via INT128 arithmetic mod 2^64 (products split into 32-bit halves so the
+    * INT128 multiply never overflows). Matches graft.functions.PolyHash64. */
+  def fingerprintPoly: String =
+    """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+      |f AS (SELECT doc_id,
+      |  CAST(list_reduce(
+      |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |      list_transform(regexp_extract_all(norm, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+      |    (h, c) -> (31 * h + c) % 18446744073709551616) AS UBIGINT) AS h
+      |  FROM n),
+      |s1 AS (SELECT doc_id, CAST((CAST(h AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f),
+      |s1x AS (SELECT doc_id, xor(z, z >> 30) AS z FROM s1),
+      |s2 AS (SELECT doc_id, CAST((
+      |    ((CAST(z >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296
+      |    + CAST(z & 4294967295 AS HUGEINT) * 13787848793156543929
+      |  ) % 18446744073709551616 AS UBIGINT) AS z FROM s1x),
+      |s2x AS (SELECT doc_id, xor(z, z >> 27) AS z FROM s2),
+      |s3 AS (SELECT doc_id, CAST((
+      |    ((CAST(z >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296
+      |    + CAST(z & 4294967295 AS HUGEINT) * 10723151780598845931
+      |  ) % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
+      |s4 AS (SELECT doc_id, xor(z, z >> 31) AS z FROM s3)
+      |SELECT doc_id, CAST(CASE WHEN z >= 9223372036854775808 THEN CAST(z AS HUGEINT) - 18446744073709551616 ELSE CAST(z AS HUGEINT) END AS BIGINT) AS fp64
+      |FROM s4""".stripMargin
+}

@@ -239,8 +239,9 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rk"))
     }),
     "d_minhash_neardup" -> ((s, dir) => {
-      // MinHash+LSH near-dup pairs at Jaccard ≥ 0.25 (rows-only; validated
-      // against exact n-gram Jaccard in scalatest)
+      // MinHash+LSH near-dup pairs at Jaccard ≥ 0.25; the DuckDB oracle
+      // replays the identical md5-48bit shingles + (a·x+b) mod 2^61−1
+      // permutations (coefs dumped as aux parquet) and the same banding
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 2, bands = 16, rowsPerBand = 2, threshold = 0.25)
     }),
@@ -248,16 +249,19 @@ object SparkEntry {
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text", maxDist = 10)
     }),
     "d_ngram_jaccard" -> ((s, dir) => {
-      // exact 2-gram Jaccard pairs ≥ 0.25 among first 500 docs (bounded n²)
-      Dedup.ngramJaccardAllPairs(
+      // exact 2-gram Jaccard pairs ≥ 0.25 among first 500 docs (bounded n² —
+      // validation baseline); pure-Catalyst string shingles, integer bp output
+      Dedup.ngramJaccardPairsBp(
         t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
-        shingleN = 2, threshold = 0.25)
-        .select(col("id_a"), col("id_b"), (col("jaccard") * 10000).cast("long").as("jaccard_bp"))
+        shingleN = 2, thresholdBp = 2500)
     }),
     "d_cosine_neardup" -> ((s, dir) => {
-      // embedding near-dup via hyperplane LSH (rows-only; approximate)
+      // embedding near-dup via hyperplane LSH; planes dumped as aux parquet so
+      // the oracle recomputes identical signatures; ids-only output (the
+      // verify filter is on round(cosine,4) in both engines)
       Similarity.cosineNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, nPlanes = 32, bands = 8, maxBucket = 512)
+        .select(col("id_a"), col("id_b"))
     }),
 
     // ---- the KG-construction pipeline itself (nemo_*; rows-only) ----
@@ -271,7 +275,12 @@ object SparkEntry {
       import s.implicits._
       val mentions = annotatedMentions(s, 300, "morph")
       val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
-      Linker.link(mentions, dict)
+      // stable column set (the double score column stays engine-internal; the
+      // oracle checks the winning candidate, which score determined)
+      Linker.link(mentions, dict).select(
+        col("doc_id"), col("sent_id"), col("surface"), col("category"),
+        col("start"), col("end"), col("level"), col("scenario"), col("occ"),
+        col("entity_id"), col("canonical"), col("dict_category"))
     }),
     "nemo_triples" -> ((s, _) => {
       import s.implicits._
@@ -292,8 +301,61 @@ object SparkEntry {
     })
   )
 
+  /** Auxiliary ORACLE-INPUT tables. Written by Verify to `<outDir>/aux/<name>`
+    * and referenced from oracleSql via the `{{AUX}}` placeholder (substituted
+    * by Verify with the real path). Two kinds, both pipeline-INDEPENDENT:
+    *  - deterministic fixture gold straight from the generator (gold_sents,
+    *    gold_media, dict) — the nemo_* oracles re-derive mentions/links/triples
+    *    from gold in SQL, so a pipeline that drifts from gold FAILS the gate;
+    *  - frozen randomness of the LSH/IVF ops (minhash coefs, hyperplanes,
+    *    k-means centroids) so the oracle replays the identical algorithm. */
+  def auxTables: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gold_sents" -> ((s, _) => {
+      import s.implicits._
+      s.range(0, 300, 1, s.sparkContext.defaultParallelism).flatMap { i =>
+        val d = Fixtures.doc(i.toInt)
+        d.sentences.zipWithIndex.map { case (sn, idx) =>
+          (d.docId, idx.toLong, sn.tokens, sn.goldSingle,
+            sn.morphForms.flatten, sn.goldMorph.flatten)
+        }
+      }.toDF("doc_id", "sent_id", "tok_forms", "tok_single", "morph_forms", "morph_labels")
+    }),
+    "gold_media" -> ((s, _) => {
+      import s.implicits._
+      s.range(0, 300, 1, s.sparkContext.defaultParallelism).flatMap { i =>
+        val d = Fixtures.doc(i.toInt)
+        d.spans.filter(_.kind == "media").map(sp => (d.docId, sp.media_ref))
+      }.toDF("doc_id", "media_ref")
+    }),
+    "dict" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(Fixtures.entityDictionary()).toDF()
+    }),
+    "minhash_coefs" -> ((s, _) => {
+      import s.implicits._
+      // 16 bands × 2 rows — must mirror the d_minhash_neardup parameters
+      Dedup.minhashCoefs(32).zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }.toSeq.toDF("i", "a", "b")
+    }),
+    "lsh_planes" -> ((s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "embeddings").select(size(col("embedding"))).first().getInt(0)
+      Similarity.hyperplanes(dim, 32).zipWithIndex
+        .map { case (p, i) => (i, p.toSeq) }.toSeq.toDF("plane_id", "plane")
+    }),
+    "ivf_centroids" -> ((s, dir) => {
+      import s.implicits._
+      // identical call shape to d_ann_ivf's internal computation — centroids
+      // are bit-deterministic (fixed-point Lloyd sums), so values agree
+      val corpus = t(s, dir, "embeddings").filter(col("vec_id") >= 5)
+      Similarity.centroids(corpus, "vec_id", "embedding", nCells = 16)
+        .map { case (c, v) => (c, v.toSeq) }.toSeq.toDF("cell", "cent")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. `{{AUX}}` is replaced by Verify with the aux
+    * table directory. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
@@ -390,6 +452,29 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rk
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
-        |WHERE rk <= 3""".stripMargin
+        |WHERE rk <= 3""".stripMargin,
+
+    // ---- fixture-gold oracles (aux tables; {{AUX}} substituted by Verify) ----
+    // The NLP-core oracles re-derive the expected output from the generator's
+    // GOLD layers in pure SQL (BIOSE run-scan as a window-function grouping —
+    // valid because gold is well-formed BIOSE; linking as block join + token
+    // Jaccard; canonicalization as a recursive-CTE closure over star edges).
+    // The pipeline's decoded output must match gold end-to-end to pass.
+    "nemo_mentions_single" -> OracleSql.mentions("tok_forms", "tok_single", "token", "token-single"),
+    "nemo_mentions_morph" -> OracleSql.mentions("morph_forms", "morph_labels", "morph", "morph"),
+    "nemo_mentions_morph_yap" -> OracleSql.mentions("morph_forms", "morph_labels", "morph", "morph"),
+    "nemo_mentions_multi_align" -> OracleSql.mentions("morph_forms", "morph_labels", "morph", "multi-align-morph"),
+    "nemo_linked" -> OracleSql.linked,
+    "nemo_triples" -> OracleSql.triples,
+    "nemo_media_features" ->
+      """SELECT doc_id, media_ref, 'image' AS modality, 1 AS frames
+        |FROM read_parquet('{{AUX}}/gold_media/*.parquet')""".stripMargin,
+    "d_lang_id" -> OracleSql.langId,
+    "d_ngram_jaccard" -> OracleSql.ngramJaccard,
+    "d_ann_ivf" -> OracleSql.annIvf,
+    "d_minhash_neardup" -> OracleSql.minhashNearDup,
+    "d_simhash_neardup" -> OracleSql.simhashNearDup,
+    "d_cosine_neardup" -> OracleSql.cosineNearDup,
+    "d_fingerprint_poly" -> OracleSql.fingerprintPoly
   )
 }

@@ -35,19 +35,46 @@ object Dedup {
 
   // ---------- shingling + MinHash ----------
 
-  /** Word n-gram shingle hashes (64-bit) of normalized text. UDF: a single
+  /** Tokenization shared by every shingling op: lowercase, whitespace split,
+    * drop empties. */
+  private[datapipe] def shingleToks(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Word n-gram shingle STRINGS of normalized text (distinct). Fewer than n
+    * tokens → the whole joined text as one shingle; no tokens → empty. */
+  private[datapipe] def shingleStrings(text: String, n: Int): Array[String] = {
+    val toks = shingleToks(text)
+    if (toks.length < n) {
+      if (toks.isEmpty) Array.empty[String] else Array(toks.mkString(" "))
+    } else
+      (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).toArray.distinct
+  }
+
+  /** 48-bit universal shingle/token hash: the first 6 md5 bytes (= first 12
+    * hex chars). Chosen over a bespoke 64-bit polynomial hash because every
+    * engine speaks md5 — the DuckDB oracle recomputes the exact same values
+    * with `md5(s)` + a hex fold, so MinHash/SimHash results are verifiable
+    * end-to-end, and 48 bits keeps all downstream affine arithmetic inside
+    * exact signed-64 range (no wraparound semantics to replicate). */
+  def hash48(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Word n-gram shingle hashes (48-bit) of normalized text. UDF: a single
     * pass over the tokens; output is the SMALL set of longs that all
     * downstream similarity ops run on (text never shuffles). */
   def shingleUdf(n: Int) = udf { (text: String) =>
-    if (text == null) Array.empty[Long]
-    else {
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      if (toks.length < n) {
-        if (toks.isEmpty) Array.empty[Long]
-        else Array(polyHash(toks.mkString(" ")))
-      } else
-        (0 to toks.length - n).map(i => polyHash(toks.slice(i, i + n).mkString(" "))).toArray.distinct
-    }
+    shingleStrings(text, n).map(hash48)
   }
 
   def polyHash(s: String): Long = {
@@ -61,21 +88,34 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signature of a shingle set: m permutations h_i(x) = a_i*x + b_i
-    * (odd a_i, splitmix-seeded), min over the set. */
+  /** MinHash signature of a shingle set: m affine permutations
+    * h_i(x) = (a_i·x + b_i) mod 2^64 with odd a_i (a bijection on 64-bit
+    * space — well-mixed minima; a small multiplier would leave the
+    * permutations order-correlated and the estimator biased), minimum under
+    * UNSIGNED comparison. The oracle replays the identical arithmetic: mod-2^64
+    * products via 32-bit split multiplication in INT128, min over UBIGINT.
+    * Empty input → all unsigned-max (callers exclude empty docs from banding).
+    */
   def minhashUdf(m: Int, seed: Long = 42L) = {
     val coefs = minhashCoefs(m, seed)
     udf { (shingles: Seq[Long]) =>
-      if (shingles == null || shingles.isEmpty) Array.fill(m)(Long.MaxValue)
+      if (shingles == null || shingles.isEmpty) Array.fill(m)(-1L)
       else coefs.map { case (a, b) =>
-        var mn = Long.MaxValue
-        for (s <- shingles) { val v = a * s + b; if (v < mn) mn = v }
+        var mn = -1L // unsigned max
+        for (s <- shingles) {
+          val v = a * s + b // natural mod-2^64 overflow
+          if (java.lang.Long.compareUnsigned(v, mn) < 0) mn = v
+        }
         mn
       }
     }
   }
 
-  private[datapipe] def minhashCoefs(m: Int, seed: Long): Array[(Long, Long)] = {
+  /** Splitmix-seeded permutation coefficients: a odd 62-bit, b 63-bit — both
+    * non-negative as signed longs so the aux parquet round-trips into DuckDB's
+    * UBIGINT/HUGEINT arithmetic without sign reinterpretation. Dumped as an
+    * aux parquet by Verify so the oracle replays the exact permutation family. */
+  def minhashCoefs(m: Int, seed: Long = 42L): Array[(Long, Long)] = {
     var z = seed
     def next(): Long = {
       z += 0x9E3779B97F4A7C15L
@@ -84,7 +124,7 @@ object Dedup {
       x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
       x ^ (x >>> 31)
     }
-    Array.fill(m)((next() | 1L, next()))
+    Array.fill(m)(((next() & ((1L << 62) - 1)) | 1L, next() & ((1L << 63) - 1)))
   }
 
   /** Exact Jaccard of two shingle arrays (verification step). */
@@ -100,33 +140,42 @@ object Dedup {
     * bands × rowsPerBand = m; two docs collide if any band's row-slice matches.
     * Pipeline: shingle → minhash → explode bands → groupBy (band, sig-slice)
     * bucket join → within-bucket pairs → exact-Jaccard verify ≥ threshold.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    * Returns (id_a, id_b, jaccard_bp) with id_a < id_b; jaccard_bp is exact
+    * integer basis points (⌊10000·|∩|/|∪|⌋ — engine-stable, no float dust) and
+    * the threshold compare is the exact integer inequality
+    * |∩|·10000 ≥ bp·|∪|. Docs with no shingles are excluded (an empty doc is
+    * not a near-duplicate of another empty doc).
     */
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val m = bands * rowsPerBand
+    val thresholdBp = math.round(threshold * 10000).toInt
     val sh = df.select(col(idCol).as("id"), shingleUdf(shingleN)(col(textCol)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashUdf(m)(col("shingles")))
       .localCheckpoint() // shingles reused by verify; don't recompute
     val banded = sh.select(
       col("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
       .select(col("id"), col("pos").as("band"), col("col").as("slice"))
-      .withColumn("bucket", xxhash64(col("band"), col("slice")))
-    val buckets = banded.groupBy("band", "bucket")
+    // the band slice itself is the bucket key (arrays group fine; no extra
+    // hash layer to replicate in the oracle)
+    val buckets = banded.groupBy("band", "slice")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     val pairs = buckets
       .select(explode(pairUdf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
-    val withSh = pairs
+    pairs
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(jaccardUdf(col("sh_a"), col("sh_b")), 4))
-    withSh.filter(col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("inter") * 10000L >= col("uni") * thresholdBp)
+      .select(col("id_a"), col("id_b"), expr("inter * 10000 div uni").as("jaccard_bp"))
   }
 
   private val pairUdf = udf { (ids: Seq[Long]) =>
@@ -138,44 +187,81 @@ object Dedup {
     * brute-force baseline the LSH path is validated against in tests. */
   def ngramJaccardAllPairs(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 3, threshold: Double = 0.0): DataFrame = {
+    // exact integer threshold (inter·10000 ≥ bp·union) — identical boundary
+    // semantics to minhashNearDuplicates' verify step, no rounding admission
+    val thresholdBp = math.round(threshold * 10000).toInt
     val sh = df.select(col(idCol).as("id"), shingleUdf(shingleN)(col(textCol)).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(jaccardUdf(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("uni") > 0 && col("inter") * 10000L >= col("uni") * thresholdBp)
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
       .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------- pure-Catalyst n-gram shingles (oracle-expressible variant) ----------
+
+  /** Word n-gram shingle STRINGS as a Catalyst expression (codegen; the HOF
+    * analog of shingleStrings) — used where the downstream math must be
+    * SQL-replicable end-to-end (exact Jaccard over string sets). */
+  def ngramShinglesCol(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  /** Exact n-gram Jaccard pairs over STRING shingles with integer basis-point
+    * output — fully Catalyst (no UDF), fully SQL-replicable. All-pairs by
+    * design: a bounded validation baseline, not the scale path. */
+  def ngramJaccardPairsBp(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, thresholdBp: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), ngramShinglesCol(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("inter") * 10000L >= col("uni") * thresholdBp)
+      .select(col("id_a"), col("id_b"), expr("inter * 10000 div uni").as("jaccard_bp"))
   }
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash over token hashes: sign-sum of per-token bit vectors. */
+  /** 48-bit SimHash over md5-derived token hashes: sign-sum of per-token bit
+    * vectors. 48 bits (hash48) keeps every intermediate SQL-replicable; docs
+    * with no tokens hash to 0. */
   val simhashUdf = udf { (text: String) =>
-    if (text == null) 0L
-    else {
-      val acc = new Array[Int](64)
-      for (t <- text.toLowerCase.split("\\s+") if t.nonEmpty) {
-        val h = polyHash(t)
-        var b = 0
-        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
-      }
-      var out = 0L
+    val toks = shingleToks(text)
+    val acc = new Array[Int](48)
+    for (t <- toks) {
+      val h = hash48(t)
       var b = 0
-      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-      out
+      while (b < 48) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
     }
+    var out = 0L
+    var b = 0
+    while (b < 48) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
   }
 
   val hammingUdf = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
 
   /** SimHash near-duplicates with Hamming distance ≤ maxDist, candidate
-    * generation by banding the 64 bits into 4 × 16-bit chunks (any chunk equal
-    * → candidate; guarantees recall for maxDist ≤ 3). */
+    * generation by banding the 48 bits into 4 × 12-bit chunks (any chunk equal
+    * → candidate; guarantees recall for maxDist ≤ 3). Docs with no tokens are
+    * excluded from candidate generation. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim"))
+    val sh = df
+      .filter(size(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")) > 0)
+      .select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim"))
     val banded = sh.select(col("id"), col("sim"),
-      posexplode(expr("transform(sequence(0,3), b -> (sim >> (b*16)) & 65535)")))
+      posexplode(expr("transform(sequence(0,3), b -> (sim >> (b*12)) & 4095)")))
       .select(col("id"), col("sim"), col("pos").as("band"), col("col").as("chunk"))
     val buckets = banded.groupBy("band", "chunk")
       .agg(collect_list(struct(col("id"), col("sim"))).as("xs"))

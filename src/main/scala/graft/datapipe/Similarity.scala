@@ -164,16 +164,21 @@ object Similarity {
     ivfTopKAssigned(assigned, idCol, vecCol, queries, qidCol, qvecCol, k, cents, nProbe)
   }
 
+  /** Deterministic seeded Gaussian hyperplanes (the LSH projection basis).
+    * Exposed so Verify can dump them as an aux parquet — the DuckDB oracle
+    * recomputes the exact signatures from the same planes. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(r.nextGaussian().toFloat))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via random
     * hyperplane LSH banding; exact verify on candidates. */
   def cosineNearDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
                            threshold: Double = 0.95, nPlanes: Int = 16,
                            bands: Int = 4, seed: Long = 42L, maxBucket: Int = 256): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = {
-      val r = new scala.util.Random(seed)
-      Array.fill(nPlanes)(Array.fill(dim)((r.nextGaussian()).toFloat))
-    }
+    val planes = hyperplanes(dim, nPlanes, seed)
     val bcP = corpus.sparkSession.sparkContext.broadcast(planes)
     val sigUdf = udf { (v: Seq[Float]) =>
       val arr = v.toArray
@@ -182,7 +187,9 @@ object Similarity {
         var d = 0.0; var j = 0
         val pl = bcP.value(p)
         val L = math.min(pl.length, arr.length)
-        while (j < L) { d += pl(j) * arr(j); j += 1 }
+        // promote BEFORE multiplying: double products, double accumulation —
+        // the same arithmetic the SQL oracle's double fold performs
+        while (j < L) { d += pl(j).toDouble * arr(j).toDouble; j += 1 }
         if (d >= 0) sig |= (1L << p)
       }
       sig
