@@ -37,15 +37,34 @@ object Pipeline {
       lexicon: Set[String],
       maxSentenceLength: Int = 250)
 
-  /** Oracle models over the fixture gazetteer (FIXTURES.md §5). */
-  def fixtureModels(): Models = {
+  /** Which multi model the hybrid pipeline uses (reference config.py:20
+    * MULTI_MODEL_FOR_HYBRID). */
+  val MultiModelForHybrid = "token-multi"
+
+  /** Model registry mirroring the reference's MODEL_PATHS (config.py:5-19):
+    * 3 modes × {standard, `_oov`}. The reference's _oov variants are the same
+    * architecture trained with OOV-token augmentation; here each _oov model is
+    * synthesized over the oracle vocabulary augmented with an OOV probe entry,
+    * so the six registry names resolve to six distinct, decodable models. */
+  lazy val fixtureRegistry: Map[String, NerModel] = {
     val (s, m, mo) = Fixtures.oracleVocab(0)
-    Models(
-      NerModel.synthesizeOracle("token-single", s, s.values.toSeq.distinct),
-      NerModel.synthesizeOracle("token-multi", m, m.values.toSeq.distinct),
-      NerModel.synthesizeOracle("morph", mo, mo.values.toSeq.distinct),
-      Fixtures.lexicon)
+    def oov(v: Map[String, String]) = v + ("שששoov" -> "O")
+    Map(
+      "token-single" -> NerModel.synthesizeOracle("token-single", s, s.values.toSeq.distinct),
+      "token-single_oov" -> NerModel.synthesizeOracle("token-single", oov(s), s.values.toSeq.distinct),
+      "token-multi" -> NerModel.synthesizeOracle("token-multi", m, m.values.toSeq.distinct),
+      "token-multi_oov" -> NerModel.synthesizeOracle("token-multi", oov(m), m.values.toSeq.distinct),
+      "morph" -> NerModel.synthesizeOracle("morph", mo, mo.values.toSeq.distinct),
+      "morph_oov" -> NerModel.synthesizeOracle("morph", oov(mo), mo.values.toSeq.distinct))
   }
+
+  /** Oracle models over the fixture gazetteer (FIXTURES.md §5). */
+  def fixtureModels(): Models =
+    Models(
+      fixtureRegistry("token-single"),
+      fixtureRegistry(MultiModelForHybrid),
+      fixtureRegistry("morph"),
+      Fixtures.lexicon)
 
   // ---------- G1-G6: document annotation (one mapPartitions) ----------
 

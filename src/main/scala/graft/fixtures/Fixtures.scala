@@ -174,11 +174,16 @@ object Fixtures {
   }
 
   /** Entity dictionary rows (linking target): canonical + aliases (incl.
-    * clitic-prefixed variants of the first token, so token-level surfaces link). */
+    * clitic-prefixed variants of the first token, so token-level surfaces
+    * link). Every 40th id PAIR additionally shares a synthetic alias
+    * ("group-K") that no mention surface can collide with — canonicalization
+    * genuinely merges components on the fixture corpus, so sameAs triples are
+    * non-empty and the CC path is exercised end-to-end by the driver oracle. */
   def entityDictionary(ents: IndexedSeq[FixtureEntity] = defaultEntities): IndexedSeq[Entity] =
     ents.map { e =>
-      val aliases = (e.surface +: clitics.map(c => ((c + e.tokens.head) +: e.tokens.tail).mkString(" "))).distinct
-      Entity(e.entityId, e.surface, aliases.toArray, e.category)
+      val aliases = (e.surface +: clitics.map(c => ((c + e.tokens.head) +: e.tokens.tail).mkString(" "))) ++
+        (if (e.entityId % 40 < 2) Seq(s"group-${e.entityId / 40}") else Nil)
+      Entity(e.entityId, e.surface, aliases.distinct.toArray, e.category)
     }
 
   /** Oracle word→label maps for the three NER modes (feeds

@@ -116,6 +116,22 @@ class PipelineSpec extends AnyFunSuite {
     }))
   }
 
+  test("F12 model registry mirrors the reference's six MODEL_PATHS entries") {
+    val reg = Pipeline.fixtureRegistry
+    assert(reg.keySet === Set("token-single", "token-single_oov",
+      "token-multi", "token-multi_oov", "morph", "morph_oov"))
+    assert(Pipeline.MultiModelForHybrid === "token-multi")
+    assert(reg.values.map(_.wordAlphabet.size).toSeq.distinct.size >= 2,
+      "_oov variants should differ from standard models")
+    // every registered model decodes; std and _oov agree on in-vocab input
+    val toks = Fixtures.doc(0).sentences.head.tokens
+    for (mode <- Seq("token-single", "token-multi", "morph")) {
+      val std = graft.ner.Scorer.decodeBatch(reg(mode), IndexedSeq(toks)).head
+      val oov = graft.ner.Scorer.decodeBatch(reg(mode + "_oov"), IndexedSeq(toks)).head
+      assert(std === oov, s"$mode vs ${mode}_oov disagree on in-vocab input")
+    }
+  }
+
   test("linking resolves fixture mentions to their planted entities") {
     val mentions = Pipeline.extractMentions(annotated, "morph")
     val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
@@ -172,7 +188,7 @@ class PipelineSpec extends AnyFunSuite {
     val withCanon = linked.join(broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"))
     val triples = graft.kg.Triples.fromLinkedMentions(withCanon).cache()
     val preds = triples.select("pred").distinct().as[String].collect().toSet
-    assert(Set("mentions", "inDoc", "label", "category").subsetOf(preds))
+    assert(Set("mentions", "inDoc", "label", "category", "sameAs").subsetOf(preds))
     assert(triples.filter(!col("subj").startsWith("ent:")).count() === 0)
   }
 }

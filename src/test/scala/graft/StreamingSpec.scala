@@ -86,9 +86,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(triples.count() > 0)
     // both micro-batches landed, all five predicate families present somewhere
     val preds = triples.select("pred").distinct().as[String].collect().toSet
-    assert(Set("mentions", "inDoc", "label", "category").subsetOf(preds))
+    assert(Set("mentions", "inDoc", "label", "category", "sameAs").subsetOf(preds))
     // doc coverage spans both epochs
     val docIds = triples.select("doc_id").distinct().count()
     assert(docIds >= 50, s"only $docIds docs covered")
+
+    // STREAM == BATCH parity: the same 60 docs through the batch path must
+    // yield the identical triple multiset, including canonical subjects and
+    // sameAs edges (the dictionary plants shared aliases, so canonicalization
+    // is non-trivial here)
+    val batchDocs = spark.createDataset(Fixtures.inputDocs(60))
+    val models = spark.sparkContext.broadcast(Pipeline.fixtureModels())
+    val mentions = Pipeline.extractMentions(Pipeline.annotate(spark, batchDocs, models), "morph")
+    val linked = graft.kg.Linker.link(mentions, dict)
+    val entities = graft.kg.Canonicalize.canonicalize(spark, dict)
+    val withCanon = linked
+      .join(broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+    val batchTriples = graft.kg.Triples.fromLinkedMentions(withCanon)
+      .select("subj", "pred", "obj", "doc_id")
+    val streamTriples = triples.select("subj", "pred", "obj", "doc_id")
+    assert(streamTriples.exceptAll(batchTriples).count() === 0, "stream-only triples")
+    assert(batchTriples.exceptAll(streamTriples).count() === 0, "batch-only triples")
+    assert(batchTriples.filter(col("pred") === "sameAs").count() > 0)
   }
 }
