@@ -132,13 +132,23 @@ object Pipeline {
           val alignPerTok = toks.indices.map { i =>
             Align.softMergeToken(formsPerTok(i), multi(i))._2.map(_._2)
           }
+          // A11/C10: arc-standard dependency parse over the sentence's
+          // morpheme sequence; (head, deprel) zip positionally onto morphemes
+          val posPerTok = formsPerTok.map(fs =>
+            fs.indices.map(j => if (j < fs.length - 1) "IN" else "NN"))
+          val depNodes = graft.lattice.DepParser.parse(
+            formsPerTok.flatten, formsPerTok.flatten, posPerTok.flatten,
+            IndexedSeq.fill(formsPerTok.map(_.length).sum)("_"))
+          val depOffsets = formsPerTok.scanLeft(0)(_ + _.length)
           val tokens = toks.indices.map { i =>
             val morphs = formsPerTok(i).indices.map { j =>
               val form = formsPerTok(i)(j)
+              val dep = depNodes(depOffsets(i) + j)
               Morpheme(form, form, if (j < formsPerTok(i).length - 1) "IN" else "NN", "_",
                 i + 1,
                 nemoMorph = morphLabelsPerTok(i).applyOrElse(j, (_: Int) => "O"),
-                nemoMultiAlignMorph = alignPerTok(i).applyOrElse(j, (_: Int) => "O"))
+                nemoMultiAlignMorph = alignPerTok(i).applyOrElse(j, (_: Int) => "O"),
+                head = dep.head, deprel = dep.deprel)
             }.toArray
             Token(
               text = toks(i),

@@ -99,6 +99,32 @@ object ConllFiles {
       }
     }
 
+  // ---- A8: CoNLL-X dependency trees (reference bclm.read_conll call sites:
+  //      nemo.py:298,347, api_main.py:334; cols consumed: id, form, lemma,
+  //      xpostag, feats, head, deprel) ----
+
+  /** Write dep trees as 10-column CoNLL-X blocks (CPOSTAG mirrored from
+    * xpostag; PHEAD/PDEPREL underscored, as YAP emits). */
+  def writeConll(sentences: Seq[Seq[graft.lattice.DepParser.DepNode]]): String = {
+    val sb = new StringBuilder
+    for (sent <- sentences) {
+      for (n <- sent)
+        sb.append(Seq(n.id, n.form, n.lemma, n.xpos, n.xpos, n.feats,
+          n.head, n.deprel, "_", "_").mkString("\t")).append('\n')
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  /** Parse CoNLL-X blocks back into dep nodes. */
+  def readConll(content: String): Seq[Seq[graft.lattice.DepParser.DepNode]] =
+    content.split("\n\n").toSeq.filter(_.trim.nonEmpty).map { block =>
+      block.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        val f = line.split('\t')
+        graft.lattice.DepParser.DepNode(f(0).toInt, f(1), f(2), f(4), f(5), f(6).toInt, f(7))
+      }
+    }
+
   // ---- Spark-side readers: text → sentence blocks ----
 
   /** Distributed token-file reader: spark.read.text + running block index.

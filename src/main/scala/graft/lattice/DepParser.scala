@@ -1,0 +1,105 @@
+package graft.lattice
+
+/** Spark-native dependency parser (SURVEY §2 A8/A11/C10 — verbosity-2 output).
+  *
+  * The reference shells out to YAP `dep` (api_main.py:127-131), a
+  * transition-based dependency parser with a trained linear model, and zips
+  * (id, head, deprel) onto morphemes (api_main.py:338-351). Re-expressed
+  * in-engine: a greedy ARC-STANDARD transition parser (the same family of
+  * machine as YAP's) over the MD morpheme sequence, scored by a deterministic
+  * linear feature function with synthesized weights — the same
+  * weight-synthesis trick as Disambig.edgeScore. O(n) per sentence, runs
+  * in-row inside the annotate mapPartitions stage: no shuffle, scale-safe at
+  * any sentence length (no O(n³) chart).
+  *
+  * Synthesized grammar (deterministic, documented):
+  *  - function morphemes (IN/DT/CC/REL proclitics) attach as LEFT-ARC
+  *    dependents of the next content morpheme (their host), deprel per POS
+  *    (case/det/cc/mark);
+  *  - content morphemes form a head-initial spine: each attaches to the
+  *    previous content morpheme via RIGHT-ARC (deprel "dep");
+  *  - the first content morpheme is the root (head 0, deprel "root");
+  *  - trailing function morphemes with no following host attach to the last
+  *    content morpheme.
+  */
+object DepParser {
+
+  /** One dependency node — exactly the CoNLL fields the reference consumes
+    * (bclm.read_conll cols: id, form, lemma, xpostag, feats, head, deprel). */
+  final case class DepNode(id: Int, form: String, lemma: String, xpos: String,
+                           feats: String, head: Int, deprel: String)
+
+  private val functionPos = Set("IN", "DT", "CC", "REL")
+  def isFunction(pos: String): Boolean = functionPos.contains(pos)
+
+  def relOf(pos: String): String = pos match {
+    case "IN"  => "case"
+    case "DT"  => "det"
+    case "CC"  => "cc"
+    case "REL" => "mark"
+    case _     => "dep"
+  }
+
+  /** Transition scores for stack top pair (s1, s0) — a linear model with
+    * synthesized weights. Greedy argmax with a fixed tie-break order
+    * (LEFT > RIGHT > SHIFT) makes the parse fully deterministic. */
+  private[lattice] def actionScores(s1Pos: String, s0Pos: String,
+                                    s1IsRoot: Boolean, bufferNonEmpty: Boolean)
+      : (Double, Double, Double) = {
+    val left =
+      if (s1IsRoot) Double.NegativeInfinity                 // sentinel can't be a dependent
+      else if (isFunction(s1Pos) && !isFunction(s0Pos)) 4.0 // proclitic ← host
+      else -1.0
+    val right =
+      if (bufferNonEmpty) 0.5 // defer: later morphemes may still attach lower
+      else 2.0                // buffer drained → collapse the spine right-to-left
+    val shift = if (bufferNonEmpty) 1.0 else Double.NegativeInfinity
+    (left, right, shift)
+  }
+
+  /** Parse a sentence given parallel (form, lemma, xpos, feats) morpheme
+    * attributes. Returns one DepNode per morpheme, ids 1-based, head 0 = root.
+    */
+  def parse(forms: IndexedSeq[String], lemmas: IndexedSeq[String],
+            xpos: IndexedSeq[String], feats: IndexedSeq[String]): IndexedSeq[DepNode] = {
+    val n = forms.length
+    if (n == 0) return IndexedSeq.empty
+    val head = Array.fill(n + 1)(-1)
+    val rel = Array.fill(n + 1)("")
+    var stack = List(0)                 // 0 = artificial root sentinel
+    var buffer = 1
+    def pos(i: Int) = if (i == 0) "ROOT" else xpos(i - 1)
+    while (buffer <= n || stack.length > 1) {
+      if (stack.length < 2) {
+        stack = buffer :: stack; buffer += 1
+      } else {
+        val s0 :: s1 :: rest = stack: @unchecked
+        val (l, r, s) = actionScores(pos(s1), pos(s0), s1 == 0, buffer <= n)
+        if (l >= r && l >= s) {         // LEFT-ARC: s0 heads s1
+          head(s1) = s0; rel(s1) = relOf(pos(s1))
+          stack = s0 :: rest
+        } else if (r >= s) {            // RIGHT-ARC: s1 heads s0
+          head(s0) = s1
+          rel(s0) = if (s1 == 0) "root"
+                    else if (isFunction(pos(s0))) relOf(pos(s0))
+                    else "dep"
+          stack = s1 :: rest
+        } else {                        // SHIFT
+          stack = buffer :: stack; buffer += 1
+        }
+      }
+    }
+    (1 to n).map(i => DepNode(i, forms(i - 1), lemmas(i - 1), xpos(i - 1),
+      feats(i - 1), math.max(head(i), 0), if (head(i) <= 0 && rel(i).isEmpty) "root" else rel(i)))
+      .toIndexedSeq
+  }
+
+  /** Convenience: parse an MD lattice path (one edge per morpheme). */
+  def parseMd(md: IndexedSeq[graft.schema.LatticeEdge]): IndexedSeq[DepNode] =
+    parse(md.map(_.form), md.map(_.lemma), md.map(_.upos), md.map(_.feats))
+
+  /** C10 (api_main.py:338-351): zip (head, deprel) onto parallel morpheme
+    * attributes, positionally. */
+  def addDepInfo[T](morphs: IndexedSeq[T], deps: IndexedSeq[DepNode]): IndexedSeq[(T, Int, String)] =
+    morphs.zip(deps).map { case (m, d) => (m, d.head, d.deprel) }
+}

@@ -41,7 +41,9 @@ case class Morpheme(
     feats: String,
     tokenId: Int,
     nemoMorph: String,               // morph-level BIOSE label (scenario: morph_hybrid)
-    nemoMultiAlignMorph: String)     // multi labels aligned onto morphemes (multi_align_hybrid)
+    nemoMultiAlignMorph: String,     // multi labels aligned onto morphemes (multi_align_hybrid)
+    head: Int = 0,                   // dependency head (1-based morpheme id; 0 = root)
+    deprel: String = "")             // dependency relation (C10 zip, api_main.py:338-351)
 
 /** One surface token with all per-scenario label columns
   * (reference: schema.py Token — nemo_single / nemo_multi / aligned variants). */

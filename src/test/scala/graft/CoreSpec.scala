@@ -116,20 +116,54 @@ class CoreSpec extends AnyFunSuite {
       Seq((1, Seq("a", "b")), (2, Seq("c")), (3, Seq("d", "e"))))
   }
 
-  // ---- dep stub (A8/A11/C10, verbosity 2) ----
+  // ---- dep parser (A8/A11/C10, verbosity 2) ----
 
-  test("dep stub emits a well-formed tree; clitics attach to their host") {
+  test("arc-standard dep parse: clitics attach to their host, one root") {
     val lex = Set("גדנק", "צצצ")
     val md = Disambig.disambiguate(
       Analyzer.sentenceLattice(IndexedSeq("בגדנק", "צצצ"), lex.contains _).toIndexedSeq, lex.contains _)
-    val dep = graft.lattice.DepStub.depTree(md)
+    val dep = graft.lattice.DepParser.parseMd(md)
     assert(dep.map(_.form) === IndexedSeq("ב", "גדנק", "צצצ"))
     assert(dep.count(_.head == 0) === 1)                    // exactly one root
     assert(dep(0).head === 2 && dep(0).deprel === "case")   // clitic → host
     assert(dep(1).deprel === "root")
     // C10 zip keeps parallel order
-    val zipped = graft.lattice.DepStub.addDepInfo(md.map(_.form), dep)
+    val zipped = graft.lattice.DepParser.addDepInfo(md.map(_.form), dep)
     assert(zipped.map(_._1) === dep.map(_.form))
+  }
+
+  test("dep parse golden: two-clause sentence with conjunction and proclitics") {
+    import graft.lattice.DepParser, DepParser.DepNode
+    // "f1 N1 N2 CC f2 N3" — two clauses joined by a conjunction, each with a
+    // proclitic; forms stand in for a real 2-clause Hebrew sentence
+    val forms = IndexedSeq("ב", "בית", "גדול", "ו", "ל", "עיר")
+    val xpos  = IndexedSeq("IN", "NN", "NN", "CC", "IN", "NN")
+    val dep = DepParser.parse(forms, forms, xpos, IndexedSeq.fill(6)("_"))
+    assert(dep === IndexedSeq(
+      DepNode(1, "ב", "ב", "IN", "_", 2, "case"),     // proclitic → host N1
+      DepNode(2, "בית", "בית", "NN", "_", 0, "root"), // first content = root
+      DepNode(3, "גדול", "גדול", "NN", "_", 2, "dep"),// spine: N2 → N1
+      DepNode(4, "ו", "ו", "CC", "_", 6, "cc"),       // conj → next host N3
+      DepNode(5, "ל", "ל", "IN", "_", 6, "case"),     // proclitic → host N3
+      DepNode(6, "עיר", "עיר", "NN", "_", 3, "dep"))) // clause 2 head → spine
+    // tree well-formedness: exactly one root, acyclic (every node reaches 0)
+    assert(dep.count(_.head == 0) === 1)
+    val headOf = dep.map(d => d.id -> d.head).toMap
+    for (d <- dep) {
+      var cur = d.id; var steps = 0
+      while (cur != 0 && steps <= dep.length) { cur = headOf(cur); steps += 1 }
+      assert(cur === 0, s"node ${d.id} does not reach root")
+    }
+  }
+
+  test("CoNLL write/read round-trips the dep parse (A8)") {
+    import graft.lattice.DepParser
+    val s1 = DepParser.parse(IndexedSeq("ב", "בית"), IndexedSeq("ב", "בית"),
+      IndexedSeq("IN", "NN"), IndexedSeq.fill(2)("_"))
+    val s2 = DepParser.parse(IndexedSeq("עיר", "ו", "בית"), IndexedSeq("עיר", "ו", "בית"),
+      IndexedSeq("NN", "CC", "NN"), IndexedSeq.fill(3)("gen=F"))
+    val text = graft.io.ConllFiles.writeConll(Seq(s1, s2))
+    assert(graft.io.ConllFiles.readConll(text) === Seq(s1, s2))
   }
 
   // ---- mention eval (E1-E3) ----

@@ -116,6 +116,27 @@ class PipelineSpec extends AnyFunSuite {
     }))
   }
 
+  test("A11/C10: every annotated sentence carries a well-formed dependency tree") {
+    val docs = annotated.collect()
+    var sents = 0
+    docs.foreach(_.sents.foreach { s =>
+      val morphs = s.tokens.flatMap(_.morphs)
+      if (morphs.nonEmpty && morphs.exists(_.deprel.nonEmpty)) {
+        sents += 1
+        assert(morphs.count(m => m.head == 0 && m.deprel == "root") === 1,
+          s"sentence without exactly one root: ${morphs.map(m => (m.form, m.head, m.deprel)).mkString(" ")}")
+        // non-last morphemes of a token are proclitics → case/det/cc/mark
+        s.tokens.foreach { t =>
+          t.morphs.dropRight(1).foreach(m =>
+            assert(Set("case", "det", "cc", "mark").contains(m.deprel), s"clitic ${m.form} got ${m.deprel}"))
+        }
+        // heads in range
+        morphs.foreach(m => assert(m.head >= 0 && m.head <= morphs.length))
+      }
+    })
+    assert(sents > 0)
+  }
+
   test("F12 model registry mirrors the reference's six MODEL_PATHS entries") {
     val reg = Pipeline.fixtureRegistry
     assert(reg.keySet === Set("token-single", "token-single_oov",
