@@ -78,89 +78,152 @@ object Pipeline {
     */
   def annotateDoc(m: Models, lex: String => Boolean, in: InputDoc,
                   usePruning: Boolean = true): Doc = {
+    // Imperative assembly throughout: this is the engine's hot path, and the
+    // idiomatic Range.map/zip/flatten glue allocated more (Vector builders,
+    // boxed indices) than the neural scorer computed — at 32 threads that
+    // allocation traffic is the memory-bandwidth contention that caps scaling
+    // (measured: tools/ThreadProbe + JFR). Semantics identical; the golden
+    // tests and the 36 driver oracles gate every change here.
+    import scala.collection.immutable.ArraySeq
     val textSpans = in.spans.filter(_.kind == "text")
-    val tokenized: IndexedSeq[IndexedSeq[String]] =
-      textSpans.iterator.map(sp => HebTokenizer.tokenize(sp.text).toIndexedSeq).toIndexedSeq
+    val nSents = textSpans.length
+    val tokArrs = new Array[Array[String]](nSents)
+    var si = 0
+    while (si < nSents) { tokArrs(si) = HebTokenizer.tokenize(textSpans(si).text).toArray; si += 1 }
     // B3 semantic filter: empty / over-long sentences are not scored (ref
     // drops them; we keep the tokens with O labels so passengers stay intact)
-    val scoreIdx = tokenized.indices.filter(i =>
-      tokenized(i).nonEmpty && tokenized(i).length < m.maxSentenceLength)
-    val batchPos = scoreIdx.zipWithIndex.toMap
+    val batchPos = new Array[Int](nSents) // sentence idx → batch slot, -1 = unscored
+    val scoreIdx = {
+      val b = new Array[Int](nSents)
+      var k = 0; var i = 0
+      while (i < nSents) {
+        val len = tokArrs(i).length
+        if (len > 0 && len < m.maxSentenceLength) { b(k) = i; batchPos(i) = k; k += 1 }
+        else batchPos(i) = -1
+        i += 1
+      }
+      java.util.Arrays.copyOf(b, k)
+    }
     // G1: the F1 batch machinery (desc-length sort → score → recover order) IS
     // the production path — all scoreable sentences of a doc decode as ONE
     // batch per model, not one call per sentence.
-    val batchToks = scoreIdx.map(tokenized)
+    val batchToks: IndexedSeq[IndexedSeq[String]] = {
+      val a = new Array[IndexedSeq[String]](scoreIdx.length)
+      var i = 0
+      while (i < scoreIdx.length) { a(i) = ArraySeq.unsafeWrapArray(tokArrs(scoreIdx(i))); i += 1 }
+      ArraySeq.unsafeWrapArray(a)
+    }
     val singleB = Scorer.decodeBatch(m.single, batchToks)
     val multiB = Scorer.decodeBatch(m.multi, batchToks)
     // D1 lattice → (D2/D3 prune with multi labels, hybrid only) → D4 MD,
     // per sentence; morph forms grouped per token (C7/C8)
-    val formsPerSent: IndexedSeq[IndexedSeq[IndexedSeq[String]]] = scoreIdx.map { si =>
-      val toks = tokenized(si)
-      val multi = multiB(batchPos(si))
-      val lattice = Analyzer.sentenceLattice(toks, lex).toIndexedSeq
+    val formsPerSent = new Array[Array[Array[String]]](scoreIdx.length)
+    val morphFlats = new Array[IndexedSeq[String]](scoreIdx.length)
+    var bi = 0
+    while (bi < scoreIdx.length) {
+      val toks = tokArrs(scoreIdx(bi))
+      val multi = multiB(bi)
+      val lattice = Analyzer.sentenceLattice(ArraySeq.unsafeWrapArray(toks), lex).toIndexedSeq
       val pruned =
         if (usePruning) Prune.pruneSentence(lattice, multi, nonOOnly = false)
         else lattice
       val md = Disambig.disambiguate(pruned, lex)
-      val formsByTid = new java.util.HashMap[Int, IndexedSeq[String]]()
+      val formsByTid = new java.util.HashMap[Int, Array[String]]()
       for ((tid, es) <- Align.groupByToken(md.map(_.tokenId).toSeq, md.toSeq))
-        formsByTid.put(tid, es.map(_.form).toIndexedSeq)
-      toks.indices.map { i =>
+        formsByTid.put(tid, es.iterator.map(_.form).toArray)
+      val forms = new Array[Array[String]](toks.length)
+      var nFlat = 0
+      var i = 0
+      while (i < toks.length) {
         val f = formsByTid.get(i + 1)
-        if (f != null) f else IndexedSeq(toks(i))
+        forms(i) = if (f != null) f else Array(toks(i))
+        nFlat += forms(i).length
+        i += 1
       }
+      formsPerSent(bi) = forms
+      val flat = new Array[String](nFlat)
+      var off = 0; i = 0
+      while (i < forms.length) {
+        System.arraycopy(forms(i), 0, flat, off, forms(i).length); off += forms(i).length; i += 1
+      }
+      morphFlats(bi) = ArraySeq.unsafeWrapArray(flat)
+      bi += 1
     }
     // G4 second NER run on predicted morphemes — again one batch per doc
-    val morphB = Scorer.decodeBatch(m.morph, formsPerSent.map(_.flatten))
-    val sents = tokenized.indices.map { idx =>
-      val toks = tokenized(idx)
-      batchPos.get(idx) match {
-        case None =>
-          Sentence(idx.toLong, toks.map(t =>
-            Token(t, "O", "O", "O", "O", Array(Morpheme(t, t, "NN", "_", 0, "O", "O")))).toArray)
-        case Some(bi) =>
-          val single = singleB(bi)
-          val multi = multiB(bi)
-          val formsPerTok = formsPerSent(bi)
-          val morphLabels = morphB(bi)
-          // re-split morph labels back per token
-          val morphLabelsPerTok = {
-            var off = 0
-            formsPerTok.map { fs => val r = morphLabels.slice(off, off + fs.length); off += fs.length; r }
+    val morphB = Scorer.decodeBatch(m.morph, ArraySeq.unsafeWrapArray(morphFlats))
+    val sents = new Array[Sentence](nSents)
+    var idx = 0
+    while (idx < nSents) {
+      val toks = tokArrs(idx)
+      val slot = batchPos(idx)
+      if (slot < 0) {
+        val tokens = new Array[Token](toks.length)
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          tokens(i) = Token(t, "O", "O", "O", "O", Array(Morpheme(t, t, "NN", "_", 0, "O", "O")))
+          i += 1
+        }
+        sents(idx) = Sentence(idx.toLong, tokens)
+      } else {
+        val single = singleB(slot)
+        val multi = multiB(slot)
+        val formsPerTok = formsPerSent(slot)
+        val morphLabels = morphB(slot)
+        // A11/C10: arc-standard dependency parse over the sentence's
+        // morpheme sequence; (head, deprel) zip positionally onto morphemes
+        val nFlat = morphFlats(slot).length
+        val flatForms = morphFlats(slot)
+        val flatPos = {
+          val a = new Array[String](nFlat)
+          var off = 0; var i = 0
+          while (i < formsPerTok.length) {
+            val len = formsPerTok(i).length
+            var j = 0
+            while (j < len) { a(off + j) = if (j < len - 1) "IN" else "NN"; j += 1 }
+            off += len; i += 1
           }
+          ArraySeq.unsafeWrapArray(a)
+        }
+        val depNodes = graft.lattice.DepParser.parse(
+          flatForms, flatForms, flatPos, feats = null)
+        val tokens = new Array[Token](toks.length)
+        var off = 0
+        var i = 0
+        while (i < toks.length) {
+          val forms = formsPerTok(i)
+          val len = forms.length
           // G5 multi_align_hybrid: soft-merge multi atoms onto morphemes (C4)
-          val alignPerTok = toks.indices.map { i =>
-            Align.softMergeToken(formsPerTok(i), multi(i))._2.map(_._2)
+          val align = Align.softMergeToken(ArraySeq.unsafeWrapArray(forms), multi(i))._2
+          val morphs = new Array[Morpheme](len)
+          var j = 0
+          while (j < len) {
+            val dep = depNodes(off + j)
+            morphs(j) = Morpheme(forms(j), forms(j), if (j < len - 1) "IN" else "NN", "_",
+              i + 1,
+              nemoMorph = morphLabels(off + j),
+              nemoMultiAlignMorph = if (j < align.length) align(j)._2 else "O",
+              head = dep.head, deprel = dep.deprel)
+            j += 1
           }
-          // A11/C10: arc-standard dependency parse over the sentence's
-          // morpheme sequence; (head, deprel) zip positionally onto morphemes
-          val posPerTok = formsPerTok.map(fs =>
-            fs.indices.map(j => if (j < fs.length - 1) "IN" else "NN"))
-          val depNodes = graft.lattice.DepParser.parse(
-            formsPerTok.flatten, formsPerTok.flatten, posPerTok.flatten,
-            IndexedSeq.fill(formsPerTok.map(_.length).sum)("_"))
-          val depOffsets = formsPerTok.scanLeft(0)(_ + _.length)
-          val tokens = toks.indices.map { i =>
-            val morphs = formsPerTok(i).indices.map { j =>
-              val form = formsPerTok(i)(j)
-              val dep = depNodes(depOffsets(i) + j)
-              Morpheme(form, form, if (j < formsPerTok(i).length - 1) "IN" else "NN", "_",
-                i + 1,
-                nemoMorph = morphLabelsPerTok(i).applyOrElse(j, (_: Int) => "O"),
-                nemoMultiAlignMorph = alignPerTok(i).applyOrElse(j, (_: Int) => "O"),
-                head = dep.head, deprel = dep.deprel)
-            }.toArray
-            Token(
-              text = toks(i),
-              nemoSingle = single(i),
-              nemoMulti = multi(i),
-              nemoMultiAlignToken = Biose.fixMultiBiose(multi(i)),       // G2/B5
-              nemoMorphAlignToken = Align.fixedTokenLabel(morphLabelsPerTok(i).toSeq), // G6/C6
-              morphs = morphs)
-          }.toArray
-          Sentence(idx.toLong, tokens)
+          // G6/C6: per-token morph labels for the fixed token label
+          val mlabs = new Array[String](len)
+          j = 0
+          while (j < len) { mlabs(j) = morphLabels(off + j); j += 1 }
+          tokens(i) = Token(
+            text = toks(i),
+            nemoSingle = single(i),
+            nemoMulti = multi(i),
+            nemoMultiAlignToken = Biose.fixMultiBiose(multi(i)),       // G2/B5
+            nemoMorphAlignToken = Align.fixedTokenLabel(ArraySeq.unsafeWrapArray(mlabs)), // G6/C6
+            morphs = morphs)
+          off += len
+          i += 1
+        }
+        sents(idx) = Sentence(idx.toLong, tokens)
       }
-    }.toArray
+      idx += 1
+    }
     Doc(in.doc_id, in.spans, sents)
   }
 

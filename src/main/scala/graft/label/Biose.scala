@@ -35,23 +35,45 @@ object Biose {
     * (e.g. "^B" spillover) are truncated by the [:3].
     */
   def fixMultiBiose(tag: String): String = {
-    val parts = tag.split('^').map(p => if (p.isEmpty) ' ' else p.charAt(0))
-    val cat =
-      if (tag.contains('-')) {
-        // Scala's split drops trailing empty strings, so a tag whose only '-'
-        // is trailing (e.g. "B-") yields one segment; Python's split keeps the
-        // empty "" and the reference returns "B-" — degrade identically
-        // instead of throwing on malformed external corpora.
-        val segs = tag.split('-')
-        val seg = if (segs.length > 1) segs(1) else ""
-        "-" + seg.substring(0, math.min(3, seg.length))
-      } else ""
+    // allocation-free scan of each ^-segment's first char (split + char-array
+    // map boxed every char through the generic array path — hot in annotate)
+    var hasS = false; var hasB = false; var hasE = false; var hasI = false
+    var i = 0
+    var segStart = true
+    while (i < tag.length) {
+      val c = tag.charAt(i)
+      if (segStart && c != '^') {
+        c match {
+          case 'S' => hasS = true
+          case 'B' => hasB = true
+          case 'E' => hasE = true
+          case 'I' => hasI = true
+          case _   => ()
+        }
+        segStart = false
+      }
+      if (c == '^') segStart = true
+      i += 1
+    }
+    val cat = {
+      // Python semantics: tag.split('-')[1][:3] — the segment between the
+      // first and second '-', truncated to 3 chars; a trailing-dash tag
+      // (e.g. "B-") degrades to an empty category like the reference,
+      // instead of throwing.
+      val d = tag.indexOf('-')
+      if (d < 0) ""
+      else {
+        val next = tag.indexOf('-', d + 1)
+        val end = math.min(d + 1 + 3, if (next < 0) tag.length else next)
+        "-" + tag.substring(d + 1, math.max(d + 1, end))
+      }
+    }
     val bio =
-      if (parts.contains('S')) "S"
-      else if (parts.contains('B') && parts.contains('E')) "S"
-      else if (parts.contains('E')) "E"
-      else if (parts.contains('B')) "B"
-      else if (parts.contains('I')) "I"
+      if (hasS) "S"
+      else if (hasB && hasE) "S"
+      else if (hasE) "E"
+      else if (hasB) "B"
+      else if (hasI) "I"
       else "O"
     bio + cat
   }

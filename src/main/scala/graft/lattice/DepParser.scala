@@ -59,7 +59,8 @@ object DepParser {
 
   /** Parse a sentence given parallel (form, lemma, xpos, feats) morpheme
     * attributes. Returns one DepNode per morpheme, ids 1-based, head 0 = root.
-    */
+    * `feats = null` means "all underscore" (saves the caller an allocation on
+    * the hot path). */
   def parse(forms: IndexedSeq[String], lemmas: IndexedSeq[String],
             xpos: IndexedSeq[String], feats: IndexedSeq[String]): IndexedSeq[DepNode] = {
     val n = forms.length
@@ -89,9 +90,15 @@ object DepParser {
         }
       }
     }
-    (1 to n).map(i => DepNode(i, forms(i - 1), lemmas(i - 1), xpos(i - 1),
-      feats(i - 1), math.max(head(i), 0), if (head(i) <= 0 && rel(i).isEmpty) "root" else rel(i)))
-      .toIndexedSeq
+    val out = new Array[DepNode](n)
+    var k = 1
+    while (k <= n) {
+      out(k - 1) = DepNode(k, forms(k - 1), lemmas(k - 1), xpos(k - 1),
+        if (feats == null) "_" else feats(k - 1),
+        math.max(head(k), 0), if (head(k) <= 0 && rel(k).isEmpty) "root" else rel(k))
+      k += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Convenience: parse an MD lattice path (one edge per morpheme). */

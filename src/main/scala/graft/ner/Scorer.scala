@@ -129,7 +129,16 @@ object Scorer {
   /** Sequence feature extractor (F6): stacked BiLSTM or 1-layer word CNN
     * (NCRF++ word_feature_extractor), then hidden2tag → per-token tag scores. */
   def emissions(m: NerModel, tokens: IndexedSeq[String]): Array[Array[Float]] = {
-    var reps: Array[Array[Float]] = tokens.map(t => wordRep(m, t)).toArray
+    // explicit loop: a generic .map(...).toArray routes every element store
+    // through reflective ScalaRunTime.array_update — measured as expensive as
+    // the whole Viterbi pass at 32 threads (JFR, tools/ThreadProbe)
+    var reps: Array[Array[Float]] = {
+      val n = tokens.length
+      val arr = new Array[Array[Float]](n)
+      var i = 0
+      while (i < n) { arr(i) = wordRep(m, tokens(i)); i += 1 }
+      arr
+    }
     if (m.config.wordExtractor == "CNN") {
       val k = if (m.cnnW.nonEmpty) m.cnnW(0).length else 1
       val inDim = if (m.cnnW.nonEmpty) m.cnnW(0)(0).length else 0
@@ -164,11 +173,17 @@ object Scorer {
       while (layer < m.lstm.length) {
         val fwd = lstmRun(m.lstm(layer)(0), reps, reverse = false)
         val bwd = lstmRun(m.lstm(layer)(1), reps, reverse = true)
-        reps = Array.tabulate(reps.length)(t => fwd(t) ++ bwd(t))
+        val merged = new Array[Array[Float]](reps.length)
+        var t = 0
+        while (t < reps.length) { merged(t) = fwd(t) ++ bwd(t); t += 1 }
+        reps = merged
         layer += 1
       }
     }
-    reps.map(r => affine(m.hidden2tag, m.hidden2tagB, r))
+    val out = new Array[Array[Float]](reps.length)
+    var t = 0
+    while (t < reps.length) { out(t) = affine(m.hidden2tag, m.hidden2tagB, reps(t)); t += 1 }
+    out
   }
 
   // ---------- CRF (F7/F8) ----------
@@ -185,12 +200,12 @@ object Scorer {
     val start = m.startTag; val stop = m.stopTag
     var prev = new Array[Float](t)
     var cur = new Array[Float](t)
-    val bp = Array.ofDim[Int](L, t)
+    val bp = new Array[Int](L * t) // flat: one allocation, not L row arrays
     var j = 0
     while (j < t) { prev(j) = tr(start)(j) + emit(0)(j); j += 1 }
     var i = 1
     while (i < L) {
-      val bpi = bp(i); val emi = emit(i)
+      val base = i * t; val emi = emit(i)
       var to = 0
       while (to < t) {
         val trTo = trT(to)
@@ -201,7 +216,7 @@ object Scorer {
           if (s > best) { best = s; arg = from }
           from += 1
         }
-        cur(to) = best + emi(to); bpi(to) = arg
+        cur(to) = best + emi(to); bp(base + to) = arg
         to += 1
       }
       val tmp = prev; prev = cur; cur = tmp
@@ -217,7 +232,7 @@ object Scorer {
     val out = new Array[Int](L)
     out(L - 1) = arg
     i = L - 1
-    while (i > 0) { out(i - 1) = bp(i)(out(i)); i -= 1 }
+    while (i > 0) { out(i - 1) = bp(i * t + out(i)); i -= 1 }
     out
   }
 
@@ -278,10 +293,16 @@ object Scorer {
       val toks = sents(i) // is kept for fidelity of iteration order
       val labs =
         if (toks.isEmpty) IndexedSeq.empty[String]
-        else viterbi(m, emissions(m, toks)).map(m.labelAlphabet.instance).toIndexedSeq
+        else {
+          val ids = viterbi(m, emissions(m, toks))
+          val arr = new Array[String](ids.length)
+          var k = 0
+          while (k < ids.length) { arr(k) = m.labelAlphabet.instance(ids(k)); k += 1 }
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+        }
       decoded(i) = labs
     }
-    decoded.toIndexedSeq // index-addressed writes == recover permutation
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(decoded) // index-addressed writes == recover permutation
   }
 
   /** Partition-level decode: batches of cfg.batchSize, keys carried through.
