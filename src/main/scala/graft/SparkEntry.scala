@@ -155,6 +155,11 @@ object SparkEntry {
         purchases, signups, Seq("user_id"), "ts", "s_ts", Seq("signup_id"))
         .select(col("event_id"), col("asof_signup_id").as("signup_id"))
     }),
+    "q_sessionize" -> ((s, dir) => {
+      // gap-and-island sessionization (batch twin of the streaming
+      // flatMapGroupsWithState sessionizer): 30-minute inactivity gap
+      graft.operators.Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)
+    }),
     "q_json_extract" -> ((s, dir) => {
       // JSON scalar extraction from the props column
       t(s, dir, "events").select(col("event_id"),
@@ -423,6 +428,16 @@ object SparkEntry {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |y AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS g FROM x)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, g""".stripMargin,
     "d_token_count" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens FROM documents""".stripMargin,
     "d_fingerprint" ->

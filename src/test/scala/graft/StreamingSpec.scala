@@ -65,6 +65,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.distinct().count() === 10)
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) equals batch gap-and-island on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamSessionize, StreamSessionize.Event
+    def ev(u: Long, sec: Long) = Event(u, new java.sql.Timestamp(sec * 1000L))
+    val base = 1700000000L
+    val events = Seq(
+      ev(1, base), ev(1, base + 60), ev(1, base + 5000),        // user1: sessions of 2 and 1
+      ev(2, base + 10), ev(2, base + 1700), ev(2, base + 3600), // user2: sessions of 2 and 1
+      ev(3, base + 100))                                        // user3: one singleton
+    val stream = MemoryStream[Event]
+    val out = StreamSessionize.sessions(spark, stream.toDS(), gapSeconds = 1800, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_stream").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    stream.addData(events: _*); q.processAllAvailable()
+    // two flusher events push the watermark past every gap boundary so the
+    // event-time timeouts fire and the open sessions close
+    stream.addData(ev(999, base + 100000)); q.processAllAvailable()
+    stream.addData(ev(999, base + 200000)); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM sess_stream WHERE user_id <> 999")
+    val batch = graft.operators.Sessionize.sessions(
+      spark.createDataset(events).toDF(), "user_id", "ts", gapSeconds = 1800)
+      .filter(col("user_id") =!= 999)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(got.count() === 5)
+    assert(got.exceptAll(batch).count() === 0, "stream-only sessions")
+    assert(batch.exceptAll(got).count() === 0, "batch-only sessions")
+  }
+
   test("streaming pipeline: docs stream → annotate → triples per epoch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[InputDoc]
