@@ -143,6 +143,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).cast("long").as("sum_value_c"))
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // forward as-of: each purchase matched to the user's NEXT signup at or
+      // after it (same union+window technique, reversed order)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
+      graft.operators.AsOfJoin.asofForward(
+        purchases, signups, Seq("user_id"), "ts", "s_ts", Seq("signup_id"))
+        .select(col("event_id"), col("asof_signup_id").as("signup_id"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // as-of join: each purchase matched to the user's most recent prior
       // signup (union+window technique — one shuffle, no range explosion)
@@ -196,6 +208,12 @@ object SparkEntry {
         .groupBy("fp")
         .agg(count(lit(1)).as("dup_count"), min("doc_id").as("keep_id"))
         .filter(col("dup_count") > 1)
+    }),
+    "d_exact_dedup_keep" -> ((s, dir) => {
+      // keep-one-representative dedup (window form; min doc_id wins) on the
+      // same prefix fingerprint as d_exact_dup_groups
+      Dedup.exactDedupBy(t(s, dir, "documents"), "doc_id", md5(substring(col("text"), 1, 30)))
+        .select(col("doc_id"))
     }),
     "d_quality_basis" -> ((s, dir) => {
       // quality ratios as basis points via integer division (engine-stable)
@@ -276,6 +294,13 @@ object SparkEntry {
       // G3: MD over the raw ambiguous lattice (no NER-guided pruning)
       annotatedMentions(s, 300, "morph", usePruning = false)),
     "nemo_mentions_multi_align" -> ((s, _) => annotatedMentions(s, 300, "multi-align-morph")),
+    "nemo_mentions_multi_align_token" -> ((s, _) =>
+      // G2/B5: fix_multi_biose collapses multi labels to token level — on the
+      // oracle corpus this must equal the gold token-single layer
+      annotatedMentions(s, 300, "multi-align-token")),
+    "nemo_mentions_morph_align_token" -> ((s, _) =>
+      // G6/C6: morph labels fixed back to token level — same gold equality
+      annotatedMentions(s, 300, "morph-align-token")),
     "nemo_linked" -> ((s, _) => {
       import s.implicits._
       val mentions = annotatedMentions(s, 300, "morph")
@@ -426,6 +451,15 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT p.event_id, s.event_id AS signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts <= s.ts""".stripMargin,
+    "d_exact_dedup_keep" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 30)) ORDER BY doc_id) AS rk
+        |  FROM documents) WHERE rk = 1""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""".stripMargin,
     "q_sessionize" ->
@@ -479,6 +513,8 @@ object SparkEntry {
     "nemo_mentions_morph" -> OracleSql.mentions("morph_forms", "morph_labels", "morph", "morph"),
     "nemo_mentions_morph_yap" -> OracleSql.mentions("morph_forms", "morph_labels", "morph", "morph"),
     "nemo_mentions_multi_align" -> OracleSql.mentions("morph_forms", "morph_labels", "morph", "multi-align-morph"),
+    "nemo_mentions_multi_align_token" -> OracleSql.mentions("tok_forms", "tok_single", "token", "multi-align-token"),
+    "nemo_mentions_morph_align_token" -> OracleSql.mentions("tok_forms", "tok_single", "token", "morph-align-token"),
     "nemo_linked" -> OracleSql.linked,
     "nemo_triples" -> OracleSql.triples,
     "nemo_media_features" ->

@@ -28,8 +28,12 @@ object Dedup {
       .filter(col("dup_count") > 1)
 
   /** Keep exactly one representative per fingerprint (min id wins). */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextQuality.fingerprint(col(textCol))).orderBy(col(idCol))
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedupBy(df, idCol, TextQuality.fingerprint(col(textCol)))
+
+  /** Keep-one dedup over an arbitrary fingerprint expression. */
+  def exactDedupBy(df: DataFrame, idCol: String, fp: Column): DataFrame = {
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
   }
 

@@ -49,4 +49,36 @@ object AsOfJoin {
         left.columns.map(col) ++
           rightPayload.map(p => col(s"_asof.$p").as(s"asof_$p")): _*)
   }
+
+  /** As-of FORWARD join — for each left row, the earliest right row with
+    * right.ts ≥ left.ts on the same key. Same union+window technique with the
+    * timestamp order reversed; still one shuffle, no range explosion. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("_t", col(leftTs))
+      .withColumn("_tag", lit(1))
+    val r = right
+      .select((key.map(col) :+ col(rightTs).as("_t")) ++ rightPayload.map(col): _*)
+      .withColumn("_tag", lit(0))
+      .withColumn("_payload", struct(rightPayload.map(col): _*))
+      .drop(rightPayload: _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // descending ts: the running window holds rows with _t ≥ current; right
+    // rows sort before left at equal _t so ties match (ts-inclusive)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("_t").desc, col("_tag").asc, col("_payload").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1 && col("_asof").isNotNull)
+      .select(
+        left.columns.map(col) ++
+          rightPayload.map(p => col(s"_asof.$p").as(s"asof_$p")): _*)
+  }
 }
