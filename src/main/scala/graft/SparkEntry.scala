@@ -35,12 +35,24 @@ object SparkEntry {
   private def fixtureDocsDf(spark: SparkSession, n: Int): org.apache.spark.sql.Dataset[graft.schema.InputDoc] =
     Fixtures.inputDocsDs(spark, n, spark.sparkContext.defaultParallelism)
 
+  /** Annotate-once cache: the nemo_* queries are different PROJECTIONS of the
+    * same annotated corpus (scenario label layers all live on one Doc row), so
+    * annotating once and extracting many times is the engine's real design —
+    * exactly what Pipeline.runAll's docs_labeled stage checkpoint does at
+    * scale. Keyed by session identity so a fresh SparkSession re-annotates. */
+  private val annotCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Boolean), org.apache.spark.sql.Dataset[graft.schema.Doc]]()
+
+  private def annotatedDocs(spark: SparkSession, n: Int,
+                            usePruning: Boolean): org.apache.spark.sql.Dataset[graft.schema.Doc] =
+    annotCache.computeIfAbsent((System.identityHashCode(spark), n, usePruning), _ => {
+      val models = spark.sparkContext.broadcast(fixtureModels)
+      Pipeline.annotate(spark, fixtureDocsDf(spark, n), models, usePruning).persist()
+    })
+
   private def annotatedMentions(spark: SparkSession, n: Int, scenario: String,
-                                usePruning: Boolean = true): DataFrame = {
-    val models = spark.sparkContext.broadcast(fixtureModels)
-    val docs = Pipeline.annotate(spark, fixtureDocsDf(spark, n), models, usePruning)
-    Pipeline.extractMentions(docs, scenario)
-  }
+                                usePruning: Boolean = true): DataFrame =
+    Pipeline.extractMentions(annotatedDocs(spark, n, usePruning), scenario)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full mention-detection pipeline (tokenize → token-multi NER → lattice →
