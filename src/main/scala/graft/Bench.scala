@@ -154,39 +154,26 @@ object Bench {
       val steal = if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
       (sec, steal)
     }
-    // median-of-quiet-samples per level: sample until ≥3 QUIET runs or the
-    // retry budget is spent, then take the MEDIAN wall time of the quiet runs.
-    // Quiet means BOTH (a) /proc/stat steal ≤ 1% AND (b) task CPU time within
-    // 15% of the level's minimum — the work is fixed and JIT-warm, so CPU
-    // inflation on a sample is direct evidence of neighbor memory-bandwidth
-    // interference, which steal% does NOT detect (measured: a noisy window
-    // doubled task CPU for identical work at 0.17% steal). Median (not min)
-    // keeps one lucky sample from biasing the ratio; min–max spread of all
-    // samples is reported so the headline is interpretable.
-    // Returns (wallSec, steal, cpuSec, min wall, max wall).
-    def measure(level: Int, minQuiet: Int = 3, maxRepeats: Int = 8): (Double, Double, Double, Double, Double) = {
+    // One sample at one parallelism level in a fresh session (the JVM stays
+    // JIT-warm across sessions; a small warmup run absorbs session/scheduler
+    // start-up before the timed run).
+    final case class Sample(wall: Double, steal: Double, cpu: Double) {
+      def dps: Double = nDocs / wall
+    }
+    def sampleLevel(level: Int): Sample = {
       val s = session(level)
       val cpuL = new CpuTimeListener
       s.sparkContext.addSparkListener(cpuL)
       pipelineRun(s, 4000, parts)
-      var xs = List.empty[(Double, Double, Double)]
-      def quietOf(l: List[(Double, Double, Double)]) = {
-        if (l.isEmpty) l
-        else { val minCpu = l.map(_._3).min; l.filter(x => x._2 <= 0.01 && x._3 <= minCpu * 1.15) }
-      }
-      var i = 0
-      while (i < maxRepeats && quietOf(xs).length < minQuiet) {
-        val c0 = cpuL.cpuNs.get
-        val (sec, steal) = timedOnce(level, s)
-        Thread.sleep(300) // listener bus is async; let task-end events drain
-        xs = (sec, steal, (cpuL.cpuNs.get - c0) / 1e9) :: xs
-        i += 1
-      }
+      val c0 = cpuL.cpuNs.get
+      val (sec, steal) = timedOnce(level, s)
+      Thread.sleep(300) // listener bus is async; let task-end events drain
+      val cpu = (cpuL.cpuNs.get - c0) / 1e9
       s.stop()
-      val quiet = quietOf(xs)
-      val pool = if (quiet.nonEmpty) quiet else xs
-      val med = pool.sortBy(_._1).apply(pool.length / 2)
-      (med._1, med._2, med._3, xs.map(_._1).min, xs.map(_._1).max)
+      Sample(sec, steal, cpu)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
     }
     // Primary pair: N=2 vs 4N=8 cores — measured stable on this sandbox host.
     // The host oversubscribes beyond ~8-16 concurrent vCPUs (see steal +
@@ -195,31 +182,45 @@ object Bench {
     // job (a real N vs 4N executor fleet has per-host isolation).
     val pairLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIR_LOW", "2").toInt
     val pairHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIR_HIGH", "8").toInt
-    val (secLow, stealLow, cpuLow, minLow, maxLow) = measure(pairLow)
-    val (secHigh, stealHigh, cpuHigh, minHigh, maxHigh) = measure(pairHigh)
-    val (sec8, steal8, cpu8, min8, max8) = measure(nLow)
-    val (sec32, steal32, cpu32, min32, max32) = measure(cpus)
+    // INTERLEAVED pair sampling: host noise comes in minute-scale windows, so
+    // sampling each level in its own window lets a noisy window land on one
+    // side of the ratio only (observed headline swings 0.51–1.03 run-to-run).
+    // Each round measures low→high→32 back-to-back; the per-round ratio sees
+    // the same host conditions on both sides, and the headline is the MEDIAN
+    // of per-round ratios. Wall and CPU ratios are both reported; CPU-basis
+    // (docs-per-CPU-second from Spark task metrics) additionally removes
+    // scheduler idle and steal, isolating intrinsic work inflation.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
+    val trips = (1 to rounds).map { _ =>
+      (sampleLevel(pairLow), sampleLevel(pairHigh), sampleLevel(cpus))
+    }
+    val lows = trips.map(_._1); val highs = trips.map(_._2); val tops = trips.map(_._3)
+    val effs = trips.map { case (l, h, _) => (h.dps / l.dps) / (pairHigh.toDouble / pairLow) }
+    val cpuEffs = trips.map { case (l, h, _) => if (h.cpu > 0) l.cpu / h.cpu else 0.0 }
+    val effs2 = trips.map { case (_, h, t) => (t.dps / h.dps) / (cpus.toDouble / nLow) }
+    val cpuEffs2 = trips.map { case (_, h, t) => if (t.cpu > 0) h.cpu / t.cpu else 0.0 }
+    val eff = median(effs); val cpuEff = median(cpuEffs)
+    val eff2 = median(effs2); val cpuEff2 = median(cpuEffs2)
+    val (secLow, stealLow, cpuLow) = (median(lows.map(_.wall)), median(lows.map(_.steal)), median(lows.map(_.cpu)))
+    val (secHigh, stealHigh, cpuHigh) = (median(highs.map(_.wall)), median(highs.map(_.steal)), median(highs.map(_.cpu)))
+    val (sec8, steal8, cpu8) = (secHigh, stealHigh, cpuHigh) // nLow == pairHigh level
+    val (sec32, steal32, cpu32) = (median(tops.map(_.wall)), median(tops.map(_.steal)), median(tops.map(_.cpu)))
+    val (minLow, maxLow) = (lows.map(_.wall).min, lows.map(_.wall).max)
+    val (minHigh, maxHigh) = (highs.map(_.wall).min, highs.map(_.wall).max)
+    val (min8, max8) = (minHigh, maxHigh)
+    val (min32, max32) = (tops.map(_.wall).min, tops.map(_.wall).max)
 
     // --- skew: hot-key shuffle join, unsalted vs salted vs AQE skew-split ---
     val (skewNoSalt, skewSalt, skewAqe) = skewBench(cpus)
 
     val dpsLow = nDocs / secLow
     val dpsHigh = nDocs / secHigh
-    val eff = (dpsHigh / dpsLow) / (pairHigh.toDouble / pairLow)
-    // steal-adjusted: scales each side's throughput to a zero-steal host
-    // (labeled secondary — raw numbers stay the headline)
-    val effAdj = ((dpsHigh / (1 - stealHigh)) / (dpsLow / (1 - stealLow))) / (pairHigh.toDouble / pairLow)
+    val effAdj = median(trips.map { case (l, h, _) =>
+      ((h.dps / (1 - h.steal)) / (l.dps / (1 - l.steal))) / (pairHigh.toDouble / pairLow) })
     val dps8 = nDocs / sec8
     val dps32 = nDocs / sec32
-    val eff2 = (dps32 / dps8) / (cpus.toDouble / nLow)
-    // CPU-basis efficiency (Spark task metrics): docs-per-CPU-second ratio =
-    // cpu_low / cpu_high. Wall-clock efficiency conflates the job's intrinsic
-    // scaling with host oversubscription; the CPU basis isolates genuine work
-    // inflation (lock/memory contention, GC) — ≥0.8 here means the job itself
-    // scales and any wall gap is the shared host, corroborated by steal%.
-    val cpuEff = if (cpuHigh > 0) cpuLow / cpuHigh else 0.0
-    val cpuEff2 = if (cpu32 > 0) cpu8 / cpu32 else 0.0
     def util(cpu: Double, wall: Double, cores: Int) = cpu / (wall * cores)
+    def ratioList(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString(", ")
 
     def f(d: Double) = f"$d%.4f".toDouble
     // rows joined with an explicit margin prefix — a bare "|" at line start
@@ -229,8 +230,9 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    def jarr(xs: Seq[Double]) = xs.map(x => f(x)).mkString("[", ",", "]")
     val scaling =
-      s"""{"n_low":$pairLow,"n_high":$pairHigh,"docs":$nDocs,"docs_per_sec_low":${f(dpsLow)},"docs_per_sec_high":${f(dpsHigh)},"efficiency":${f(eff)},"efficiency_steal_adjusted":${f(effAdj)},"efficiency_cpu_basis":${f(cpuEff)},"cpu_sec_low":${f(cpuLow)},"cpu_sec_high":${f(cpuHigh)},"wall_spread_low":[${f(minLow)},${f(maxLow)}],"wall_spread_high":[${f(minHigh)},${f(maxHigh)}],"steal_low":${f(stealLow)},"steal_high":${f(stealHigh)},"secondary_pair":{"n_low":$nLow,"n_high":$cpus,"docs_per_sec_low":${f(dps8)},"docs_per_sec_high":${f(dps32)},"efficiency":${f(eff2)},"efficiency_cpu_basis":${f(cpuEff2)},"cpu_sec_low":${f(cpu8)},"cpu_sec_high":${f(cpu32)},"wall_spread_low":[${f(min8)},${f(max8)}],"wall_spread_high":[${f(min32)},${f(max32)}],"steal_low":${f(steal8)},"steal_high":${f(steal32)}}}"""
+      s"""{"n_low":$pairLow,"n_high":$pairHigh,"docs":$nDocs,"rounds":$rounds,"docs_per_sec_low":${f(dpsLow)},"docs_per_sec_high":${f(dpsHigh)},"efficiency":${f(eff)},"efficiency_steal_adjusted":${f(effAdj)},"efficiency_cpu_basis":${f(cpuEff)},"per_round_efficiency":${jarr(effs)},"per_round_cpu_basis":${jarr(cpuEffs)},"cpu_sec_low":${f(cpuLow)},"cpu_sec_high":${f(cpuHigh)},"wall_spread_low":[${f(minLow)},${f(maxLow)}],"wall_spread_high":[${f(minHigh)},${f(maxHigh)}],"steal_low":${f(stealLow)},"steal_high":${f(stealHigh)},"secondary_pair":{"n_low":$nLow,"n_high":$cpus,"docs_per_sec_low":${f(dps8)},"docs_per_sec_high":${f(dps32)},"efficiency":${f(eff2)},"efficiency_cpu_basis":${f(cpuEff2)},"per_round_efficiency":${jarr(effs2)},"per_round_cpu_basis":${jarr(cpuEffs2)},"cpu_sec_low":${f(cpu8)},"cpu_sec_high":${f(cpu32)},"wall_spread_low":[${f(min8)},${f(max8)}],"wall_spread_high":[${f(min32)},${f(max32)}],"steal_low":${f(steal8)},"steal_high":${f(steal32)}}}"""
     val skew =
       s"""{"unsalted_sec":${f(skewNoSalt)},"salted_sec":${f(skewSalt)},"aqe_sec":${f(skewAqe)}}"""
     val jsonLine =
@@ -260,14 +262,15 @@ object Bench {
          |MD Viterbi → morph NER → alignments → mention extraction) over $nDocs
          |deterministic fixture docs, $parts input partitions in every run.
          |
-         |Estimator: per level, sample until ≥3 QUIET runs or the retry budget is
-         |spent, then take the MEDIAN wall time of the quiet samples (min would
-         |let one lucky sample bias the ratio; median is robust both ways).
-         |Quiet = steal ≤ 1% AND task CPU within 15% of the level's minimum —
-         |CPU inflation on fixed, JIT-warm work is direct evidence of neighbor
-         |memory-bandwidth interference that steal% does not detect. The
-         |min–max spread of ALL samples is reported so the headline ratio is
-         |interpretable.
+         |Estimator: INTERLEAVED pair sampling over $rounds rounds — each round
+         |measures local[$pairLow] → local[$pairHigh] → local[$cpus]
+         |back-to-back (fresh session per sample, JVM stays JIT-warm), so host
+         |noise windows hit both sides of each per-round ratio; the headline is
+         |the MEDIAN of per-round ratios, with every round's ratio listed below.
+         |CPU-basis = docs-per-CPU-second ratio from Spark task metrics — immune
+         |to scheduler idle and steal, isolating the job's intrinsic work
+         |inflation (host memory-bandwidth noise still shows as guest cycles;
+         |see BENCH/NOTES.md). Min–max wall spread per level is also reported.
          |CPU-basis: summed executor task CPU time from Spark's task metrics —
          |docs-per-CPU-second is immune to host steal and scheduler idle, so its
          |ratio isolates the job's intrinsic work inflation from noisy-neighbor
@@ -280,7 +283,9 @@ object Bench {
          || local[$pairLow] | ${f(secLow)} | ${f(minLow)}–${f(maxLow)} | ${f(dpsLow)} | ${f(cpuLow)} | ${f(util(cpuLow, secLow, pairLow) * 100)}% | ${f(stealLow * 100)}% |
          || local[$pairHigh] | ${f(secHigh)} | ${f(minHigh)}–${f(maxHigh)} | ${f(dpsHigh)} | ${f(cpuHigh)} | ${f(util(cpuHigh, secHigh, pairHigh) * 100)}% | ${f(stealHigh * 100)}% |
          |
-         |Wall-clock scaling efficiency (throughput_high / throughput_low) / ($pairHigh/$pairLow) = **${f(eff)}**
+         |Per-round wall ratios: ${ratioList(effs)} · CPU-basis: ${ratioList(cpuEffs)}
+         |
+         |Wall-clock scaling efficiency (median of per-round ratios) = **${f(eff)}**
          |(target ≥ 0.8, BASELINE.md). Steal-adjusted: ${f(effAdj)}.
          |CPU-basis efficiency (cpu_low / cpu_high — work inflation at 4N): **${f(cpuEff)}**.
          |
@@ -293,6 +298,8 @@ object Bench {
          ||---|---|---|---|---|---|---|
          || local[$nLow] | ${f(sec8)} | ${f(min8)}–${f(max8)} | ${f(dps8)} | ${f(cpu8)} | ${f(util(cpu8, sec8, nLow) * 100)}% | ${f(steal8 * 100)}% |
          || local[$cpus] | ${f(sec32)} | ${f(min32)}–${f(max32)} | ${f(dps32)} | ${f(cpu32)} | ${f(util(cpu32, sec32, cpus) * 100)}% | ${f(steal32 * 100)}% |
+         |
+         |Per-round wall ratios: ${ratioList(effs2)} · CPU-basis: ${ratioList(cpuEffs2)}
          |
          |Secondary wall efficiency = **${f(eff2)}**; CPU-basis efficiency = **${f(cpuEff2)}**.
          |

@@ -67,4 +67,19 @@ object TableFormat {
   /** Load a table previously written by save (drops the bucket column). */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(BucketCol)
+
+  /** The bucket a key lands in — same hash as `save`, computable anywhere. */
+  def bucketOf(spark: SparkSession, key: String, buckets: Int = 32): Int =
+    spark.range(1).select(pmod(xxhash64(lit(key)), lit(buckets.toLong)).cast("int"))
+      .head().getInt(0)
+
+  /** Point lookup: rows whose `keyCol` equals `key`, reading ONLY that key's
+    * bucket directory (partition pruning on the bucket column — at 10^12-doc
+    * scale a doc fetch touches 1/buckets of the table, and the pruned
+    * partition shows up as PartitionFilters in the scan). */
+  def lookup(spark: SparkSession, path: String, keyCol: String, key: String,
+             buckets: Int = 32): DataFrame =
+    spark.read.parquet(path)
+      .filter(col(BucketCol) === bucketOf(spark, key, buckets) && col(keyCol) === key)
+      .drop(BucketCol)
 }

@@ -15,9 +15,11 @@ object ThreadProbe {
     val m = graft.SparkEntry.fixtureModels
     val lex: String => Boolean = m.lexicon.contains _
     val bean = ManagementFactory.getThreadMXBean
+    val genOnly = sys.env.contains("THREADPROBE_GEN_ONLY")
     def annotate(i: Int): Int = {
       val fd = graft.fixtures.Fixtures.doc(i)
-      graft.Pipeline.annotateDoc(m, lex, graft.schema.InputDoc(fd.docId, fd.spans.toArray)).sents.length
+      if (genOnly) fd.sentences.length
+      else graft.Pipeline.annotateDoc(m, lex, graft.schema.InputDoc(fd.docId, fd.spans.toArray)).sents.length
     }
     // warm JIT on one thread
     (0 until 4000).foreach(annotate)

@@ -114,6 +114,33 @@ class DatapipeSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall")
   }
 
+  test("IVF write-time artifact: cell-partitioned store serves probes via partition pruning") {
+    val r = new Random(13)
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(16)(r.nextFloat() * 2 - 1)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.centroids(corpus, "vec_id", "embedding", nCells = 8)
+    val assigned = Similarity.assignCells(corpus, "embedding", cents)
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(store)
+    // a probe of 2 cells must read only those partition directories
+    val probed = spark.read.parquet(store).filter(col("cell").isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    val onDisk = probed.count()
+    val expected = assigned.filter(col("cell").isin(0, 1)).count()
+    assert(onDisk === expected && onDisk > 0 && onDisk < 200)
+    // ivfTopKAssigned over the pruned store gives the same answer as inline
+    val queries = vecs.take(3).toDF("qid", "qvec")
+    val fromStore = Similarity.ivfTopKAssigned(
+      spark.read.parquet(store), "vec_id", "embedding", queries, "qid", "qvec",
+      k = 5, cents, nProbe = 4).select("qid", "id", "rk").as[(Long, Long, Int)].collect().toSet
+    val inline = Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 5, nCells = 8, nProbe = 4).select("qid", "id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(fromStore === inline)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(store))
+  }
+
   test("quality features and langId") {
     val df = Seq(
       (1L, "the quick brown fox is on the hill with the dog"),

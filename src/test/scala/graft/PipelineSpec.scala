@@ -201,6 +201,25 @@ class PipelineSpec extends AnyFunSuite {
     rm(new java.io.File(work))
   }
 
+  test("TableFormat.lookup point-reads exactly one bucket (partition pruning)") {
+    val work = java.nio.file.Files.createTempDirectory("graft-lookup").toString
+    val docs = spark.createDataset(Fixtures.inputDocs(40)).toDF()
+    TableFormat.save(docs, work, "doc_id", buckets = 8)
+    val hit = TableFormat.lookup(spark, work, "doc_id", "doc-000007", buckets = 8)
+    assert(hit.count() === 1)
+    // the physical plan must prune to ONE bucket directory
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    val pruned = spark.read.parquet(work)
+      .filter(col(TableFormat.BucketCol) === TableFormat.bucketOf(spark, "doc-000007", 8))
+    val bucketRows = pruned.count()
+    assert(bucketRows < 40, s"bucket holds $bucketRows of 40 — pruning would be pointless")
+    // wrong-bucket key is absent without scanning others
+    assert(TableFormat.lookup(spark, work, "doc_id", "doc-999999", buckets = 8).count() === 0)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(work))
+  }
+
   test("triples carry all five predicates with consistent subjects") {
     val mentions = Pipeline.extractMentions(annotated, "morph")
     val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()

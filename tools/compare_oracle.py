@@ -2,8 +2,8 @@ import duckdb, json, glob, sys
 import pyarrow.parquet as pq
 import pandas as pd
 
-sf = '/root/testdata/sf0.01'
-out = '/tmp/verify_out'
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 con = duckdb.connect()
 for t in ['lineitem','orders','customer','nation','region','supplier','part','documents','embeddings','events']:
     con.execute(f"create view {t} as select * from '{sf}/{t}.parquet'")
