@@ -213,6 +213,26 @@ object Bench {
     // --- skew: hot-key shuffle join, unsalted vs salted vs AQE skew-split ---
     val (skewNoSalt, skewSalt, skewAqe) = skewBench(cpus)
 
+    // --- end-to-end KG materialization: runAll (annotate → mentions → link →
+    // canonicalize → triples), every stage WRITTEN with manifests — the
+    // flagship number: how fast the engine turns raw docs into a queryable
+    // bucketed triple store ---
+    val (e2eDocs, e2eSec, e2eTriples) = {
+      val s = session(cpus)
+      import s.implicits._
+      val n = math.max(nDocs / 4, 5000)
+      val dict = s.createDataset(fixtures.Fixtures.entityDictionary()).toDF()
+      val docs = fixtures.Fixtures.inputDocsDs(s, n, parts)
+      val work = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      val t0 = System.nanoTime()
+      val nT = Pipeline.runAll(s, docs, dict, work, buckets = cpus, resume = false).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      def rm(fl: java.io.File): Unit = { if (fl.isDirectory) fl.listFiles.foreach(rm); fl.delete() }
+      rm(new java.io.File(work))
+      s.stop()
+      (n, sec, nT)
+    }
+
     val dpsLow = nDocs / secLow
     val dpsHigh = nDocs / secHigh
     val effAdj = median(trips.map { case (l, h, _) =>
@@ -236,7 +256,7 @@ object Bench {
     val skew =
       s"""{"unsalted_sec":${f(skewNoSalt)},"salted_sec":${f(skewSalt)},"aqe_sec":${f(skewAqe)}}"""
     val jsonLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"scaling":$scaling,"skew":$skew,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"scaling":$scaling,"skew":$skew,"e2e":{"docs":$e2eDocs,"sec":${f(e2eSec)},"docs_per_sec":${f(e2eDocs / e2eSec)},"triples":$e2eTriples},"sf":"$sfDir"}"""
     println(jsonLine)
     // the driver parses a bare file — sbt's [info]/[error] prefixes and
     // interleaved Spark logs make the stdout line unreliable (BENCH_r01 came
@@ -251,6 +271,9 @@ object Bench {
          |## Per-query wall time (sec, local[$cpus], $sfDir)
          |
          |Failed queries are marked FAILED and excluded from the total.
+         |Note: the nemo_* family shares ONE annotated corpus per session
+         |(annotate-once, extract-many — the docs_labeled stage-checkpoint
+         |design); the first nemo_* query to run pays the annotate cost.
          |
          || query | sec |
          ||---|---|
@@ -302,6 +325,12 @@ object Bench {
          |Per-round wall ratios: ${ratioList(effs2)} · CPU-basis: ${ratioList(cpuEffs2)}
          |
          |Secondary wall efficiency = **${f(eff2)}**; CPU-basis efficiency = **${f(cpuEff2)}**.
+         |
+         |## End-to-end KG materialization (runAll, all stages written)
+         |
+         |Raw docs → annotate → mentions → link → canonicalize → triples, every
+         |stage written as bucketed Parquet with manifests (checkpoint-resumable):
+         |**$e2eDocs docs → $e2eTriples triples in ${f(e2eSec)} s = ${f(e2eDocs / e2eSec)} docs/s** at local[$cpus].
          |
          |## Skew (hot-entity linking, shuffle-join path, broadcast disabled)
          |

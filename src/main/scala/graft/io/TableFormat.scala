@@ -19,10 +19,17 @@ object TableFormat {
   val BucketCol = "part_bucket"
 
   /** Write `df` bucketed by xxhash64(keyCol) % buckets. Deterministic layout:
-    * the same row lands in the same partition directory at any cluster size. */
+    * the same row lands in the same partition directory at any cluster size.
+    *
+    * Rows are repartitioned onto their bucket BEFORE the write: without it,
+    * every input task fans out into every bucket directory (inputPartitions ×
+    * buckets small files per stage — the classic small-files explosion that
+    * kills a 10^12-doc table's metadata layer). One shuffle buys one
+    * well-sized file per bucket per stage. */
   def save(df: DataFrame, path: String, keyCol: String, buckets: Int = 32,
            stage: String = "", extra: Map[String, String] = Map.empty): Unit = {
     val out = df.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int"))
+      .repartition(buckets, col(BucketCol))
     out.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
     // an Overwrite replaces file names under an already-listed path — drop the
     // session's cached FileIndex or later reads resolve to the deleted files
