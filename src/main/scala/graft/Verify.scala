@@ -16,8 +16,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // aux oracle-input tables first (fixture gold + frozen LSH/IVF randomness)
-    // — the oracle SQL reads them back via read_parquet('{{AUX}}/...')
-    val auxDir = s"$outDir/aux"
+    // — the oracle SQL reads them back via read_parquet('{{AUX}}/...').
+    // Absolute path: the driver's DuckDB process may run with a different cwd.
+    val auxDir = new java.io.File(s"$outDir/aux").getAbsolutePath
     SparkEntry.auxTables.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")

@@ -207,6 +207,12 @@ class PipelineSpec extends AnyFunSuite {
     TableFormat.save(docs, work, "doc_id", buckets = 8)
     val hit = TableFormat.lookup(spark, work, "doc_id", "doc-000007", buckets = 8)
     assert(hit.count() === 1)
+    // bucket-aligned write: exactly one parquet file per bucket directory
+    def parquetFiles(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles.map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    assert(parquetFiles(new java.io.File(work)) === 8,
+      "small-files regression: expected one file per bucket")
     // the physical plan must prune to ONE bucket directory
     val plan = hit.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan.take(500))
