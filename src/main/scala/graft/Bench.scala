@@ -224,20 +224,31 @@ object Bench {
     // canonicalize → triples), every stage WRITTEN with manifests — the
     // flagship number: how fast the engine turns raw docs into a queryable
     // bucketed triple store ---
-    val (e2eDocs, e2eSec, e2eTriples) = {
+    val (e2eDocs, e2eSec, e2eTriples, e2eStages) = {
       val s = session(cpus)
       import s.implicits._
       val n = math.max(nDocs / 4, 5000)
       val dict = s.createDataset(fixtures.Fixtures.entityDictionary()).toDF()
       val docs = fixtures.Fixtures.inputDocsDs(s, n, parts)
       val work = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      val t0ms = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val nT = Pipeline.runAll(s, docs, dict, work, buckets = cpus, resume = false).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // per-stage breakdown from the manifests' completion timestamps
+      val stageNames = Seq("docs_labeled", "mentions", "linked", "entities", "triples")
+      val wallMs = stageNames.map { st =>
+        val txt = Files.readString(Paths.get(s"$work/$st/_manifest.json"))
+        val m = "\"wall_ms\": \"(\\d+)\"".r.findFirstMatchIn(txt)
+        st -> m.map(_.group(1).toLong).getOrElse(0L)
+      }
+      val stages = wallMs.zip(t0ms +: wallMs.map(_._2)).map {
+        case ((st, end), start) => st -> math.max(end - start, 0L) / 1e3
+      }
       def rm(fl: java.io.File): Unit = { if (fl.isDirectory) fl.listFiles.foreach(rm); fl.delete() }
       rm(new java.io.File(work))
       s.stop()
-      (n, sec, nT)
+      (n, sec, nT, stages)
     }
 
     val dpsLow = nDocs / secLow
@@ -263,7 +274,7 @@ object Bench {
     val skew =
       s"""{"unsalted_sec":${f(skewNoSalt)},"salted_sec":${f(skewSalt)},"aqe_sec":${f(skewAqe)}}"""
     val jsonLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"scaling":$scaling,"skew":$skew,"e2e":{"docs":$e2eDocs,"sec":${f(e2eSec)},"docs_per_sec":${f(e2eDocs / e2eSec)},"triples":$e2eTriples},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"scaling":$scaling,"skew":$skew,"e2e":{"docs":$e2eDocs,"sec":${f(e2eSec)},"docs_per_sec":${f(e2eDocs / e2eSec)},"triples":$e2eTriples,"stages":{${e2eStages.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString(",")}}},"sf":"$sfDir"}"""
     println(jsonLine)
     // the driver parses a bare file — sbt's [info]/[error] prefixes and
     // interleaved Spark logs make the stdout line unreliable (BENCH_r01 came
@@ -338,6 +349,10 @@ object Bench {
          |Raw docs → annotate → mentions → link → canonicalize → triples, every
          |stage written as bucketed Parquet with manifests (checkpoint-resumable):
          |**$e2eDocs docs → $e2eTriples triples in ${f(e2eSec)} s = ${f(e2eDocs / e2eSec)} docs/s** at local[$cpus].
+         |
+         |Per-stage wall (from manifest completion timestamps; fixed write/read
+         |overhead dominates at fixture scale and amortizes at real scale):
+         |${e2eStages.map { case (k, v) => s"$k ${f(v)}s" }.mkString(" · ")}
          |
          |## Skew (hot-entity linking, shuffle-join path, broadcast disabled)
          |
