@@ -1,7 +1,7 @@
 package graft
 
 /** DuckDB oracle SQL for the queries whose expected output is re-derived from
-  * aux tables (`{{AUX}}` is substituted by Verify with `<outDir>/aux`).
+  * aux tables (`{{AUX}}` is substituted by Verify with the sibling dir `<outDir>_aux`).
   *
   * Design note: every query here is verified end-to-end by an INDEPENDENT
   * computation — the SQL reimplements the operator's semantics from scratch
@@ -145,12 +145,14 @@ object OracleSql {
       |    WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
       |    ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) END""".stripMargin
 
+  /** Shingles hashed to 48-bit longs (Dedup.hash48Col — the md5 hex fold h48
+    * below replays it) before the all-pairs set math, mirroring the engine. */
   def ngramJaccard: String =
     s"""WITH toks0 AS (
        |  SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
        |  FROM documents WHERE doc_id < 500
-       |), sh AS (SELECT id, $ngram2 AS sh FROM toks0),
-       |nz AS (SELECT * FROM sh WHERE len(sh) > 0)
+       |), shs AS (SELECT id, $ngram2 AS sh FROM toks0),
+       |nz AS (SELECT id, list_transform(sh, s -> ${h48("s")}) AS sh FROM shs WHERE len(sh) > 0)
        |SELECT a.id AS id_a, b.id AS id_b,
        |  (len(list_intersect(a.sh, b.sh)) * 10000) // len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_bp
        |FROM nz a JOIN nz b ON a.id < b.id

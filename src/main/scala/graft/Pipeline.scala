@@ -288,7 +288,12 @@ object Pipeline {
   }
 
   /** Run the whole pipeline with checkpoint-resume: a stage whose manifest is
-    * already complete is loaded, not recomputed. Returns the triples DF. */
+    * already complete is loaded, not recomputed. Returns the triples DF.
+    *
+    * `models` injects the NER/MD model set — a user brings real weights (the
+    * reference loads arbitrary .model/.dset pairs, utils/data.py:342-351,
+    * api_main.py:53-70) by constructing a [[Models]] (e.g. from NerModel
+    * loaders or [[fixtureRegistry]] entries); the default is the fixture set. */
   def runAll(
       spark: SparkSession,
       docs: Dataset[InputDoc],
@@ -296,14 +301,15 @@ object Pipeline {
       workDir: String,
       scenario: String = "morph",
       buckets: Int = 32,
-      resume: Boolean = true): DataFrame = {
+      resume: Boolean = true,
+      models: Models = fixtureModels()): DataFrame = {
     import spark.implicits._
     val paths = StagePaths(workDir)
-    val models = spark.sparkContext.broadcast(fixtureModels())
+    val modelsBc = spark.sparkContext.broadcast(models)
 
     // (a) docs_labeled
     if (!(resume && TableFormat.isComplete(paths.docsLabeled))) {
-      val annotated = annotate(spark, docs, models)
+      val annotated = annotate(spark, docs, modelsBc)
       TableFormat.save(annotated.toDF(), paths.docsLabeled, "doc_id", buckets, "docs_labeled")
     }
     val labeled = TableFormat.load(spark, paths.docsLabeled).as[Doc]

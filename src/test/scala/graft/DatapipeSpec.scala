@@ -176,6 +176,51 @@ class DatapipeSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: features are parsed from payload header bytes, not catalog") {
+    val docs = spark.createDataset(graft.fixtures.Fixtures.inputDocs(80)).toDF()
+    val media = Multimodal.syntheticMedia(spark, docs)
+    // catalog LIES below (all fields zeroed/renamed) — parsed output must
+    // still match what the payload header encodes
+    val catalog = media.collect()
+    val lied = spark.createDataset(catalog.map(m =>
+      m.copy(modality = "bogus", width = -1, height = -1, durationMs = -1)))(
+      media.encoder)
+    val feats = Multimodal.extractFeatures(spark, lied).collect()
+      .map(f => f.media_ref -> f).toMap
+    assert(catalog.length > 0)
+    catalog.foreach { m =>
+      val f = feats(m.media_ref)
+      assert(f.modality === m.modality, s"modality for ${m.media_ref}")
+      assert(f.width === m.width); assert(f.height === m.height)
+      val expFrames = if (m.modality == "video") Multimodal.framePlan(m.durationMs) else 1
+      assert(f.frames === expFrames)
+    }
+    // the rule emits all three modalities over enough refs
+    assert(catalog.map(_.modality).distinct.sorted.toSeq === Seq("audio", "image", "video"))
+  }
+
+  test("multimodal: header round-trip and corrupted payloads degrade, not crash") {
+    val h = Multimodal.writeHeader("video", 320, 200, 7500)
+    assert(Multimodal.parseHeader(h ++ Array[Byte](1, 2, 3)) ===
+      Some(Multimodal.MediaHeader("video", 320, 200, 7500)))
+    // corrupt: bad magic, truncated, null, unknown modality code
+    val badMagic = h.clone(); badMagic(0) = 'X'
+    assert(Multimodal.parseHeader(badMagic).isEmpty)
+    assert(Multimodal.parseHeader(h.take(10)).isEmpty)
+    assert(Multimodal.parseHeader(null).isEmpty)
+    val badCode = h.clone(); badCode(5) = 9
+    assert(Multimodal.parseHeader(badCode).isEmpty)
+    val rows = Seq(
+      Multimodal.MediaRow("d1", "r1", "image", 0, 0, 0, badMagic ++ Array[Byte](5, 5)),
+      Multimodal.MediaRow("d2", "r2", "image", 0, 0, 0, Array[Byte](1)),
+      Multimodal.MediaRow("d3", "r3", "image", 0, 0, 0, null))
+    val out = Multimodal.extractFeatures(spark, spark.createDataset(rows)).collect()
+      .sortBy(_.doc_id)
+    assert(out.length === 3)
+    out.foreach { f => assert(f.modality === "unknown"); assert(f.frames === 0) }
+    assert(out(0).feature.sum > 0f) // histogram still computed over raw bytes
+  }
+
   test("rolling hash and fingerprint are deterministic and whitespace-insensitive") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("doc_id", "text")
     val fps = df.select(TextQuality.fingerprint(col("text"))).as[String].collect()

@@ -201,6 +201,30 @@ class PipelineSpec extends AnyFunSuite {
     rm(new java.io.File(work))
   }
 
+  test("runAll accepts an injected model set (non-default registry entry)") {
+    // model injection (reference: arbitrary .model/.dset pairs,
+    // utils/data.py:342-351): run e2e with the _oov registry variants — same
+    // architecture over an OOV-augmented vocabulary, so on the fixture corpus
+    // (all tokens in-vocab) the triples must equal the default run's
+    val work = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    val docs = spark.createDataset(Fixtures.inputDocs(15))
+    val oovModels = Pipeline.Models(
+      Pipeline.fixtureRegistry("token-single_oov"),
+      Pipeline.fixtureRegistry("token-multi_oov"),
+      Pipeline.fixtureRegistry("morph_oov"),
+      Fixtures.lexicon)
+    val got = Pipeline.runAll(spark, docs, dict, s"$work/oov", buckets = 2,
+      resume = false, models = oovModels)
+    val default = Pipeline.runAll(spark, docs, dict, s"$work/default", buckets = 2,
+      resume = false)
+    assert(got.count() > 0)
+    assert(got.exceptAll(default).count() === 0)
+    assert(default.exceptAll(got).count() === 0)
+    def rm2(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm2); f.delete() }
+    rm2(new java.io.File(work))
+  }
+
   test("TableFormat.lookup point-reads exactly one bucket (partition pruning)") {
     val work = java.nio.file.Files.createTempDirectory("graft-lookup").toString
     val docs = spark.createDataset(Fixtures.inputDocs(40)).toDF()

@@ -95,6 +95,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() === 0, "batch-only sessions")
   }
 
+  test("sessionization survives an event older than watermark+gap (timeout clamp)") {
+    // regression guard: setTimeoutTimestamp throws (killing the query) if
+    // handed a timestamp at or before the current watermark. With
+    // EventTimeTimeout the operator drops input rows older than the watermark
+    // BEFORE the state function, so a straggler must (a) not kill the query
+    // and (b) not materialize a session; the clamp in StreamSessionize guards
+    // the remaining boundary (timeout computed exactly at the watermark).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamSessionize, StreamSessionize.Event
+    def ev(u: Long, sec: Long) = Event(u, new java.sql.Timestamp(sec * 1000L))
+    val base = 1700000000L
+    val stream = MemoryStream[Event]
+    val out = StreamSessionize.sessions(spark, stream.toDS(), gapSeconds = 1800, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_late").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    // advance the watermark far ahead…
+    stream.addData(ev(999, base + 100000)); q.processAllAvailable()
+    // …then deliver an event whose end+gap is far BEFORE the watermark
+    stream.addData(ev(1, base)); q.processAllAvailable()
+    // flush: advance the watermark twice more so any state the straggler
+    // could have created would time out and surface
+    stream.addData(ev(999, base + 200000)); q.processAllAvailable()
+    stream.addData(ev(999, base + 300000)); q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val got = spark.sql("SELECT user_id, n_events FROM sess_late WHERE user_id = 1").collect()
+    assert(got.isEmpty, "straggler older than the watermark must be dropped, not sessionized")
+  }
+
   test("streaming pipeline: docs stream → annotate → triples per epoch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[InputDoc]
