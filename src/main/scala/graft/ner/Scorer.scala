@@ -33,7 +33,7 @@ object Scorer {
     s
   }
 
-  private def affine(w: Array[Array[Float]], b: Array[Float], x: Array[Float]): Array[Float] = {
+  private[ner] def affine(w: Array[Array[Float]], b: Array[Float], x: Array[Float]): Array[Float] = {
     val out = new Array[Float](w.length)
     var o = 0
     while (o < w.length) { out(o) = dot(w(o), x) + b(o); o += 1 }
@@ -126,9 +126,11 @@ object Scorer {
     }
   }
 
-  /** Sequence feature extractor (F6): stacked BiLSTM or 1-layer word CNN
-    * (NCRF++ word_feature_extractor), then hidden2tag → per-token tag scores. */
-  def emissions(m: NerModel, tokens: IndexedSeq[String]): Array[Array[Float]] = {
+  /** Sequence feature extractor (F6) up to the feature layer (pre-hidden2tag):
+    * stacked BiLSTM or 1-layer word CNN (NCRF++ word_feature_extractor).
+    * Exposed separately from [[emissions]] so the trainer (F13) can treat the
+    * encoder as a frozen featurizer and train the linear head + CRF on top. */
+  def features(m: NerModel, tokens: IndexedSeq[String]): Array[Array[Float]] = {
     // explicit loop: a generic .map(...).toArray routes every element store
     // through reflective ScalaRunTime.array_update — measured as expensive as
     // the whole Viterbi pass at 32 threads (JFR, tools/ThreadProbe)
@@ -180,6 +182,12 @@ object Scorer {
         layer += 1
       }
     }
+    reps
+  }
+
+  /** Per-token tag scores: hidden2tag over the extracted features. */
+  def emissions(m: NerModel, tokens: IndexedSeq[String]): Array[Array[Float]] = {
+    val reps = features(m, tokens)
     val out = new Array[Array[Float]](reps.length)
     var t = 0
     while (t < reps.length) { out(t) = affine(m.hidden2tag, m.hidden2tagB, reps(t)); t += 1 }
@@ -267,6 +275,142 @@ object Scorer {
       j += 1
     }
     fin.sortBy(-_._1).take(k).map { case (s, p) => (s, p.reverse.toArray) }.toSeq
+  }
+
+  // ---------- CRF training math (F9: forward algorithm / gold score / NLL) ----------
+
+  @inline private def logSumExp(xs: Array[Double]): Double = {
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < xs.length) { if (xs(i) > mx) mx = xs(i); i += 1 }
+    if (mx == Double.NegativeInfinity) return mx
+    var s = 0.0
+    i = 0
+    while (i < xs.length) { s += math.exp(xs(i) - mx); i += 1 }
+    mx + math.log(s)
+  }
+
+  /** Forward algorithm (F9, the reference's `CRF._calculate_PZ`): returns the
+    * full alpha lattice (L × T, log space, START folded into row 0) and the
+    * log partition function over all paths (STOP folded into the final sum).
+    * Double precision — the sum over exponentially many paths needs it. */
+  def forwardAlphas(m: NerModel, emit: Array[Array[Float]]): (Array[Array[Double]], Double) = {
+    val t = m.numTags
+    val L = emit.length
+    val tr = m.transitions
+    val alpha = Array.ofDim[Double](L, t)
+    var j = 0
+    while (j < t) { alpha(0)(j) = tr(m.startTag)(j).toDouble + emit(0)(j); j += 1 }
+    val buf = new Array[Double](t)
+    var i = 1
+    while (i < L) {
+      var to = 0
+      while (to < t) {
+        var from = 0
+        while (from < t) { buf(from) = alpha(i - 1)(from) + tr(from)(to); from += 1 }
+        alpha(i)(to) = logSumExp(buf) + emit(i)(to)
+        to += 1
+      }
+      i += 1
+    }
+    j = 0
+    while (j < t) { buf(j) = alpha(L - 1)(j) + tr(j)(m.stopTag); j += 1 }
+    (alpha, logSumExp(buf))
+  }
+
+  /** Backward betas (log space): beta(i)(tag) = log-sum over completions from
+    * position i with tag, EXCLUDING emit(i) (the standard convention that makes
+    * alpha(i)+beta(i) = logZ marginals). */
+  def backwardBetas(m: NerModel, emit: Array[Array[Float]]): Array[Array[Double]] = {
+    val t = m.numTags
+    val L = emit.length
+    val tr = m.transitions
+    val beta = Array.ofDim[Double](L, t)
+    var j = 0
+    while (j < t) { beta(L - 1)(j) = tr(j)(m.stopTag).toDouble; j += 1 }
+    val buf = new Array[Double](t)
+    var i = L - 2
+    while (i >= 0) {
+      var from = 0
+      while (from < t) {
+        var to = 0
+        while (to < t) { buf(to) = tr(from)(to).toDouble + emit(i + 1)(to) + beta(i + 1)(to); to += 1 }
+        beta(i)(from) = logSumExp(buf)
+        from += 1
+      }
+      i -= 1
+    }
+    beta
+  }
+
+  /** Score of one tag path (F9, `CRF._score_sentence`). */
+  def goldScore(m: NerModel, emit: Array[Array[Float]], tags: Array[Int]): Double = {
+    val tr = m.transitions
+    var s = tr(m.startTag)(tags(0)).toDouble + emit(0)(tags(0))
+    var i = 1
+    while (i < tags.length) {
+      s += tr(tags(i - 1))(tags(i)).toDouble + emit(i)(tags(i))
+      i += 1
+    }
+    s + tr(tags.last)(m.stopTag)
+  }
+
+  /** F9: `neg_log_likelihood_loss` = logZ − score(gold) for one sentence
+    * (≥ 0; the per-batch loss is the sum over sentences). */
+  def negLogLikelihood(m: NerModel, emit: Array[Array[Float]], gold: Array[Int]): Double = {
+    val (_, logZ) = forwardAlphas(m, emit)
+    logZ - goldScore(m, emit, gold)
+  }
+
+  /** Exact NLL gradients w.r.t. the emission scores and the transition matrix
+    * for one sentence (forward–backward expected counts minus gold counts):
+    *   dNLL/dEmit(i)(tag)   = γ_i(tag) − 1{gold_i = tag}
+    *   dNLL/dTr(from)(to)   = Σ_i ξ_i(from,to) − 1{gold transition}
+    * including the START→t0 and t_last→STOP rows. Returns
+    * (loss, dEmit L×T, dTr (T+2)×(T+2)). */
+  def crfGradients(m: NerModel, emit: Array[Array[Float]], gold: Array[Int])
+      : (Double, Array[Array[Double]], Array[Array[Double]]) = {
+    val t = m.numTags
+    val L = emit.length
+    val tr = m.transitions
+    val (alpha, logZ) = forwardAlphas(m, emit)
+    val beta = backwardBetas(m, emit)
+    val dEmit = Array.ofDim[Double](L, t)
+    val dTr = Array.ofDim[Double](t + 2, t + 2)
+    // unary marginals γ_i(tag) = exp(alpha + beta − logZ)
+    var i = 0
+    while (i < L) {
+      var j = 0
+      while (j < t) { dEmit(i)(j) = math.exp(alpha(i)(j) + beta(i)(j) - logZ); j += 1 }
+      dEmit(i)(gold(i)) -= 1.0
+      i += 1
+    }
+    // START row: P(t0 = j) is the same unary marginal at position 0
+    var j = 0
+    while (j < t) {
+      dTr(m.startTag)(j) = math.exp(alpha(0)(j) + beta(0)(j) - logZ)
+      dTr(j)(m.stopTag) = math.exp(alpha(L - 1)(j) + beta(L - 1)(j) - logZ)
+      j += 1
+    }
+    dTr(m.startTag)(gold(0)) -= 1.0
+    dTr(gold(L - 1))(m.stopTag) -= 1.0
+    // pairwise marginals ξ
+    i = 1
+    while (i < L) {
+      var from = 0
+      while (from < t) {
+        val a = alpha(i - 1)(from)
+        var to = 0
+        while (to < t) {
+          dTr(from)(to) += math.exp(a + tr(from)(to) + emit(i)(to) + beta(i)(to) - logZ)
+          to += 1
+        }
+        from += 1
+      }
+      dTr(gold(i - 1))(gold(i)) -= 1.0
+      i += 1
+    }
+    (logZ - goldScore(m, emit, gold), dEmit, dTr)
   }
 
   // ---------- decode driver (F1 + F10) ----------

@@ -1,0 +1,184 @@
+package graft.ner
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Distributed CRF training (SURVEY §2 F13, the reference's training loop —
+  * ncrf_main.py:361-478: SGD + lr decay, per-epoch shuffle, minibatches,
+  * best-dev checkpointing) re-expressed Spark-first.
+  *
+  * What trains: the linear head (hidden2tag W/b) and the CRF transition
+  * matrix, with EXACT analytic gradients from the forward–backward expected
+  * counts (Scorer.crfGradients — no autograd needed for a linear-chain CRF).
+  * The encoder below the feature layer (embeddings, char CNN/LSTM, word
+  * BiLSTM/CNN) is a FROZEN featurizer: backprop through a hand-rolled LSTM
+  * would re-implement torch autograd for no engine benefit, and training the
+  * head+CRF on frozen features already exercises every loop mechanic the
+  * reference row names (shuffle, minibatch SGD, lr decay, dev checkpointing).
+  *
+  * Spark shape: one minibatch step = one `treeAggregate` over that batch's
+  * partition of the data — per-partition gradient sums combine tree-wise, the
+  * driver holds only O(T·featDim + T²) state, and nothing grows with corpus
+  * size. Minibatches are drawn by an epoch-seeded hash partition of the
+  * examples (a genuine reshuffle every epoch, deterministically). At fixture
+  * scale batches are filter-scans; at 100 TB you would materialize the epoch
+  * partition once (repartitionByRange on the hash) — same plan family as the
+  * engine's bucketed stage writes.
+  */
+object Trainer {
+
+  final case class TrainExample(tokens: Seq[String], labels: Seq[String])
+
+  final case class EpochStats(epoch: Int, trainNll: Double, devTokenAcc: Double, lr: Double)
+
+  /** Per-batch gradient accumulator (driver-sized: T+2 rows). */
+  final class GradAcc(val t2: Int, val featDim: Int) extends Serializable {
+    val dW = Array.ofDim[Double](t2, featDim)
+    val dB = new Array[Double](t2)
+    val dTr = Array.ofDim[Double](t2, t2)
+    var loss = 0.0
+    var n = 0L
+    def merge(o: GradAcc): GradAcc = {
+      var i = 0
+      while (i < t2) {
+        var j = 0
+        while (j < featDim) { dW(i)(j) += o.dW(i)(j); j += 1 }
+        var k = 0
+        while (k < t2) { dTr(i)(k) += o.dTr(i)(k); k += 1 }
+        dB(i) += o.dB(i)
+        i += 1
+      }
+      loss += o.loss; n += o.n
+      this
+    }
+  }
+
+  /** Accumulate one sentence's exact gradients into `acc` (chain rule through
+    * the linear head: dW(tag) += dEmit_i(tag) · feats_i, dB(tag) += dEmit_i). */
+  def accumulate(m: NerModel, acc: GradAcc, ex: TrainExample): Unit = {
+    if (ex.tokens.isEmpty || ex.tokens.length != ex.labels.length) return
+    val gold = new Array[Int](ex.labels.length)
+    var i = 0
+    while (i < gold.length) {
+      val id = m.labelAlphabet.get(ex.labels(i))
+      if (id < 0) return // unknown label: skip the sentence, never crash a task
+      gold(i) = id
+      i += 1
+    }
+    val toks = ex.tokens.toIndexedSeq
+    val feats = Scorer.features(m, toks)
+    val emit = new Array[Array[Float]](feats.length)
+    i = 0
+    while (i < feats.length) { emit(i) = Scorer.affine(m.hidden2tag, m.hidden2tagB, feats(i)); i += 1 }
+    val (loss, dEmit, dTr) = Scorer.crfGradients(m, emit, gold)
+    i = 0
+    while (i < feats.length) {
+      val f = feats(i); val de = dEmit(i)
+      var tag = 0
+      while (tag < de.length) {
+        val g = de(tag)
+        if (g != 0.0) {
+          val row = acc.dW(tag)
+          var d = 0
+          while (d < f.length) { row(d) += g * f(d); d += 1 }
+          acc.dB(tag) += g
+        }
+        tag += 1
+      }
+      i += 1
+    }
+    var a = 0
+    while (a < acc.t2) {
+      var b = 0
+      while (b < acc.t2) { acc.dTr(a)(b) += dTr(a)(b); b += 1 }
+      a += 1
+    }
+    acc.loss += loss
+    acc.n += 1
+  }
+
+  private def applyStep(m: NerModel, acc: GradAcc, lr: Double,
+                        trMask: Array[Array[Boolean]]): NerModel = {
+    if (acc.n == 0) return m
+    val scale = lr / acc.n
+    val w = m.hidden2tag.map(_.clone())
+    val b = m.hidden2tagB.clone()
+    val tr = m.transitions.map(_.clone())
+    var i = 0
+    while (i < acc.t2) {
+      var j = 0
+      while (j < w(i).length) { w(i)(j) = (w(i)(j) - scale * acc.dW(i)(j)).toFloat; j += 1 }
+      b(i) = (b(i) - scale * acc.dB(i)).toFloat
+      var k = 0
+      while (k < acc.t2) {
+        // structural walls (BIOSE −10000 illegal transitions) stay frozen —
+        // training must not soften grammar constraints
+        if (!trMask(i)(k)) tr(i)(k) = (tr(i)(k) - scale * acc.dTr(i)(k)).toFloat
+        k += 1
+      }
+      i += 1
+    }
+    m.copy(hidden2tag = w, hidden2tagB = b, transitions = tr)
+  }
+
+  /** Deterministic epoch-seeded batch assignment: a fresh partition of the
+    * examples into `nBatches` groups every epoch (the shuffle). */
+  private def batchOf(ex: TrainExample, epoch: Int, nBatches: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.orderedHash(ex.tokens, epoch * 31 + 17)
+    java.lang.Math.floorMod(h, nBatches)
+  }
+
+  def devTokenAccuracy(m: NerModel, dev: Seq[TrainExample]): Double = {
+    var ok = 0L; var tot = 0L
+    for (ex <- dev if ex.tokens.nonEmpty) {
+      val pred = Scorer.decodeBatch(m, IndexedSeq(ex.tokens.toIndexedSeq)).head
+      var i = 0
+      while (i < pred.length && i < ex.labels.length) {
+        if (pred(i) == ex.labels(i)) ok += 1
+        tot += 1; i += 1
+      }
+    }
+    if (tot == 0) 0.0 else ok.toDouble / tot
+  }
+
+  /** Minibatch SGD with lr decay (lr_e = lr0 / (1 + decay·e), the reference's
+    * schedule) and best-dev checkpointing. Returns (best-dev model, history). */
+  def train(
+      spark: SparkSession,
+      train: Dataset[TrainExample],
+      dev: Seq[TrainExample],
+      init: NerModel,
+      epochs: Int = 10,
+      lr0: Double = 0.5,
+      lrDecay: Double = 0.05,
+      nBatches: Int = 4): (NerModel, Seq[EpochStats]) = {
+    val trMask: Array[Array[Boolean]] = init.transitions.map(_.map(_ <= -5000f))
+    val data = train.rdd.cache()
+    data.count() // materialize once; every batch step re-filters this cache
+    var model = init
+    var best = init
+    var bestAcc = devTokenAccuracy(init, dev)
+    val history = Vector.newBuilder[EpochStats]
+    for (epoch <- 0 until epochs) {
+      val lr = lr0 / (1.0 + lrDecay * epoch)
+      var epochLoss = 0.0
+      var epochN = 0L
+      for (b <- 0 until nBatches) {
+        val bc = spark.sparkContext.broadcast(model)
+        val zero = new GradAcc(model.numTags + 2, model.featDim)
+        val acc = data
+          .filter(ex => batchOf(ex, epoch, nBatches) == b)
+          .treeAggregate(zero)(
+            (a, ex) => { accumulate(bc.value, a, ex); a },
+            (a1, a2) => a1.merge(a2))
+        epochLoss += acc.loss; epochN += acc.n
+        model = applyStep(model, acc, lr, trMask)
+        bc.destroy()
+      }
+      val devAcc = devTokenAccuracy(model, dev)
+      if (devAcc >= bestAcc) { bestAcc = devAcc; best = model } // checkpoint best-dev
+      history += EpochStats(epoch, if (epochN == 0) 0.0 else epochLoss / epochN, devAcc, lr)
+    }
+    data.unpersist()
+    (best, history.result())
+  }
+}

@@ -53,6 +53,72 @@ class ScorerSpec extends AnyFunSuite {
     }
   }
 
+  // ---- F9: CRF loss (forward algorithm vs exhaustive enumeration) ----
+
+  private def enumerateLogZ(m: NerModel, emit: Array[Array[Float]]): Double = {
+    val t = m.numTags
+    val L = emit.length
+    val scores = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def rec(i: Int, prev: Int, score: Double): Unit = {
+      if (i == L) scores += score + m.transitions(prev)(m.stopTag)
+      else (0 until t).foreach(j => rec(i + 1, j, score + m.transitions(prev)(j) + emit(i)(j)))
+    }
+    (0 until t).foreach(j => rec(1, j, m.transitions(m.startTag)(j).toDouble + emit(0)(j)))
+    val mx = scores.max
+    mx + math.log(scores.map(s => math.exp(s - mx)).sum)
+  }
+
+  test("property: forward logZ equals exhaustive log-sum over all paths (F9)") {
+    val r = new Random(31)
+    for (trial <- 0 until 50) {
+      val m = NerModel.synthesize(
+        NerConfig("token-single", wordEmbDim = 4, charEmbDim = 3, charHidden = 3,
+          hidden = 4, lstmLayers = 1), Seq("aa", "bb"), Seq("O", "B-PER", "E-PER"), seed = trial)
+      val L = 1 + r.nextInt(4)
+      val emit = Array.fill(L)(Array.fill(m.numTags)((r.nextDouble() * 4 - 2).toFloat))
+      val (_, logZ) = Scorer.forwardAlphas(m, emit)
+      assert(math.abs(logZ - enumerateLogZ(m, emit)) < 1e-6)
+      // NLL ≥ 0 for every path (logZ dominates any single path's score)
+      val gold = Array.fill(L)(r.nextInt(m.numTags))
+      val nll = Scorer.negLogLikelihood(m, emit, gold)
+      assert(nll >= -1e-9, s"NLL must be non-negative, got $nll")
+      assert(math.abs(nll - (logZ - Scorer.goldScore(m, emit, gold))) < 1e-9)
+    }
+  }
+
+  test("crfGradients match finite differences on emissions and transitions (F9/F13)") {
+    val r = new Random(47)
+    val m0 = NerModel.synthesize(
+      NerConfig("token-single", wordEmbDim = 4, charEmbDim = 3, charHidden = 3,
+        hidden = 4, lstmLayers = 1), Seq("aa", "bb"), Seq("O", "S-PER"), seed = 3)
+    val L = 4
+    val emit = Array.fill(L)(Array.fill(m0.numTags)((r.nextDouble() * 2 - 1).toFloat))
+    val gold = Array.fill(L)(r.nextInt(m0.numTags))
+    val (_, dEmit, dTr) = Scorer.crfGradients(m0, emit, gold)
+    val eps = 1e-3f
+    // emissions: perturb a handful of entries
+    for (_ <- 0 until 10) {
+      val i = r.nextInt(L); val j = r.nextInt(m0.numTags)
+      val e2 = emit.map(_.clone())
+      e2(i)(j) += eps
+      val up = Scorer.negLogLikelihood(m0, e2, gold)
+      e2(i)(j) -= 2 * eps
+      val dn = Scorer.negLogLikelihood(m0, e2, gold)
+      val fd = (up - dn) / (2 * eps)
+      assert(math.abs(fd - dEmit(i)(j)) < 1e-3, s"dEmit($i)($j): fd=$fd analytic=${dEmit(i)(j)}")
+    }
+    // transitions: perturb entries incl. START/STOP rows
+    for (_ <- 0 until 10) {
+      val a = r.nextInt(m0.numTags + 2); val b = r.nextInt(m0.numTags + 2)
+      def withTr(d: Float): NerModel = {
+        val tr = m0.transitions.map(_.clone()); tr(a)(b) += d; m0.copy(transitions = tr)
+      }
+      val fd = (Scorer.negLogLikelihood(withTr(eps), emit, gold) -
+        Scorer.negLogLikelihood(withTr(-eps), emit, gold)) / (2 * eps)
+      assert(math.abs(fd - dTr(a)(b)) < 1e-3, s"dTr($a)($b): fd=$fd analytic=${dTr(a)(b)}")
+    }
+  }
+
   test("viterbiNbest: best equals viterbi; scores non-increasing; paths distinct") {
     val r = new Random(23)
     val m = NerModel.synthesize(
