@@ -52,22 +52,30 @@ object Trainer {
     }
   }
 
-  /** Accumulate one sentence's exact gradients into `acc` (chain rule through
-    * the linear head: dW(tag) += dEmit_i(tag) · feats_i, dB(tag) += dEmit_i). */
-  def accumulate(m: NerModel, acc: GradAcc, ex: TrainExample): Unit = {
-    if (ex.tokens.isEmpty || ex.tokens.length != ex.labels.length) return
+  /** Gold label ids for one example, None when the example is malformed
+    * (length mismatch, empty, or a label missing from the alphabet — the
+    * alphabet's UNK fallback would silently train toward the wrong label). */
+  private def goldIds(m: NerModel, ex: TrainExample): Option[Array[Int]] = {
+    if (ex.tokens.isEmpty || ex.tokens.length != ex.labels.length) return None
     val gold = new Array[Int](ex.labels.length)
     var i = 0
     while (i < gold.length) {
       val id = m.labelAlphabet.get(ex.labels(i))
-      if (id < 0) return // unknown label: skip the sentence, never crash a task
+      if (m.labelAlphabet.instance(id) != ex.labels(i)) return None
       gold(i) = id
       i += 1
     }
+    Some(gold)
+  }
+
+  /** Accumulate one sentence's exact gradients into `acc` (chain rule through
+    * the linear head: dW(tag) += dEmit_i(tag) · feats_i, dB(tag) += dEmit_i). */
+  def accumulate(m: NerModel, acc: GradAcc, ex: TrainExample): Unit = {
+    val gold = goldIds(m, ex) match { case Some(g) => g; case None => return }
     val toks = ex.tokens.toIndexedSeq
     val feats = Scorer.features(m, toks)
     val emit = new Array[Array[Float]](feats.length)
-    i = 0
+    var i = 0
     while (i < feats.length) { emit(i) = Scorer.affine(m.hidden2tag, m.hidden2tagB, feats(i)); i += 1 }
     val (loss, dEmit, dTr) = Scorer.crfGradients(m, emit, gold)
     i = 0
@@ -120,6 +128,51 @@ object Trainer {
     m.copy(hidden2tag = w, hidden2tagB = b, transitions = tr)
   }
 
+  /** Full-network gradient for one example (Backprop.accumulate wrapper). */
+  def accumulateFull(m: NerModel, acc: Backprop.ModelGrad, ex: TrainExample): Unit = {
+    val gold = goldIds(m, ex) match { case Some(g) => g; case None => return }
+    Backprop.accumulate(m, acc, ex.tokens.toIndexedSeq, gold)
+    ()
+  }
+
+  private def applyFullStep(m: NerModel, acc: Backprop.ModelGrad, lr: Double,
+                            trMask: Array[Array[Boolean]]): NerModel = {
+    if (acc.n == 0) return m
+    val s = lr / acc.n
+    def upd1(w: Array[Float], g: Array[Double]): Array[Float] =
+      Array.tabulate(w.length)(i => (w(i) - s * g(i)).toFloat)
+    def upd2(w: Array[Array[Float]], g: Array[Array[Double]]): Array[Array[Float]] =
+      Array.tabulate(w.length)(i => upd1(w(i), g(i)))
+    def upd3(w: Array[Array[Array[Float]]], g: Array[Array[Array[Double]]]): Array[Array[Array[Float]]] =
+      Array.tabulate(w.length)(i => upd2(w(i), g(i)))
+    def updLstm(w: LstmCellWeights, g: Backprop.LstmGrad): LstmCellWeights =
+      LstmCellWeights(upd2(w.wi, g.wi), upd2(w.wh, g.wh), upd1(w.b, g.b))
+    val tr = m.transitions.map(_.clone())
+    var i = 0
+    while (i < tr.length) {
+      var k = 0
+      while (k < tr.length) {
+        if (!trMask(i)(k)) tr(i)(k) = (tr(i)(k) - s * acc.dTr(i)(k)).toFloat
+        k += 1
+      }
+      i += 1
+    }
+    m.copy(
+      wordEmb = upd2(m.wordEmb, acc.dWordEmb),
+      charEmb = upd2(m.charEmb, acc.dCharEmb),
+      charCnnW = upd3(m.charCnnW, acc.dCharCnnW),
+      charCnnB = upd1(m.charCnnB, acc.dCharCnnB),
+      charLstm = m.charLstm.map(ws =>
+        Array(updLstm(ws(0), acc.dCharLstm.get(0)), updLstm(ws(1), acc.dCharLstm.get(1)))),
+      lstm = Array.tabulate(m.lstm.length)(l =>
+        Array(updLstm(m.lstm(l)(0), acc.dLstm(l)(0)), updLstm(m.lstm(l)(1), acc.dLstm(l)(1)))),
+      cnnW = upd3(m.cnnW, acc.dCnnW),
+      cnnB = upd1(m.cnnB, acc.dCnnB),
+      hidden2tag = upd2(m.hidden2tag, acc.dH2t),
+      hidden2tagB = upd1(m.hidden2tagB, acc.dH2tB),
+      transitions = tr)
+  }
+
   /** Deterministic epoch-seeded batch assignment: a fresh partition of the
     * examples into `nBatches` groups every epoch (the shuffle). */
   private def batchOf(ex: TrainExample, epoch: Int, nBatches: Int): Int = {
@@ -141,7 +194,13 @@ object Trainer {
   }
 
   /** Minibatch SGD with lr decay (lr_e = lr0 / (1 + decay·e), the reference's
-    * schedule) and best-dev checkpointing. Returns (best-dev model, history). */
+    * schedule) and best-dev checkpointing. Returns (best-dev model, history).
+    *
+    * `trainEncoder = false` (default) trains the linear head + CRF over the
+    * frozen encoder — the cheap path. `trainEncoder = true` trains EVERY
+    * parameter the reference trains (embeddings, char CNN/LSTM, word
+    * BiLSTM/CNN, head, transitions) via the manual backprop in [[Backprop]];
+    * each minibatch step is still one treeAggregate, now of a ModelGrad. */
   def train(
       spark: SparkSession,
       train: Dataset[TrainExample],
@@ -150,7 +209,8 @@ object Trainer {
       epochs: Int = 10,
       lr0: Double = 0.5,
       lrDecay: Double = 0.05,
-      nBatches: Int = 4): (NerModel, Seq[EpochStats]) = {
+      nBatches: Int = 4,
+      trainEncoder: Boolean = false): (NerModel, Seq[EpochStats]) = {
     val trMask: Array[Array[Boolean]] = init.transitions.map(_.map(_ <= -5000f))
     val data = train.rdd.cache()
     data.count() // materialize once; every batch step re-filters this cache
@@ -164,14 +224,20 @@ object Trainer {
       var epochN = 0L
       for (b <- 0 until nBatches) {
         val bc = spark.sparkContext.broadcast(model)
-        val zero = new GradAcc(model.numTags + 2, model.featDim)
-        val acc = data
-          .filter(ex => batchOf(ex, epoch, nBatches) == b)
-          .treeAggregate(zero)(
+        val batch = data.filter(ex => batchOf(ex, epoch, nBatches) == b)
+        if (trainEncoder) {
+          val acc = batch.treeAggregate(new Backprop.ModelGrad(model))(
+            (a, ex) => { accumulateFull(bc.value, a, ex); a },
+            (a1, a2) => a1.merge(a2))
+          epochLoss += acc.loss; epochN += acc.n
+          model = applyFullStep(model, acc, lr, trMask)
+        } else {
+          val acc = batch.treeAggregate(new GradAcc(model.numTags + 2, model.featDim))(
             (a, ex) => { accumulate(bc.value, a, ex); a },
             (a1, a2) => a1.merge(a2))
-        epochLoss += acc.loss; epochN += acc.n
-        model = applyStep(model, acc, lr, trMask)
+          epochLoss += acc.loss; epochN += acc.n
+          model = applyStep(model, acc, lr, trMask)
+        }
         bc.destroy()
       }
       val devAcc = devTokenAccuracy(model, dev)

@@ -64,6 +64,38 @@ class TrainerSpec extends AnyFunSuite {
         s"BIOSE wall ($a,$b) was modified by training")
   }
 
+  test("full-network training learns a task from RANDOM init (trainEncoder=true)") {
+    // word→label task: only solvable by training the embeddings/encoder — the
+    // random init knows nothing, and the head alone cannot separate what the
+    // random features don't encode reliably. BiLSTM + charCNN, all parameter
+    // groups live.
+    import spark.implicits._
+    val vocab = Seq("אבג", "דהו", "זחט", "יכל", "מנס", "עפצ", "קרש", "תאב", "גדה", "וזח", "טיכ", "למנ")
+    val labOf = vocab.zipWithIndex.map { case (w, i) =>
+      w -> Seq("O", "S-PER", "S-ORG")(i % 3)
+    }.toMap
+    val r = new Random(5)
+    def sent(): TrainExample = {
+      val ws = Seq.fill(3 + r.nextInt(5))(vocab(r.nextInt(vocab.length)))
+      TrainExample(ws, ws.map(labOf))
+    }
+    val trainEx = Seq.fill(220)(sent())
+    val devEx = Seq.fill(40)(sent())
+    val init = ner.NerModel.synthesize(
+      ner.NerConfig("token-single", wordEmbDim = 8, charEmbDim = 4, charHidden = 4,
+        hidden = 8, lstmLayers = 1, wordExtractor = "LSTM", charExtractor = "CNN"),
+      vocab, Seq("O", "S-PER", "S-ORG"), seed = 23)
+    val initAcc = Trainer.devTokenAccuracy(init, devEx)
+    assert(initAcc < 0.8, s"random init should be near chance, got $initAcc")
+    val (best, hist) = Trainer.train(spark, spark.createDataset(trainEx).repartition(4), devEx,
+      init, epochs = 15, lr0 = 0.5, lrDecay = 0.05, nBatches = 2, trainEncoder = true)
+    val bestAcc = Trainer.devTokenAccuracy(best, devEx)
+    assert(hist.last.trainNll < hist.head.trainNll * 0.2,
+      s"full training NLL did not fall: ${hist.map(_.trainNll)}")
+    assert(bestAcc >= 0.95,
+      s"full training failed to learn: $initAcc -> $bestAcc (${hist.map(_.devTokenAcc)})")
+  }
+
   test("one exact gradient step lowers the batch NLL (sanity anchor for F13)") {
     val init = perturbedOracle(seed = 11)
     val exs = goldExamples(0, 4)
