@@ -97,13 +97,9 @@ object Backprop {
     val hs = Array.ofDim[Array[Float]](L) // h_t (same objects the forward emits)
   }
 
-  @inline private def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x))).toFloat
-  @inline private def tanhF(x: Float): Float = math.tanh(x).toFloat
-  @inline private def dot(w: Array[Float], x: Array[Float]): Float = {
-    var s = 0f; var i = 0
-    while (i < w.length) { s += w(i) * x(i); i += 1 }
-    s
-  }
+  // numeric primitives shared with the inference path (bit-identity between
+  // this forward and Scorer's is load-bearing — never fork these)
+  import Scorer.{sigmoid, tanhF, dot}
 
   /** Identical math and ordering to Scorer.lstmRun, plus the cache. */
   private def lstmForward(w: LstmCellWeights, xs: Array[Array[Float]], reverse: Boolean): LstmCache = {
@@ -295,6 +291,7 @@ object Backprop {
     * parameter gradient into `g` and returns the sentence NLL. The emissions
     * computed here equal Scorer.emissions bit for bit (asserted in tests). */
   def accumulate(m: NerModel, g: ModelGrad, tokens: IndexedSeq[String], gold: Array[Int]): Double = {
+    if (tokens.isEmpty) return 0.0 // CRF lattice is undefined on zero positions
     val cfg = m.config
     val n = tokens.length
     // --- forward: word reps with char caches ---

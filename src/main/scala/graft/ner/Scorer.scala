@@ -27,7 +27,7 @@ object Scorer {
 
   // ---------- low-level math ----------
 
-  @inline private def dot(w: Array[Float], x: Array[Float]): Float = {
+  @inline private[ner] def dot(w: Array[Float], x: Array[Float]): Float = {
     var s = 0f; var i = 0
     while (i < w.length) { s += w(i) * x(i); i += 1 }
     s
@@ -40,8 +40,8 @@ object Scorer {
     out
   }
 
-  @inline private def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x))).toFloat
-  @inline private def tanhF(x: Float): Float = math.tanh(x).toFloat
+  @inline private[ner] def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x))).toFloat
+  @inline private[ner] def tanhF(x: Float): Float = math.tanh(x).toFloat
 
   /** One LSTM direction over a sequence (gates [i,f,g,o]); returns h_t per step. */
   def lstmRun(w: LstmCellWeights, xs: Array[Array[Float]], reverse: Boolean): Array[Array[Float]] = {

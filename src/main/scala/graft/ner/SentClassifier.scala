@@ -63,10 +63,12 @@ object SentClassifier {
         val bwd = Scorer.lstmRun(m.lstm(layer)(1), reps, reverse = true)
         parts(2 * layer) = fwd(fwd.length - 1) // final hidden of the forward run
         parts(2 * layer + 1) = bwd(0)          // final hidden of the backward run
-        val merged = new Array[Array[Float]](reps.length)
-        var t = 0
-        while (t < reps.length) { merged(t) = fwd(t) ++ bwd(t); t += 1 }
-        reps = merged
+        if (layer < m.lstm.length - 1) { // top layer's per-token merge is never read
+          val merged = new Array[Array[Float]](reps.length)
+          var t = 0
+          while (t < reps.length) { merged(t) = fwd(t) ++ bwd(t); t += 1 }
+          reps = merged
+        }
         layer += 1
       }
       parts.flatten
@@ -128,8 +130,12 @@ object SentClassifier {
     }
   }
 
-  def accumulate(sm: SentModel, acc: HeadGrad, tokens: IndexedSeq[String], goldClass: Int): Unit = {
-    val rep = represent(sm.base, tokens)
+  def accumulate(sm: SentModel, acc: HeadGrad, tokens: IndexedSeq[String], goldClass: Int): Unit =
+    accumulateRep(sm, acc, represent(sm.base, tokens), goldClass)
+
+  /** Same, over a PRECOMPUTED representation (the head trainer featurizes each
+    * sentence once — the base encoder never changes during head training). */
+  def accumulateRep(sm: SentModel, acc: HeadGrad, rep: Array[Float], goldClass: Int): Unit = {
     val s = Scorer.affine(sm.w, sm.b, rep)
     var mx = Float.NegativeInfinity
     s.foreach(v => if (v > mx) mx = v)
@@ -151,7 +157,9 @@ object SentClassifier {
   }
 
   /** Distributed head training: full-batch GD per epoch via treeAggregate
-    * (the loop mechanics live in Trainer; this is the classifier analog). */
+    * (the loop mechanics live in Trainer; this is the classifier analog).
+    * Representations are computed ONCE through the frozen base encoder;
+    * epochs re-pay only the softmax-regression math. */
   def trainHead(
       spark: SparkSession,
       data: Dataset[(Seq[String], String)],
@@ -159,31 +167,35 @@ object SentClassifier {
       epochs: Int = 20,
       lr0: Double = 0.5,
       lrDecay: Double = 0.05): (SentModel, Seq[Double]) = {
-    val rdd = data.rdd.cache()
-    rdd.count()
+    // the cached RDD's lineage closes over this broadcast (cache misses and
+    // task retries recompute through it) — destroyed only in the finally
+    val bcInit = spark.sparkContext.broadcast(init)
+    val reps = data.rdd.flatMap { case (toks, cls) =>
+      val k = bcInit.value.labels.indexOf(cls)
+      if (k >= 0 && toks.nonEmpty) Some((represent(bcInit.value.base, toks.toIndexedSeq), k))
+      else None
+    }.cache()
+    reps.count() // one-time featurization; cached blocks serve the epochs
     var sm = init
     val losses = Vector.newBuilder[Double]
-    for (epoch <- 0 until epochs) {
-      val lr = lr0 / (1.0 + lrDecay * epoch)
-      val bc = spark.sparkContext.broadcast(sm)
-      val acc = rdd.treeAggregate(new HeadGrad(init.labels.length, repDim(init.base)))(
-        (a, ex) => {
-          val cls = bc.value.labels.indexOf(ex._2)
-          if (cls >= 0 && ex._1.nonEmpty) accumulate(bc.value, a, ex._1.toIndexedSeq, cls)
-          a
-        },
-        (a1, a2) => a1.merge(a2))
-      bc.destroy()
-      if (acc.n > 0) {
-        val s = lr / acc.n
-        sm = sm.copy(
-          w = Array.tabulate(sm.w.length)(i =>
-            Array.tabulate(sm.w(i).length)(j => (sm.w(i)(j) - s * acc.dW(i)(j)).toFloat)),
-          b = Array.tabulate(sm.b.length)(i => (sm.b(i) - s * acc.dB(i)).toFloat))
-        losses += acc.loss / acc.n
-      } else losses += 0.0
-    }
-    rdd.unpersist()
+    try {
+      for (epoch <- 0 until epochs) {
+        val lr = lr0 / (1.0 + lrDecay * epoch)
+        val bc = spark.sparkContext.broadcast(sm)
+        val acc = reps.treeAggregate(new HeadGrad(init.labels.length, repDim(init.base)))(
+          (a, ex) => { accumulateRep(bc.value, a, ex._1, ex._2); a },
+          (a1, a2) => a1.merge(a2))
+        bc.destroy()
+        if (acc.n > 0) {
+          val s = lr / acc.n
+          sm = sm.copy(
+            w = Array.tabulate(sm.w.length)(i =>
+              Array.tabulate(sm.w(i).length)(j => (sm.w(i)(j) - s * acc.dW(i)(j)).toFloat)),
+            b = Array.tabulate(sm.b.length)(i => (sm.b(i) - s * acc.dB(i)).toFloat))
+          losses += acc.loss / acc.n
+        } else losses += 0.0
+      }
+    } finally { reps.unpersist(); bcInit.destroy(); () }
     (sm, losses.result())
   }
 

@@ -6,14 +6,17 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * ncrf_main.py:361-478: SGD + lr decay, per-epoch shuffle, minibatches,
   * best-dev checkpointing) re-expressed Spark-first.
   *
-  * What trains: the linear head (hidden2tag W/b) and the CRF transition
-  * matrix, with EXACT analytic gradients from the forward–backward expected
-  * counts (Scorer.crfGradients — no autograd needed for a linear-chain CRF).
-  * The encoder below the feature layer (embeddings, char CNN/LSTM, word
-  * BiLSTM/CNN) is a FROZEN featurizer: backprop through a hand-rolled LSTM
-  * would re-implement torch autograd for no engine benefit, and training the
-  * head+CRF on frozen features already exercises every loop mechanic the
-  * reference row names (shuffle, minibatch SGD, lr decay, dev checkpointing).
+  * Two modes:
+  *  - default (`trainEncoder = false`): the linear head (hidden2tag W/b) and
+  *    the CRF transition matrix train over the FROZEN encoder, with EXACT
+  *    analytic gradients from the forward–backward expected counts
+  *    (Scorer.crfGradients). Features are computed once and cached — epochs
+  *    re-pay only the head+CRF math.
+  *  - `trainEncoder = true`: every parameter the reference trains receives
+  *    exact gradients via the manual backprop in [[Backprop]] (BPTT through
+  *    the BiLSTM stack and char BiLSTM, CNNs through max-pool/ReLU, embedding
+  *    tables) — the hand-rolled replacement for torch autograd, each group
+  *    verified against finite differences (BackpropSpec).
   *
   * Spark shape: one minibatch step = one `treeAggregate` over that batch's
   * partition of the data — per-partition gradient sums combine tree-wise, the
@@ -72,8 +75,15 @@ object Trainer {
     * the linear head: dW(tag) += dEmit_i(tag) · feats_i, dB(tag) += dEmit_i). */
   def accumulate(m: NerModel, acc: GradAcc, ex: TrainExample): Unit = {
     val gold = goldIds(m, ex) match { case Some(g) => g; case None => return }
-    val toks = ex.tokens.toIndexedSeq
-    val feats = Scorer.features(m, toks)
+    accumulateFeats(m, acc, Scorer.features(m, ex.tokens.toIndexedSeq), gold)
+  }
+
+  /** Same, over PRECOMPUTED frozen features — the head-only training loop
+    * featurizes each example exactly once (the encoder never changes in that
+    * mode), so epochs re-pay only the linear head + CRF math. */
+  def accumulateFeats(m: NerModel, acc: GradAcc,
+                      feats: Array[Array[Float]], gold: Array[Int]): Unit = {
+    if (feats.isEmpty) return
     val emit = new Array[Array[Float]](feats.length)
     var i = 0
     while (i < feats.length) { emit(i) = Scorer.affine(m.hidden2tag, m.hidden2tagB, feats(i)); i += 1 }
@@ -175,14 +185,17 @@ object Trainer {
 
   /** Deterministic epoch-seeded batch assignment: a fresh partition of the
     * examples into `nBatches` groups every epoch (the shuffle). */
-  private def batchOf(ex: TrainExample, epoch: Int, nBatches: Int): Int = {
-    val h = scala.util.hashing.MurmurHash3.orderedHash(ex.tokens, epoch * 31 + 17)
+  private def batchOf(tokens: Seq[String], epoch: Int, nBatches: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.orderedHash(tokens, epoch * 31 + 17)
     java.lang.Math.floorMod(h, nBatches)
   }
 
   def devTokenAccuracy(m: NerModel, dev: Seq[TrainExample]): Double = {
     var ok = 0L; var tot = 0L
-    for (ex <- dev if ex.tokens.nonEmpty) {
+    // malformed examples (token/label length mismatch) are EXCLUDED, matching
+    // goldIds' rejection on the training side — partially counting them would
+    // skew the metric that drives best-dev checkpointing
+    for (ex <- dev if ex.tokens.nonEmpty && ex.tokens.length == ex.labels.length) {
       val pred = Scorer.decodeBatch(m, IndexedSeq(ex.tokens.toIndexedSeq)).head
       var i = 0
       while (i < pred.length && i < ex.labels.length) {
@@ -212,39 +225,63 @@ object Trainer {
       nBatches: Int = 4,
       trainEncoder: Boolean = false): (NerModel, Seq[EpochStats]) = {
     val trMask: Array[Array[Boolean]] = init.transitions.map(_.map(_ <= -5000f))
-    val data = train.rdd.cache()
-    data.count() // materialize once; every batch step re-filters this cache
+    // broadcast of the FROZEN featurizer: must outlive the whole run — the
+    // cached featData's lineage still closes over it (a cache miss or task
+    // retry recomputes through the closure), so it is destroyed only in the
+    // finally below, never mid-training
+    val bcFeat = if (trainEncoder) null else spark.sparkContext.broadcast(init)
+    // full-network mode iterates raw examples (features change every step);
+    // head-only mode featurizes ONCE through the frozen encoder and epochs
+    // re-pay only the linear head + CRF math (encoder forward dominates cost)
+    val data = if (trainEncoder) train.rdd.cache() else null
+    val featData =
+      if (trainEncoder) null
+      else {
+        val fd = train.rdd.flatMap { ex =>
+          goldIds(bcFeat.value, ex).map(g =>
+            (ex.tokens, Scorer.features(bcFeat.value, ex.tokens.toIndexedSeq), g))
+        }.cache()
+        fd.count() // one-time featurization; cached blocks serve the epochs
+        fd
+      }
+    if (trainEncoder) { data.count(); () }
     var model = init
     var best = init
     var bestAcc = devTokenAccuracy(init, dev)
     val history = Vector.newBuilder[EpochStats]
-    for (epoch <- 0 until epochs) {
-      val lr = lr0 / (1.0 + lrDecay * epoch)
-      var epochLoss = 0.0
-      var epochN = 0L
-      for (b <- 0 until nBatches) {
-        val bc = spark.sparkContext.broadcast(model)
-        val batch = data.filter(ex => batchOf(ex, epoch, nBatches) == b)
-        if (trainEncoder) {
-          val acc = batch.treeAggregate(new Backprop.ModelGrad(model))(
-            (a, ex) => { accumulateFull(bc.value, a, ex); a },
-            (a1, a2) => a1.merge(a2))
-          epochLoss += acc.loss; epochN += acc.n
-          model = applyFullStep(model, acc, lr, trMask)
-        } else {
-          val acc = batch.treeAggregate(new GradAcc(model.numTags + 2, model.featDim))(
-            (a, ex) => { accumulate(bc.value, a, ex); a },
-            (a1, a2) => a1.merge(a2))
-          epochLoss += acc.loss; epochN += acc.n
-          model = applyStep(model, acc, lr, trMask)
+    try {
+      for (epoch <- 0 until epochs) {
+        val lr = lr0 / (1.0 + lrDecay * epoch)
+        var epochLoss = 0.0
+        var epochN = 0L
+        for (b <- 0 until nBatches) {
+          val bc = spark.sparkContext.broadcast(model)
+          if (trainEncoder) {
+            val acc = data.filter(ex => batchOf(ex.tokens, epoch, nBatches) == b)
+              .treeAggregate(new Backprop.ModelGrad(model))(
+                (a, ex) => { accumulateFull(bc.value, a, ex); a },
+                (a1, a2) => a1.merge(a2))
+            epochLoss += acc.loss; epochN += acc.n
+            model = applyFullStep(model, acc, lr, trMask)
+          } else {
+            val acc = featData.filter(t => batchOf(t._1, epoch, nBatches) == b)
+              .treeAggregate(new GradAcc(model.numTags + 2, model.featDim))(
+                (a, t) => { accumulateFeats(bc.value, a, t._2, t._3); a },
+                (a1, a2) => a1.merge(a2))
+            epochLoss += acc.loss; epochN += acc.n
+            model = applyStep(model, acc, lr, trMask)
+          }
+          bc.destroy()
         }
-        bc.destroy()
+        val devAcc = devTokenAccuracy(model, dev)
+        if (devAcc >= bestAcc) { bestAcc = devAcc; best = model } // checkpoint best-dev
+        history += EpochStats(epoch, if (epochN == 0) 0.0 else epochLoss / epochN, devAcc, lr)
       }
-      val devAcc = devTokenAccuracy(model, dev)
-      if (devAcc >= bestAcc) { bestAcc = devAcc; best = model } // checkpoint best-dev
-      history += EpochStats(epoch, if (epochN == 0) 0.0 else epochLoss / epochN, devAcc, lr)
+    } finally {
+      if (data != null) { data.unpersist(); () }
+      if (featData != null) { featData.unpersist(); () }
+      if (bcFeat != null) { bcFeat.destroy(); () }
     }
-    data.unpersist()
     (best, history.result())
   }
 }
