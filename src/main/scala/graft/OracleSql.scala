@@ -201,7 +201,9 @@ object OracleSql {
        |      FROM pairs p JOIN hx a ON a.id = p.id_a JOIN hx b ON b.id = p.id_b)
        |SELECT id_a, id_b, (inter * 10000) // uni AS jaccard_bp FROM v WHERE inter * 4 >= uni""".stripMargin
 
-  def simhashNearDup: String =
+  /** SimHash candidate-pair CTE chain (shared by the pair query and the
+    * cluster query — identical banding/cap parameters to the engine calls). */
+  private def simhashCtes: String =
     s"""WITH t1 AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok FROM documents),
        |th AS (SELECT id, ${h48("tok")} AS h FROM t1),
        |bits AS (SELECT id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
@@ -210,8 +212,89 @@ object OracleSql {
        |mem AS (SELECT id, sim, b AS band, (sim >> (b*12)) & 4095 AS chunk FROM sim, unnest(generate_series(0, 3)) AS t(b)),
        |sized AS (SELECT band, chunk FROM mem GROUP BY band, chunk HAVING COUNT(*) BETWEEN 2 AND 64),
        |pairs AS (SELECT DISTINCT m1.id AS id_a, m2.id AS id_b, bit_count(xor(m1.sim, m2.sim)) AS dist
-       |          FROM mem m1 JOIN mem m2 USING (band, chunk) JOIN sized USING (band, chunk) WHERE m1.id < m2.id)
+       |          FROM mem m1 JOIN mem m2 USING (band, chunk) JOIN sized USING (band, chunk) WHERE m1.id < m2.id)""".stripMargin
+
+  def simhashNearDup: String =
+    s"""$simhashCtes
        |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 10""".stripMargin
+
+  /** Fuzzy-dedup clusters: the simhash pair chain + recursive-CTE transitive
+    * closure (the same closure shape as the triples oracle) + component min
+    * as cluster representative. Replays Dedup.nearDupClusters(maxDist=3 —
+    * the banding recall-guarantee zone, so the pair set is exact). */
+  def nearDupClusters: String = {
+    val body =
+      s"""$simhashCtes,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs WHERE dist <= 3),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         |reach(node, comp) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+         |), cmp AS (SELECT node, MIN(comp) AS cluster_rep FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM cmp GROUP BY cluster_rep)
+         |SELECT c.node AS doc_id, c.cluster_rep, s.cluster_size
+         |FROM cmp c JOIN sz s USING (cluster_rep)""".stripMargin
+    body.replaceFirst("WITH t1 AS", "WITH RECURSIVE t1 AS")
+  }
+
+  /** Gopher repetition signals: non-distinct 2-gram multiset per doc, hashed
+    * to 48-bit longs (hash48 fold), top-gram and duplicate-gram fractions as
+    * integer basis points. Replays TextQuality.repetitionSignals(n=2). */
+  def repetitionSignals: String =
+    s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS gs
+       |       FROM toks0 WHERE len(toks) >= 2),
+       |g1 AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+       |g2 AS (SELECT doc_id, ${h48("g")} AS h FROM g1),
+       |c AS (SELECT doc_id, h, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, h),
+       |a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, MAX(cnt) AS maxc, COUNT(*) AS ndist FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_grams,
+       |  (maxc * 10000) // n_grams AS top_gram_bp,
+       |  ((n_grams - ndist) * 10000) // n_grams AS dup_gram_bp
+       |FROM a""".stripMargin
+
+  /** C4/Gopher composite filter verdict — same rule order and integer
+    * thresholds as TextQuality.c4Filter. */
+  def c4Filter: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS tot_chars,
+      |    CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with'], x))) AS BIGINT) AS stop_cnt,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS dist_cnt,
+      |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS BIGINT) AS alpha_chars,
+      |    CAST(length(text) AS BIGINT) AS len
+      |  FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks FROM documents)
+      |), v AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n < 20 THEN 'too_short'
+      |         WHEN tot_chars * 100 < n * 200 THEN 'short_tokens'
+      |         WHEN tot_chars * 100 > n * 1200 THEN 'long_tokens'
+      |         WHEN stop_cnt = 0 THEN 'no_stopwords'
+      |         WHEN dist_cnt * 10000 < n * 2500 THEN 'repetitive'
+      |         WHEN alpha_chars * 10000 < len * 6000 THEN 'symbol_soup'
+      |         ELSE 'ok' END AS reason
+      |  FROM f)
+      |SELECT doc_id, reason, CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep FROM v""".stripMargin
+
+  /** Deterministic stratified hash sample: md5-fold bucket of 'sample:doc_id'
+    * under a per-language rate (en downsampled 4×) — TextQuality
+    * .stratifiedHashSample semantics. */
+  def hashSample: String =
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE ${h48("'sample:' || CAST(doc_id AS VARCHAR)")} % 10000
+       |      < CASE WHEN lang = 'en' THEN 500 ELSE 2000 END""".stripMargin
+
+  /** Corpus top-20 vocabulary with deterministic rank. */
+  def vocabTopK: String =
+    """SELECT tok, n, rk FROM (
+      |  SELECT tok, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+      |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok FROM documents)
+      |  GROUP BY tok)
+      |WHERE rk <= 20""".stripMargin
 
   def cosineNearDup: String =
     """WITH planes AS (SELECT plane_id, plane FROM read_parquet('{{AUX}}/lsh_planes/*.parquet')),

@@ -342,6 +342,39 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    "d_rep_topgram" -> ((s, dir) => {
+      // Gopher-style repetition signals: top-2gram + duplicate-2gram
+      // fractions in basis points; shingles hashed to longs pre-shuffle
+      TextQuality.repetitionSignals(t(s, dir, "documents"), "doc_id", "text", n = 2)
+    }),
+    "d_c4_filter" -> ((s, dir) => {
+      // composite C4/Gopher keep-or-reject verdict with first-fail reason;
+      // all thresholds integer inequalities (engine-stable)
+      TextQuality.c4Filter(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    "d_hash_sample" -> ((s, dir) => {
+      // deterministic stratified sample: en docs at 5%, other langs at 20%
+      // (training-mixture rebalance); hash of the key, not rand() — stable
+      // under retries and repartitioning
+      TextQuality.stratifiedHashSample(t(s, dir, "documents"), "doc_id",
+          when(col("lang") === "en", lit(500L)).otherwise(lit(2000L)))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+    "d_neardup_clusters" -> ((s, dir) => {
+      // fuzzy-dedup clusters: simhash LSH pairs → connected components →
+      // per-cluster representative (the keep-one step of near-dup REMOVAL).
+      // maxDist=3 (the 4×12-bit banding recall-guarantee zone — pairs are
+      // EXACT, not approximate, within it) keeps the edge set the sparse
+      // real-near-dup graph, not the dist≤10 hairball (80k edges → 1.4k
+      // at sf0.1, CC converges in a few iterations)
+      Dedup.nearDupClusters(s, t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 3)
+    }),
+    "d_vocab_topk" -> ((s, dir) => {
+      // corpus top-20 vocabulary (map-side partial agg; rank not raw order)
+      TextQuality.vocabTopK(t(s, dir, "documents"), "text", k = 20)
+    }),
+
     // ---- the KG-construction pipeline itself (nemo_*; rows-only) ----
     "nemo_mentions_single" -> ((s, _) => annotatedMentions(s, 300, "token-single")),
     "nemo_mentions_morph" -> ((s, _) => annotatedMentions(s, 300, "morph")),
@@ -599,6 +632,11 @@ object SparkEntry {
     "d_minhash_neardup" -> OracleSql.minhashNearDup,
     "d_simhash_neardup" -> OracleSql.simhashNearDup,
     "d_cosine_neardup" -> OracleSql.cosineNearDup,
-    "d_fingerprint_poly" -> OracleSql.fingerprintPoly
+    "d_fingerprint_poly" -> OracleSql.fingerprintPoly,
+    "d_rep_topgram" -> OracleSql.repetitionSignals,
+    "d_c4_filter" -> OracleSql.c4Filter,
+    "d_hash_sample" -> OracleSql.hashSample,
+    "d_neardup_clusters" -> OracleSql.nearDupClusters,
+    "d_vocab_topk" -> OracleSql.vocabTopK
   )
 }

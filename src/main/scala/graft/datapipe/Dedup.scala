@@ -210,13 +210,18 @@ object Dedup {
   /** Word n-gram shingle STRINGS as a Catalyst expression (codegen; the HOF
     * analog of shingleStrings) — used where the downstream math must be
     * SQL-replicable end-to-end (exact Jaccard over string sets). */
-  def ngramShinglesCol(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+  def ngramShinglesCol(text: Column, n: Int): Column =
+    ngramShinglesFromToks(filter(split(lower(text), "\\s+"), t => t =!= ""), n)
+
+  /** Shingles over an already-tokenized column. PROJECT the tokens to a real
+    * column before calling when the input is an expression: a non-attribute
+    * `toks` is re-evaluated once per transform() index — O(len²) splits per
+    * doc (measured 4× wall on the repetition op at sf0.1). */
+  def ngramShinglesFromToks(toks: Column, n: Int): Column =
     when(size(toks) === 0, array().cast("array<string>"))
       .when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " "))))
-  }
 
   /** Catalyst analog of [[hash48]]: first 12 md5 hex chars as a 48-bit long.
     * Codegen'd (md5 + conv, no UDF boundary) and bit-identical to the UDF
@@ -236,8 +241,11 @@ object Dedup {
     // hashed shingle sets materialized ONCE (localCheckpoint, as in the
     // minhash path) — the self-join would otherwise recompute the md5 chain
     // on both sides; array_distinct after hashing so |a| is a true SET size
-    val sh = df.select(col(idCol).as("id"),
-        array_distinct(transform(ngramShinglesCol(col(textCol), shingleN), s => hash48Col(s))).as("sh"))
+    val sh = df
+      .select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
+      .select(col("id"),
+        array_distinct(transform(ngramShinglesFromToks(col("toks"), shingleN), s => hash48Col(s))).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).cast("long").as("na"))
@@ -290,6 +298,31 @@ object Dedup {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("dist"))
       .distinct()
     pairs.filter(col("dist") <= maxDist)
+  }
+
+  /** Fuzzy-dedup clustering — the full near-duplicate REMOVAL shape real
+    * pipelines run (SlimPajama / NeMo-Curator style): LSH candidate pairs →
+    * connected components → one representative per cluster. SimHash pairs
+    * (cheap, banding-capped) feed the same pointer-jumped min-label CC loop the KG
+    * canonicalizer uses; the component min is the kept doc. Output: one row
+    * per CLUSTERED doc (cluster_size ≥ 2) — (doc_id, cluster_rep,
+    * cluster_size); a caller drops rows where doc_id ≠ cluster_rep.
+    * Scale: the CC iterates over the near-dup EDGE set (≪ corpus), each
+    * iteration one small shuffle, lineage cut per iteration. */
+  def nearDupClusters(spark: org.apache.spark.sql.SparkSession,
+                      df: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
+    // pairs materialized ONCE: connectedComponents symmetrizes via a
+    // two-sided union of this frame — without the checkpoint the whole LSH
+    // chain (tokenize → simhash → band → self-join) would execute twice
+    val edges = simhashNearDuplicates(df, idCol, textCol, maxDist, maxBucket)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    val comp = graft.kg.Canonicalize.connectedComponents(spark, edges)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("node").as("doc_id"), col("component").as("cluster_rep"),
+        col("cluster_size"))
   }
 
   private val simPairUdf = udf { (xs: Seq[org.apache.spark.sql.Row]) =>

@@ -85,6 +85,114 @@ object TextQuality {
     round((lenOk + rep + stop + alpha) / 4.0, 4)
   }
 
+  // ---------- repetition signals (Gopher-style) ----------
+
+  /** Per-doc n-gram repetition signals (the Gopher "repetition" filters,
+    * Rae et al. 2021 §A1.1): fraction of the doc's n-grams taken by the single
+    * most frequent n-gram (`top_gram_bp`) and fraction of n-gram occurrences
+    * that are repeats (`dup_gram_bp`), both as exact integer basis points.
+    *
+    * Distributed shape: shingles are hashed to 48-bit longs (md5 fold —
+    * [[Dedup.hash48Col]]) BEFORE the (doc, gram) count shuffle, so the shuffle
+    * moves (long, long) pairs, never text; both groupBys get map-side partial
+    * aggregation. Docs with fewer than n tokens have no n-grams and are
+    * excluded (a 1-token doc has no repetition signal). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2): DataFrame = {
+    // tokens PROJECTED to a column first: referencing the split(...) expression
+    // inside the transform() lambda would re-split the text once per n-gram
+    // index (O(len²) per doc — measured 4.1 s → 0.6 s at sf0.1)
+    val toks = col("toks")
+    // NON-distinct n-grams — repetition is about occurrence multiplicity
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    df.select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), Dedup.hash48Col(col("g")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_grams"),
+        max("cnt").as("maxc"),
+        count(lit(1)).as("ndist"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("maxc * 10000 div n_grams").as("top_gram_bp"),
+        expr("(n_grams - ndist) * 10000 div n_grams").as("dup_gram_bp"))
+  }
+
+  // ---------- composite quality filter (C4-style) ----------
+
+  /** Composite document filter in the C4 / Gopher style (Raffel et al. 2020
+    * §2.2; Rae et al. 2021 §A1): a doc is kept only if it passes ALL rules;
+    * the output carries the FIRST failing rule's name so a pipeline can report
+    * per-rule rejection rates. Every threshold is an integer inequality
+    * (counts and basis points — no float compare), so the verdict is
+    * bit-stable across engines. Pure Catalyst, single narrow pass. Rules:
+    *   too_short     n_tokens < minTokens
+    *   short_tokens  mean token length < 2   (100·Σlen < 200·n)
+    *   long_tokens   mean token length > 12  (100·Σlen > 1200·n)
+    *   no_stopwords  zero stopword hits (keyword dump, not running text)
+    *   repetitive    distinct-token ratio < 25%  (10000·dist < 2500·n)
+    *   symbol_soup   alpha-char ratio < 60%      (10000·alpha < 6000·len)
+    */
+  def c4Filter(df: DataFrame, idCol: String, textCol: String,
+               minTokens: Int = 20,
+               stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val sw = array(stopwords.map(lit): _*)
+    val n = size(toks).cast("long")
+    val totChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val stopCnt = size(filter(toks, x => array_contains(sw, x))).cast("long")
+    val distCnt = size(array_distinct(toks)).cast("long")
+    val alphaChars = length(regexp_replace(col(textCol), "[^\\p{L}]", "")).cast("long")
+    val len = length(col(textCol)).cast("long")
+    val reason = when(n < minTokens, "too_short")
+      .when(totChars * 100L < n * 200L, "short_tokens")
+      .when(totChars * 100L > n * 1200L, "long_tokens")
+      .when(stopCnt === 0L, "no_stopwords")
+      .when(distCnt * 10000L < n * 2500L, "repetitive")
+      .when(alphaChars * 10000L < len * 6000L, "symbol_soup")
+      .otherwise("ok")
+    df.select(col(idCol).as("doc_id"), reason.as("reason"))
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
+  }
+
+  // ---------- deterministic hash sampling ----------
+
+  /** Seeded hash bucket in [0, 10000) for reproducible sampling: the md5-fold
+    * 48-bit hash ([[Dedup.hash48Col]]) of "salt:id". Deterministic across
+    * runs, engines, and partitionings — the property rand()-based sampling
+    * lacks (a retry or repartition changes rand()'s draw; a hash of the
+    * PRIMARY KEY never moves). */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(Dedup.hash48Col(concat(lit(salt + ":"), id.cast("string"))), lit(10000L))
+
+  /** Stratified deterministic sample: keep a row iff its hash bucket falls
+    * under the per-row rate (basis points), which may depend on strata
+    * columns — e.g. downsample a dominant language while keeping the tail
+    * (the usual training-mixture rebalance). Narrow, shuffle-free, and
+    * repeatable: the same (salt, id) always lands on the same side. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, rateBp: Column,
+                           salt: String = "sample"): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < rateBp)
+
+  // ---------- corpus vocabulary ----------
+
+  /** Corpus-level top-k vocabulary by occurrence count with a deterministic
+    * rank (ties broken by token). The groupBy gets map-side partial
+    * aggregation (the shuffle carries one row per distinct token per
+    * partition, not one per occurrence); the global sort ranks only the
+    * vocab-sized aggregate, and the window runs on k rows post-limit. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val counts = df
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok"))
+    counts.orderBy(col("n").desc, col("tok")).limit(k)
+      .withColumn("rk", row_number().over(w))
+  }
+
   // ---------- language ID ----------
 
   /** Character/stopword n-gram profiles for a deterministic heuristic langId.

@@ -154,6 +154,80 @@ class DatapipeSpec extends AnyFunSuite {
     assert(langs(3L) === "de")
   }
 
+  test("repetition signals: top-gram and duplicate-gram fractions") {
+    val df = Seq(
+      (1L, "a b a b a"),   // 2-grams: ab ba ab ba → n=4, max=2, dist=2
+      (2L, "x y z"),       // xy yz → n=2, max=1, dist=2
+      (3L, "solo"),        // <2 tokens → excluded
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextQuality.repetitionSignals(df, "doc_id", "text", n = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L) && !r.contains(4L))
+    assert(r(1L).getAs[Long]("n_grams") === 4L)
+    assert(r(1L).getAs[Long]("top_gram_bp") === 5000L)  // 2*10000 div 4
+    assert(r(1L).getAs[Long]("dup_gram_bp") === 5000L)  // (4-2)*10000 div 4
+    assert(r(2L).getAs[Long]("top_gram_bp") === 5000L)  // 1*10000 div 2
+    assert(r(2L).getAs[Long]("dup_gram_bp") === 0L)
+  }
+
+  test("c4 filter: first-fail reason per rule, integer thresholds") {
+    val longToks = (0 until 24).map(_ => "abcdefghijklmnopq").mkString(" ") // mean len 17
+    val df = Seq(
+      (1L, "too short"),
+      (2L, "the " + longToks),                         // long_tokens (len 3 + 24×17 avg > 12)
+      (3L, (0 until 25).map(i => s"kw$i").mkString(" ")), // no stopword hit
+      (4L, "the " + (0 until 30).map(_ => "dup").mkString(" ")), // distinct 2/31 < 25%
+      (5L, "the quick brown fox jumps over a lazy dog and runs to the green hill with its old friend every sunny day")
+    ).toDF("doc_id", "text")
+    val v = TextQuality.c4Filter(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(v(1L).getAs[String]("reason") === "too_short")
+    assert(v(2L).getAs[String]("reason") === "long_tokens")
+    assert(v(3L).getAs[String]("reason") === "no_stopwords")
+    assert(v(4L).getAs[String]("reason") === "repetitive")
+    assert(v(5L).getAs[String]("reason") === "ok")
+    assert(v(5L).getAs[Int]("keep") === 1 && v(4L).getAs[Int]("keep") === 0)
+  }
+
+  test("stratified hash sample: deterministic, salt-sensitive, near the rate") {
+    val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "he"))
+      .toDF("doc_id", "lang")
+    val rate = when(col("lang") === "en", lit(500L)).otherwise(lit(2000L))
+    val s1 = TextQuality.stratifiedHashSample(df, "doc_id", rate).select("doc_id").as[Long].collect().toSet
+    val s2 = TextQuality.stratifiedHashSample(df, "doc_id", rate).select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2) // same salt+key → identical sample across runs
+    val other = TextQuality.stratifiedHashSample(df, "doc_id", rate, salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other !== s1) // salt rotates the sample
+    val en = s1.count(_ % 4 == 0); val he = s1.size - en
+    assert(math.abs(en - 25.0) < 20, s"en sampled $en of 500 at 5%")
+    assert(math.abs(he - 300.0) < 80, s"he sampled $he of 1500 at 20%")
+  }
+
+  test("near-dup clusters: LSH pairs close into components with min-id representative") {
+    // plant two exact-duplicate families on top of the random docs
+    val fam = docs.filter(col("doc_id") < 2)
+    val withDups = docs
+      .union(fam.withColumn("doc_id", col("doc_id") + 300))
+      .union(fam.withColumn("doc_id", col("doc_id") + 400))
+    val cl = Dedup.nearDupClusters(spark, withDups, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = cl.map(x => x._1 -> x).toMap
+    // doc 0's family {0, 300, 400} must share cluster_rep 0
+    assert(Seq(0L, 300L, 400L).forall(d => byDoc(d)._2 === 0L))
+    assert(Seq(1L, 301L, 401L).forall(d => byDoc(d)._2 === 1L))
+    assert(byDoc(0L)._3 >= 3L) // cluster_size counts the family
+    // only clustered docs appear (every returned cluster has ≥ 2 members)
+    assert(cl.groupBy(_._2).forall(_._2.length >= 2))
+  }
+
+  test("vocab top-k matches a naive count with deterministic tie-break") {
+    val df = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("doc_id", "text")
+    val got = TextQuality.vocabTopK(df, "text", k = 3)
+      .select("tok", "n", "rk").as[(String, Long, Int)].collect().toList
+    assert(got === List(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+  }
+
   test("token counting: whitespace and BPE-ish") {
     val df = Seq((1L, "hello, world! 42 times")).toDF("doc_id", "text")
     val n = df.select(TextQuality.tokenCount(col("text"))).as[Int].head()
