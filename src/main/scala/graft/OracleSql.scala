@@ -287,6 +287,63 @@ object OracleSql {
        |WHERE ${h48("'sample:' || CAST(doc_id AS VARCHAR)")} % 10000
        |      < CASE WHEN lang = 'en' THEN 500 ELSE 2000 END""".stripMargin
 
+  /** Cross-doc duplicated 5-grams (exact-substring-dedup signal): distinct
+    * per-doc 5-gram hash sets, corpus frequency, shared fraction in basis
+    * points — replays Dedup.crossDocDupNgrams(n=5, minDocs=2) incl. the
+    * fewer-than-n-tokens whole-text fallback shingle. */
+  def crossDocDupNgrams: String =
+    s"""WITH t0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS g
+       |       FROM t0 WHERE len(toks) > 0),
+       |h AS (SELECT doc_id, ${h48("g")} AS h FROM sh),
+       |freq AS (SELECT h, COUNT(*) AS ndocs FROM h GROUP BY h),
+       |j AS (SELECT doc_id, ndocs FROM h JOIN freq USING (h)),
+       |a AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |        CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams
+       |      FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_grams, shared_grams,
+       |  (shared_grams * 10000) // n_grams AS shared_bp FROM a""".stripMargin
+
+  /** PII counts + redacted-text fingerprint over the deterministically
+    * augmented text (every 7th doc gets planted email/IP/account-id). Same
+    * Java-regex/RE2-agreeing patterns and replacement order as
+    * TextQuality.redactPii; DuckDB needs the 'g' flag (Spark replaces all
+    * occurrences by default). */
+  def piiRedact: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val longId = "\\b\\d{9,}\\b"
+    s"""WITH aug AS (
+       |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+       |    THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or 192.168.' ||
+       |         CAST(doc_id % 200 AS VARCHAR) || '.3 acct 90000' || CAST(10000 + doc_id % 90000 AS VARCHAR)
+       |    ELSE '' END AS text2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text2, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text2, '$ipv4')) AS INT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(text2, '$longId')) AS INT) AS n_long_ids,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+       |    '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'), '$longId', '<ID>', 'g')) AS redacted_fp
+       |FROM aug""".stripMargin
+  }
+
+  /** Composed curation flow: C4 verdict → keep → exact dedup keep-one on the
+    * 30-char-prefix fingerprint → deterministic 50% hash sample. Verifies the
+    * COMPOSITION of three already-oracled operators. */
+  def curationPipeline: String =
+    s"""WITH cverdict AS (SELECT * FROM (
+       |$c4Filter
+       |)),
+       |keep AS (SELECT doc_id FROM cverdict WHERE keep = 1),
+       |dd AS (SELECT d.doc_id, d.lang, d.source,
+       |         ROW_NUMBER() OVER (PARTITION BY md5(substr(d.text, 1, 30)) ORDER BY d.doc_id) AS rk
+       |       FROM documents d JOIN keep USING (doc_id))
+       |SELECT doc_id, lang, source FROM dd
+       |WHERE rk = 1 AND ${h48("'curate:' || CAST(doc_id AS VARCHAR)")} % 10000 < 5000""".stripMargin
+
   /** Corpus top-20 vocabulary with deterministic rank. */
   def vocabTopK: String =
     """SELECT tok, n, rk FROM (

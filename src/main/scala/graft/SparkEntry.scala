@@ -374,6 +374,41 @@ object SparkEntry {
       // corpus top-20 vocabulary (map-side partial agg; rank not raw order)
       TextQuality.vocabTopK(t(s, dir, "documents"), "text", k = 20)
     }),
+    "d_crossdoc_ngrams" -> ((s, dir) => {
+      // exact-substring-dedup signal (Lee et al. 2021): per-doc fraction of
+      // distinct 5-grams occurring in >= 2 documents corpus-wide
+      Dedup.crossDocDupNgrams(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)
+    }),
+    "d_pii_redact" -> ((s, dir) => {
+      // PII counts + redacted-text fingerprint. The synthetic corpus carries
+      // no organic PII, so the query plants it DETERMINISTICALLY from doc_id
+      // (every 7th doc gets an email + IPv4 + 10-digit account id) — both
+      // engines derive the identical augmented text, so nonzero counts and
+      // the redacted md5 are hard-verified
+      val aug = t(s, dir, "documents").withColumn("text2",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@mail.example.org or 192.168."), (col("doc_id") % 200).cast("string"),
+              lit(".3 acct 90000"), (lit(10000L) + col("doc_id") % 90000).cast("string")))
+            .otherwise(lit(""))))
+      TextQuality.redactPii(aug, "doc_id", "text2")
+    }),
+    "d_curation_pipeline" -> ((s, dir) => {
+      // the composed curation flow a real training-data run executes:
+      // C4-style quality filter -> exact dedup keep-one -> deterministic
+      // 50% hash sample. Each stage is an already-oracled operator; this
+      // query verifies their COMPOSITION end-to-end (the filter feeds the
+      // dedup window which feeds the sample predicate in one plan)
+      val docs = t(s, dir, "documents")
+      val kept = TextQuality.c4Filter(docs, "doc_id", "text")
+        .filter(col("keep") === 1).select("doc_id")
+      val deduped = Dedup.exactDedupBy(docs.join(kept, "doc_id"), "doc_id",
+        md5(substring(col("text"), 1, 30)))
+      TextQuality.stratifiedHashSample(deduped, "doc_id", lit(5000L), salt = "curate")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
 
     // ---- the KG-construction pipeline itself (nemo_*; rows-only) ----
     "nemo_mentions_single" -> ((s, _) => annotatedMentions(s, 300, "token-single")),
@@ -637,6 +672,9 @@ object SparkEntry {
     "d_c4_filter" -> OracleSql.c4Filter,
     "d_hash_sample" -> OracleSql.hashSample,
     "d_neardup_clusters" -> OracleSql.nearDupClusters,
-    "d_vocab_topk" -> OracleSql.vocabTopK
+    "d_vocab_topk" -> OracleSql.vocabTopK,
+    "d_crossdoc_ngrams" -> OracleSql.crossDocDupNgrams,
+    "d_pii_redact" -> OracleSql.piiRedact,
+    "d_curation_pipeline" -> OracleSql.curationPipeline
   )
 }

@@ -325,6 +325,36 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Cross-document duplicated n-grams — the corpus-level repetition signal
+    * behind exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): for each doc, how much of its
+    * distinct n-gram set also occurs in other documents. Output:
+    * (doc_id, n_grams, shared_grams, shared_bp) where shared = n-grams seen
+    * in ≥ minDocs distinct docs; docs with no n-grams are excluded.
+    *
+    * Distributed shape: distinct (doc, 48-bit gram hash) pairs are
+    * materialized ONCE (localCheckpoint — both sides of the frequency join
+    * derive from them); the gram-frequency table is a groupBy on the hash
+    * with map-side partial agg (the shuffle carries (long, count) rows, one
+    * per distinct gram per partition, never text); the join back is a
+    * long=long shuffle join. No step is quadratic in corpus size. */
+  def crossDocDupNgrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
+      .select(col("doc_id"), explode(ngramShinglesFromToks(col("toks"), n)).as("g"))
+      .select(col("doc_id"), hash48Col(col("g")).as("h"))
+      .localCheckpoint()
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    sh.join(freq, "h")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("shared_grams"))
+      .select(col("doc_id"), col("n_grams"), col("shared_grams"),
+        expr("shared_grams * 10000 div n_grams").as("shared_bp"))
+  }
+
   private val simPairUdf = udf { (xs: Seq[org.apache.spark.sql.Row]) =>
     val s = xs.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     for (i <- s.indices; j <- i + 1 until s.length)

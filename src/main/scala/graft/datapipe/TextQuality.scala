@@ -193,6 +193,38 @@ object TextQuality {
       .withColumn("rk", row_number().over(w))
   }
 
+  // ---------- PII detection / redaction ----------
+
+  /** PII patterns chosen to evaluate IDENTICALLY under Java regex (Spark
+    * codegen) and RE2 (the DuckDB oracle): character classes, bounded
+    * quantifiers and \b only — no backreferences, no lookaround, nothing
+    * where the engines' matching disciplines could diverge. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longIdRe = "\\b\\d{9,}\\b"
+
+  /** PII signals + redaction: per-doc counts of emails, IPv4 addresses, and
+    * long (≥9-digit) numeric identifiers, plus the md5 fingerprint of the
+    * redacted text — so a pipeline can PROVE two engines redact identically
+    * without ever materializing the redacted corpus twice. Replacement order
+    * matters and is fixed: emails first (an address can contain digit runs),
+    * then IPs, then bare long ids; the placeholders contain no digits, so
+    * no pass can create a match for a later pass. Pure Catalyst
+    * (regexp_extract_all / regexp_replace) — narrow, shuffle-free, codegen. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          ipv4Re, "<IP>"),
+        longIdRe, "<ID>")
+    df.select(col(idCol).as("doc_id"),
+      size(expr(s"regexp_extract_all($textCol, '${emailRe.replace("\\", "\\\\")}', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all($textCol, '${ipv4Re.replace("\\", "\\\\")}', 0)")).as("n_ipv4"),
+      size(expr(s"regexp_extract_all($textCol, '${longIdRe.replace("\\", "\\\\")}', 0)")).as("n_long_ids"),
+      md5(redacted).as("redacted_fp"))
+  }
+
   // ---------- language ID ----------
 
   /** Character/stopword n-gram profiles for a deterministic heuristic langId.

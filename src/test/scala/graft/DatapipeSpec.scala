@@ -228,6 +228,45 @@ class DatapipeSpec extends AnyFunSuite {
     assert(got === List(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
   }
 
+  test("cross-doc duplicated n-grams: shared fraction vs a naive count") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 5-grams: [a..e], [b..z]
+      (2L, "alpha beta gamma delta epsilon"),      // exactly [a..e] → shared
+      (3L, "one two three four five six"),         // 2 grams, unshared
+      (4L, "tiny doc"),                            // <5 toks → whole-text shingle
+      (5L, "")).toDF("doc_id", "text")             // no tokens → excluded
+    val r = Dedup.crossDocDupNgrams(df, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(5L))
+    assert(r(1L).getAs[Long]("n_grams") === 2L)
+    assert(r(1L).getAs[Long]("shared_grams") === 1L)
+    assert(r(1L).getAs[Long]("shared_bp") === 5000L)
+    assert(r(2L).getAs[Long]("shared_bp") === 10000L)
+    assert(r(3L).getAs[Long]("shared_grams") === 0L)
+    assert(r(4L).getAs[Long]("n_grams") === 1L && r(4L).getAs[Long]("shared_grams") === 0L)
+  }
+
+  test("pii: counts, replacement order, and redaction fingerprint") {
+    val df = Seq(
+      (1L, "mail a.b-c@x.co and 10.0.0.1 acct 123456789 end"),
+      (2L, "no pii here 123 1.2 short"),
+      (3L, "two mails u@v.org w@z.net")).toDF("doc_id", "text")
+    val r = TextQuality.redactPii(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("n_emails") === 1)
+    assert(r(1L).getAs[Int]("n_ipv4") === 1)
+    assert(r(1L).getAs[Int]("n_long_ids") === 1)
+    assert(r(2L).getAs[Int]("n_emails") === 0 && r(2L).getAs[Int]("n_ipv4") === 0
+      && r(2L).getAs[Int]("n_long_ids") === 0)
+    assert(r(3L).getAs[Int]("n_emails") === 2)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(r(1L).getAs[String]("redacted_fp") ===
+      md5hex("mail <EMAIL> and <IP> acct <ID> end"))
+    assert(r(2L).getAs[String]("redacted_fp") === md5hex("no pii here 123 1.2 short"))
+  }
+
   test("token counting: whitespace and BPE-ish") {
     val df = Seq((1L, "hello, world! 42 times")).toDF("doc_id", "text")
     val n = df.select(TextQuality.tokenCount(col("text"))).as[Int].head()
