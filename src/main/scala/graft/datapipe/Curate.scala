@@ -1,0 +1,86 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.TableFormat
+
+/** Staged, checkpoint-resumable corpus curation — the datapipe twin of the
+  * KG pipeline's `Pipeline.runAll`: every stage materializes to a bucketed
+  * table with an atomic manifest (per-partition lineage counts + "complete"
+  * marker), so a crashed 100 TB curation run resumes at the first incomplete
+  * stage instead of re-reading the corpus.
+  *
+  * Stages:
+  *   (a) verdicts — C4/Gopher composite filter verdict per doc
+  *   (b) deduped  — kept docs, exact-dedup keep-one on the content fingerprint
+  *   (c) clusters — fuzzy near-dup clusters (LSH pairs → connected components)
+  *   (d) curated  — cluster non-representatives dropped, then the
+  *       deterministic stratified hash sample (training-mixture rebalance)
+  *
+  * Each stage reads the PREVIOUS stage's table, never the raw corpus again —
+  * at 10^12 docs, (b)–(d) touch only survivors. The fuzzy-cluster stage runs
+  * on the already exact-deduped set (exact dups would pollute LSH buckets
+  * with guaranteed collisions).
+  */
+object Curate {
+
+  final case class StagePaths(workDir: String) {
+    val verdicts = s"$workDir/verdicts"
+    val deduped = s"$workDir/deduped"
+    val clusters = s"$workDir/clusters"
+    val curated = s"$workDir/curated"
+    def all: Seq[String] = Seq(verdicts, deduped, clusters, curated)
+  }
+
+  /** Run the staged curation flow over `docs` (doc_id, text, + passenger
+    * columns). `sampleRateBp` is the per-row keep rate in basis points, by
+    * default 50% for "en" and 100% otherwise — any Column over the row works.
+    * Returns the curated DataFrame (read back from the final stage table). */
+  def runAll(spark: SparkSession, docs: DataFrame, workDir: String,
+             buckets: Int = 32, resume: Boolean = true,
+             minTokens: Int = 20, maxDist: Int = 3,
+             sampleRateBp: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+
+    val paths = StagePaths(workDir)
+
+    // (a) verdicts — one narrow pass over the raw corpus
+    if (!(resume && TableFormat.isComplete(paths.verdicts))) {
+      TableFormat.save(TextQuality.c4Filter(docs, "doc_id", "text", minTokens),
+        paths.verdicts, "doc_id", buckets, "verdicts")
+    }
+    val verdicts = TableFormat.load(spark, paths.verdicts)
+
+    // (b) kept + exact dedup keep-one (fingerprint window, min doc_id wins)
+    if (!(resume && TableFormat.isComplete(paths.deduped))) {
+      val kept = docs.join(
+        verdicts.filter(col("keep") === 1).select("doc_id"), "doc_id")
+      TableFormat.save(
+        Dedup.exactDedupBy(kept, "doc_id", TextQuality.fingerprint(col("text"))),
+        paths.deduped, "doc_id", buckets, "deduped")
+    }
+    val deduped = TableFormat.load(spark, paths.deduped)
+
+    // (c) fuzzy near-dup clusters on the exact-deduped survivors
+    if (!(resume && TableFormat.isComplete(paths.clusters))) {
+      TableFormat.save(
+        Dedup.nearDupClusters(spark, deduped, "doc_id", "text", maxDist),
+        paths.clusters, "doc_id", buckets, "clusters")
+    }
+    val clusters = TableFormat.load(spark, paths.clusters)
+
+    // (d) drop cluster non-representatives, then the deterministic sample.
+    // The drop-set (doc_id ≠ cluster_rep) is the sparse clustered tail —
+    // a left_anti join against it is broadcast-sized in practice
+    if (!(resume && TableFormat.isComplete(paths.curated))) {
+      val dropIds = clusters.filter(col("doc_id") =!= col("cluster_rep"))
+        .select("doc_id")
+      val survivors = deduped.join(dropIds, Seq("doc_id"), "left_anti")
+      val rate = sampleRateBp.getOrElse(
+        when(col("lang") === "en", lit(5000L)).otherwise(lit(10000L)))
+      TableFormat.save(
+        TextQuality.stratifiedHashSample(survivors, "doc_id", rate, salt = "curate"),
+        paths.curated, "doc_id", buckets, "curated")
+    }
+    TableFormat.load(spark, paths.curated)
+  }
+}

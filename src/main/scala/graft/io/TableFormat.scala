@@ -34,6 +34,12 @@ object TableFormat {
     // an Overwrite replaces file names under an already-listed path — drop the
     // session's cached FileIndex or later reads resolve to the deleted files
     df.sparkSession.catalog.refreshByPath(path)
+    // Schema snapshot (pre-bucket-column): a stage whose output is
+    // legitimately EMPTY (e.g. a clean corpus yields zero near-dup clusters)
+    // writes no parquet part files under partitionBy, so a later load cannot
+    // infer the schema from data. Iceberg carries the schema in table
+    // metadata; this is our facade's equivalent.
+    Files.writeString(Paths.get(path, "_schema.json"), df.schema.json)
     writeManifest(df.sparkSession, path, stage, extra)
   }
 
@@ -43,13 +49,19 @@ object TableFormat {
     // partition column: the parquet reader materializes row counts from file
     // footers (zero data columns read), so this is metadata-priced even when
     // the table is huge — not a re-read of the data.
-    val counts = spark.read.parquet(path)
-      .select(col(BucketCol))
-      .groupBy(col(BucketCol)).count()
-      .collect()
-      .map(r => s""""${r.get(0)}": ${r.getLong(1)}""")
-      .sorted
-      .mkString("{", ", ", "}")
+    val counts =
+      try spark.read.parquet(path)
+        .select(col(BucketCol))
+        .groupBy(col(BucketCol)).count()
+        .collect()
+        .map(r => s""""${r.get(0)}": ${r.getLong(1)}""")
+        .sorted
+        .mkString("{", ", ", "}")
+      catch {
+        // an empty stage output writes no part files — zero partitions
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => "{}"
+      }
     val kv = (extra + ("stage" -> stage, "wall_ms" -> System.currentTimeMillis().toString))
       .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
     val json = s"""{$kv, "partition_rows": $counts, "complete": true}"""
@@ -71,9 +83,20 @@ object TableFormat {
   def isComplete(path: String): Boolean =
     Files.exists(Paths.get(path, "_manifest.json"))
 
-  /** Load a table previously written by save (drops the bucket column). */
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop(BucketCol)
+  /** Load a table previously written by save (drops the bucket column).
+    * An empty table (no part files) reconstructs from the schema snapshot. */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val schemaFile = Paths.get(path, "_schema.json")
+    try spark.read.parquet(path).drop(BucketCol)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" && Files.exists(schemaFile) =>
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(schemaFile))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
 
   /** The bucket a key lands in — same hash as `save`, computable anywhere. */
   def bucketOf(spark: SparkSession, key: String, buckets: Int = 32): Int =

@@ -38,8 +38,11 @@ object Canonicalize {
     // of a join-with-previous + count (a whole extra shuffle join per loop).
     // decimal(38,0): a long Σ can overflow past ~10^10 nodes of 48-bit ids
     // (ANSI mode would throw mid-job); the decimal sum stays exact.
+    // coalesce: sum over ZERO rows is NULL — an empty edge set (no duplicates
+    // anywhere, a perfectly clean corpus) must converge, not NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -225,6 +225,21 @@ class PipelineSpec extends AnyFunSuite {
     rm2(new java.io.File(work))
   }
 
+  test("TableFormat: an empty stage output round-trips via the schema snapshot") {
+    val work = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "note")
+    TableFormat.save(empty, work, "doc_id", buckets = 4, stage = "empty")
+    assert(TableFormat.isComplete(work)) // manifest written despite zero rows
+    val back = TableFormat.load(spark, work)
+    assert(back.count() === 0)
+    assert(back.columns.toSeq === Seq("doc_id", "note")) // schema from _schema.json
+    // and an empty table still joins/unions like any other
+    assert(Seq((1L, "x")).toDF("doc_id", "note").join(back, Seq("doc_id"), "left_anti").count() === 1)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(work))
+  }
+
   test("TableFormat.lookup point-reads exactly one bucket (partition pruning)") {
     val work = java.nio.file.Files.createTempDirectory("graft-lookup").toString
     val docs = spark.createDataset(Fixtures.inputDocs(40)).toDF()
