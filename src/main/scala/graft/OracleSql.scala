@@ -344,6 +344,21 @@ object OracleSql {
        |SELECT doc_id, lang, source FROM dd
        |WHERE rk = 1 AND ${h48("'curate:' || CAST(doc_id AS VARCHAR)")} % 10000 < 5000""".stripMargin
 
+  /** Exact per-language token-count percentiles by rank arithmetic
+    * (percentile_disc semantics, tie-invariant) — replays
+    * TextQuality.tokenLenPercentiles(ps = 50/90/99). */
+  def lenPercentiles: String =
+    s"""WITH c AS (SELECT lang AS grp, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents),
+       |r AS (SELECT grp, n_tokens,
+       |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n_tokens) AS rk,
+       |        COUNT(*) OVER (PARTITION BY grp) AS n
+       |      FROM c)
+       |SELECT grp, COUNT(*) AS n_docs,
+       |  MIN(CASE WHEN rk * 100 >= n * 50 THEN n_tokens END) AS p50,
+       |  MIN(CASE WHEN rk * 100 >= n * 90 THEN n_tokens END) AS p90,
+       |  MIN(CASE WHEN rk * 100 >= n * 99 THEN n_tokens END) AS p99
+       |FROM r GROUP BY grp""".stripMargin
+
   /** Corpus top-20 vocabulary with deterministic rank. */
   def vocabTopK: String =
     """SELECT tok, n, rk FROM (

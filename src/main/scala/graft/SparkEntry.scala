@@ -374,6 +374,12 @@ object SparkEntry {
       // corpus top-20 vocabulary (map-side partial agg; rank not raw order)
       TextQuality.vocabTopK(t(s, dir, "documents"), "text", k = 20)
     }),
+    "d_len_percentiles" -> ((s, dir) => {
+      // exact per-language token-count percentiles via rank arithmetic
+      // (percentile_disc semantics — engine-stable integers, no
+      // interpolation-formula drift)
+      TextQuality.tokenLenPercentiles(t(s, dir, "documents"), "text", "lang")
+    }),
     "d_crossdoc_ngrams" -> ((s, dir) => {
       // exact-substring-dedup signal (Lee et al. 2021): per-doc fraction of
       // distinct 5-grams occurring in >= 2 documents corpus-wide
@@ -674,6 +680,7 @@ object SparkEntry {
     "d_neardup_clusters" -> OracleSql.nearDupClusters,
     "d_vocab_topk" -> OracleSql.vocabTopK,
     "d_crossdoc_ngrams" -> OracleSql.crossDocDupNgrams,
+    "d_len_percentiles" -> OracleSql.lenPercentiles,
     "d_pii_redact" -> OracleSql.piiRedact,
     "d_curation_pipeline" -> OracleSql.curationPipeline
   )

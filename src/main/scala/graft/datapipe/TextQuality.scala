@@ -193,6 +193,36 @@ object TextQuality {
       .withColumn("rk", row_number().over(w))
   }
 
+  // ---------- corpus statistics ----------
+
+  /** Exact per-group percentiles of the whitespace token count, computed by
+    * RANK ARITHMETIC (percentile_disc semantics: the smallest value whose
+    * rank r satisfies 100·r ≥ p·n) — deterministic integers, identical in
+    * every engine, unlike interpolating percentile functions whose formulas
+    * differ across implementations. Tie-invariant: if the boundary rank lands
+    * inside a run of equal values, the selected value is that run's value
+    * regardless of tie order.
+    *
+    * Shape: one window shuffle on the group key (rank + group size share the
+    * partition), then one partial-agg groupBy. The shuffled rows are
+    * (group, long) pairs — at corpus scale this is the standard
+    * statistics-per-stratum job, linear and skew-tolerant (a hot language is
+    * one big sort partition; AQE splits it). */
+  def tokenLenPercentiles(df: DataFrame, textCol: String, groupCol: String,
+                          ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("n_tokens")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val ranked = df
+      .select(col(groupCol).as("grp"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    val aggs = count(lit(1)).as("n_docs") +:
+      ps.map(p => min(when(col("rk") * 100 >= col("n") * p, col("n_tokens"))).as(s"p$p"))
+    ranked.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---------- PII detection / redaction ----------
 
   /** PII patterns chosen to evaluate IDENTICALLY under Java regex (Spark

@@ -267,6 +267,21 @@ class DatapipeSpec extends AnyFunSuite {
     assert(r(2L).getAs[String]("redacted_fp") === md5hex("no pii here 123 1.2 short"))
   }
 
+  test("token-length percentiles: rank-select semantics and tie invariance") {
+    // group g: counts 1..10 → p50 = 5 (rk*100 >= n*50 at rk=5), p90 = 9, p99 = 10
+    val g = (1 to 10).map(i => ("g", (1 to i).map(_ => "w").mkString(" ")))
+    // group t: all equal counts (ties) → every percentile is 3
+    val t = (1 to 4).map(_ => ("t", "a b c"))
+    val df = (g ++ t).toDF("lang", "text")
+    val r = TextQuality.tokenLenPercentiles(df, "text", "lang")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("g").getAs[Long]("p50") === 5L)
+    assert(r("g").getAs[Long]("p90") === 9L)
+    assert(r("g").getAs[Long]("p99") === 10L)
+    assert(r("g").getAs[Long]("n_docs") === 10L)
+    assert(Seq("p50", "p90", "p99").forall(p => r("t").getAs[Long](p) === 3L))
+  }
+
   test("token counting: whitespace and BPE-ish") {
     val df = Seq((1L, "hello, world! 42 times")).toDF("doc_id", "text")
     val n = df.select(TextQuality.tokenCount(col("text"))).as[Int].head()
