@@ -71,7 +71,12 @@ object Canonicalize {
           col("component") === col("jn"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("jc"), col("component"))).as("component"))
-      val s = labelSum(next)
+      // convergence test on the CHECKPOINTED half (a cached-RDD scan — the
+      // jump join above is never executed just for the test): labels is a
+      // deterministic function of half, so half stabilizing ⟹ labels
+      // stabilized, and the stabilized state is a fixpoint of the combined
+      // neighbor-min operator (component-constant labels = component min)
+      val s = labelSum(half)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
