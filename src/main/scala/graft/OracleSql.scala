@@ -344,6 +344,55 @@ object OracleSql {
        |SELECT doc_id, lang, source FROM dd
        |WHERE rk = 1 AND ${h48("'curate:' || CAST(doc_id AS VARCHAR)")} % 10000 < 5000""".stripMargin
 
+  /** Decontamination: distinct 3-grams of candidate docs (doc_id % 20 ≠ 0)
+    * vs the reference slice's (doc_id % 20 = 0) distinct gram-hash set —
+    * replays Dedup.contaminationCheck(n=3, flagBp=1000) incl. the
+    * whole-text fallback shingle for <3-token docs. */
+  def decontaminate: String = {
+    def gramCte(src: String, name: String) =
+      s"""${name}_t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM $src),
+         |$name AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS g
+         |  FROM ${name}_t WHERE len(toks) > 0)""".stripMargin
+    s"""WITH cand0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+       |ref0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+       |${gramCte("cand0", "cg")},
+       |${gramCte("ref0", "rg")},
+       |refset AS (SELECT DISTINCT ${h48("g")} AS h FROM rg),
+       |ch AS (SELECT doc_id, ${h48("g")} AS h FROM cg),
+       |a AS (SELECT c.doc_id, COUNT(*) AS n_grams,
+       |        CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_grams
+       |      FROM ch c LEFT JOIN refset r USING (h) GROUP BY c.doc_id)
+       |SELECT doc_id, n_grams, contaminated_grams,
+       |  (contaminated_grams * 10000) // n_grams AS contaminated_bp,
+       |  CAST(CASE WHEN (contaminated_grams * 10000) // n_grams >= 1000 THEN 1 ELSE 0 END AS INT) AS flagged
+       |FROM a""".stripMargin
+  }
+
+  /** Exact-substring span removal: tokens covered by a cross-doc duplicated
+    * 5-gram are cut from the normalized token stream — replays
+    * Dedup.removeDuplicateSpans(n=5, minDocs=2). Token indices: DuckDB list
+    * lambdas are 1-based, the engine's filter() index is 0-based, hence the
+    * i-1 shifts. */
+  def dupSpanRemoval: String =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+       |g AS (SELECT doc_id, i - 1 AS start, array_to_string(toks[i:i+4], ' ') AS gram
+       |      FROM t, unnest(range(1, len(toks) - 3)) AS u(i) WHERE len(toks) >= 5),
+       |h AS (SELECT doc_id, start, ${h48("gram")} AS h FROM g),
+       |freq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM h GROUP BY h),
+       |ds AS (SELECT doc_id, list(DISTINCT start) AS starts
+       |       FROM h JOIN freq USING (h) WHERE ndocs >= 2 GROUP BY doc_id),
+       |j AS (SELECT t.doc_id, t.toks, COALESCE(ds.starts, CAST([] AS BIGINT[])) AS starts
+       |      FROM t LEFT JOIN ds USING (doc_id))
+       |SELECT doc_id,
+       |  COALESCE(array_to_string(list_filter(toks, (x, i) ->
+       |    len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 5)) = 0), ' '), '') AS clean_text,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(len(list_filter(toks, (x, i) ->
+       |    len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 5)) > 0)) AS INT) AS n_removed
+       |FROM j""".stripMargin
+
   /** Exact per-language token-count percentiles by rank arithmetic
     * (percentile_disc semantics, tie-invariant) — replays
     * TextQuality.tokenLenPercentiles(ps = 50/90/99). */

@@ -386,6 +386,21 @@ object SparkEntry {
       Dedup.crossDocDupNgrams(t(s, dir, "documents"), "doc_id", "text",
         n = 5, minDocs = 2)
     }),
+    "d_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: candidate docs' 3-gram overlap with a
+      // held-out reference slice (every 20th doc plays the eval set)
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationCheck(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3, flagBp = 1000)
+    }),
+    "d_dup_span_removal" -> ((s, dir) => {
+      // exact-substring removal: cut tokens covered by any 5-gram occurring
+      // in >= 2 docs (the removal half of Lee et al. 2021)
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)
+    }),
     "d_pii_redact" -> ((s, dir) => {
       // PII counts + redacted-text fingerprint. The synthetic corpus carries
       // no organic PII, so the query plants it DETERMINISTICALLY from doc_id
@@ -681,6 +696,8 @@ object SparkEntry {
     "d_vocab_topk" -> OracleSql.vocabTopK,
     "d_crossdoc_ngrams" -> OracleSql.crossDocDupNgrams,
     "d_len_percentiles" -> OracleSql.lenPercentiles,
+    "d_decontaminate" -> OracleSql.decontaminate,
+    "d_dup_span_removal" -> OracleSql.dupSpanRemoval,
     "d_pii_redact" -> OracleSql.piiRedact,
     "d_curation_pipeline" -> OracleSql.curationPipeline
   )

@@ -355,6 +355,78 @@ object Dedup {
         expr("shared_grams * 10000 div n_grams").as("shared_bp"))
   }
 
+  /** Decontamination (benchmark-overlap) check: for each candidate doc, the
+    * fraction of its distinct n-grams that also occur in a REFERENCE corpus
+    * (held-out eval sets, test benchmarks) — the standard pre-training
+    * hygiene step (GPT-3 §C "decontamination"; Dodge et al. 2021). Output:
+    * (doc_id, n_grams, contaminated_grams, contaminated_bp, flagged).
+    *
+    * Shape: the reference's distinct gram-hash set is typically benchmark-
+    * sized (≪ corpus) — Catalyst broadcasts it under the threshold and AQE
+    * flips to SMJ above; candidate grams are hashed 48-bit longs, one
+    * distinct-project + one join + one groupBy, all partial-agged. */
+  def contaminationCheck(df: DataFrame, refDf: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, flagBp: Int = 1000): DataFrame = {
+    def grams(d: DataFrame, id: Column) = d
+      .select(id.as("doc_id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
+      .select(col("doc_id"), explode(ngramShinglesFromToks(col("toks"), n)).as("g"))
+      .select(col("doc_id"), hash48Col(col("g")).as("h"))
+    val refGrams = grams(refDf, col(idCol)).select("h").distinct()
+      .withColumn("in_ref", lit(1L))
+    grams(df, col(idCol))
+      .join(refGrams, Seq("h"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("in_ref"), lit(0L))).as("contaminated_grams"))
+      .select(col("doc_id"), col("n_grams"), col("contaminated_grams"),
+        expr("contaminated_grams * 10000 div n_grams").as("contaminated_bp"))
+      .withColumn("flagged", (col("contaminated_bp") >= flagBp).cast("int"))
+  }
+
+  /** Exact-substring span REMOVAL (the second half of Lee et al. 2021): cut
+    * every token covered by an n-gram that occurs in ≥ minDocs distinct
+    * documents. Returns (doc_id, clean_text, n_tokens, n_removed) where
+    * clean_text is over the NORMALIZED token stream (lowercased,
+    * whitespace-collapsed — the same normalization every shingling op uses).
+    * Docs with fewer than n tokens carry no n-gram evidence and pass through
+    * untouched; strict n-grams only (no whole-text fallback — a short doc is
+    * not a "span").
+    *
+    * Shape: positional gram hashes (doc, start, h) and the distinct doc-gram
+    * set are built from one projected token column; the corpus frequency
+    * table is a partial-agged groupBy on the 48-bit hash; duplicated START
+    * positions come back per doc as a collect_set (bounded by doc length),
+    * and the cut itself is a per-row Catalyst lambda (exists over the starts
+    * array) — no step shuffles text except the final clean_text build. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
+      .localCheckpoint() // three consumers below; tokenize once
+    val positional = toks
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))))
+      .select(col("doc_id"), col("pos").as("start"), hash48Col(col("col")).as("h"))
+    val freq = positional.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+    val dupStarts = positional
+      .join(freq.filter(col("ndocs") >= minDocs).select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_set("start").as("starts"))
+    toks.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"),
+        array_join(filter(col("toks"), (t, p) =>
+          !exists(col("starts"), s => s <= p && p < s + n)), " ").as("clean_text"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), (t, p) =>
+          exists(col("starts"), s => s <= p && p < s + n))).as("n_removed"))
+  }
+
   private val simPairUdf = udf { (xs: Seq[org.apache.spark.sql.Row]) =>
     val s = xs.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     for (i <- s.indices; j <- i + 1 until s.length)

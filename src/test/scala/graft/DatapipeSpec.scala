@@ -246,6 +246,42 @@ class DatapipeSpec extends AnyFunSuite {
     assert(r(4L).getAs[Long]("n_grams") === 1L && r(4L).getAs[Long]("shared_grams") === 0L)
   }
 
+  test("decontamination: overlap fraction against a reference set") {
+    val ref = Seq((100L, "secret eval question one"),
+                  (101L, "another held out probe")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "secret eval question one leaked here"),  // heavy overlap
+      (2L, "totally clean original content words"),  // none
+      (3L, "hi")).toDF("doc_id", "text")             // <3 toks → whole-text shingle, no match
+    val r = Dedup.contaminationCheck(cand, ref, "doc_id", "text", n = 3, flagBp = 1000)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc1: 4 distinct 3-grams, 2 of them ("secret eval question",
+    // "eval question one") are in ref
+    assert(r(1L).getAs[Long]("n_grams") === 4L)
+    assert(r(1L).getAs[Long]("contaminated_grams") === 2L)
+    assert(r(1L).getAs[Long]("contaminated_bp") === 5000L)
+    assert(r(1L).getAs[Int]("flagged") === 1)
+    assert(r(2L).getAs[Long]("contaminated_grams") === 0L && r(2L).getAs[Int]("flagged") === 0)
+    assert(r(3L).getAs[Long]("contaminated_grams") === 0L)
+  }
+
+  test("duplicate-span removal cuts exactly the covered tokens") {
+    val df = Seq(
+      (1L, "aa bb cc dd ee unique1 unique2 unique3"), // shares 5-gram aa..ee with doc 2
+      (2L, "prefix0 aa bb cc dd ee suffix9"),
+      (3L, "no shared grams in this document at all"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(df, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("clean_text") === "unique1 unique2 unique3")
+    assert(r(1L).getAs[Int]("n_removed") === 5)
+    assert(r(2L).getAs[String]("clean_text") === "prefix0 suffix9")
+    assert(r(2L).getAs[Int]("n_removed") === 5)
+    assert(r(3L).getAs[Int]("n_removed") === 0)
+    assert(r(3L).getAs[String]("clean_text") === "no shared grams in this document at all")
+    assert(r(4L).getAs[String]("clean_text") === "tiny") // <n tokens untouched
+  }
+
   test("pii: counts, replacement order, and redaction fingerprint") {
     val df = Seq(
       (1L, "mail a.b-c@x.co and 10.0.0.1 acct 123456789 end"),
