@@ -374,10 +374,12 @@ object Bench {
          |longer contaminates the table). First-pass sum for continuity with
          |earlier rounds: ${f(totalFirstPass)} s.
          |Failed queries are marked FAILED and excluded from the total.
-         |Note: the nemo_* family shares ONE annotated corpus per session
-         |(annotate-once, extract-many — the docs_labeled stage-checkpoint
-         |design); with min-of-passes their figures reflect steady-state
-         |extraction — the annotate cost itself is the e2e docs_labeled stage.
+         |Note: queries backed by a per-session artifact cache — the nemo_*
+         |family (annotate-once, extract-many: the docs_labeled
+         |stage-checkpoint design) and d_ann_ivf (write-time IVF index,
+         |cached per session) — report their steady-state cost under
+         |min-of-passes; the one-time build costs are the e2e docs_labeled
+         |stage and the first-pass sum above, respectively.
          |
          || query | sec |
          ||---|---|
