@@ -40,6 +40,18 @@ class KgSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components on a long chain and an empty edge set (pointer-jump paths)") {
+    // 120-node chain: diameter 119 — plain min-propagation would need 120
+    // rounds and hit maxIter=50; pointer jumping closes in ~log2(119)+1
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Canonicalize.connectedComponents(spark, chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 120 && got.values.forall(_ === 0L))
+    // empty edge set (clean corpus): converges immediately, returns no rows
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Canonicalize.connectedComponents(spark, none).count() === 0L)
+  }
+
   test("fuzzy linking: near-miss surface reaches its entity through the block") {
     import org.apache.spark.sql.functions._
     val dict = Seq(
