@@ -136,27 +136,33 @@ object TextQuality {
     *   repetitive    distinct-token ratio < 25%  (10000·dist < 2500·n)
     *   symbol_soup   alpha-char ratio < 60%      (10000·alpha < 6000·len)
     */
-  def c4Filter(df: DataFrame, idCol: String, textCol: String,
-               minTokens: Int = 20,
-               stopwords: Seq[String] = defaultStopwords): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+  /** The verdict as a standalone Column — per-row and stateless, so the SAME
+    * expression serves the batch filter and the streaming curation path. */
+  def c4Reason(text: Column, minTokens: Int = 20,
+               stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
     val sw = array(stopwords.map(lit): _*)
     val n = size(toks).cast("long")
     val totChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
     val stopCnt = size(filter(toks, x => array_contains(sw, x))).cast("long")
     val distCnt = size(array_distinct(toks)).cast("long")
-    val alphaChars = length(regexp_replace(col(textCol), "[^\\p{L}]", "")).cast("long")
-    val len = length(col(textCol)).cast("long")
-    val reason = when(n < minTokens, "too_short")
+    val alphaChars = length(regexp_replace(text, "[^\\p{L}]", "")).cast("long")
+    val len = length(text).cast("long")
+    when(n < minTokens, "too_short")
       .when(totChars * 100L < n * 200L, "short_tokens")
       .when(totChars * 100L > n * 1200L, "long_tokens")
       .when(stopCnt === 0L, "no_stopwords")
       .when(distCnt * 10000L < n * 2500L, "repetitive")
       .when(alphaChars * 10000L < len * 6000L, "symbol_soup")
       .otherwise("ok")
-    df.select(col(idCol).as("doc_id"), reason.as("reason"))
-      .withColumn("keep", (col("reason") === "ok").cast("int"))
   }
+
+  def c4Filter(df: DataFrame, idCol: String, textCol: String,
+               minTokens: Int = 20,
+               stopwords: Seq[String] = defaultStopwords): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        c4Reason(col(textCol), minTokens, stopwords).as("reason"))
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
 
   // ---------- deterministic hash sampling ----------
 

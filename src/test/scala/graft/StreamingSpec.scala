@@ -65,6 +65,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.distinct().count() === 10)
   }
 
+  test("streaming curation equals batch curation (verdict + dedup + sample)") {
+    import graft.datapipe.{Dedup, TextQuality}
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(11)
+    val vocab = (0 until 60).map(i => s"tok${('a' + i % 26).toChar}$i") ++ Seq("and", "of", "to", "in")
+    val base = (0L until 30L).map { i =>
+      (i, "the " + (0 until 29).map(_ => vocab(r.nextInt(vocab.length))).mkString(" "))
+    }
+    val junk = Seq((500L, "too short"),
+      (501L, "the " + (0 until 29).map(_ => "dup").mkString(" ")))
+    val dups = base.take(6).map { case (i, t) => (1000L + i, t) } // same text, later ingest
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamCurate.curate(
+      stream.toDS().toDF("doc_id", "text", "ingest_ts"), sampleRateBp = lit(6000L))
+    val q = out.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    // originals first, duplicates in a LATER micro-batch: first-seen-wins then
+    // deterministically equals the batch min-id keep-one
+    stream.addData((base ++ junk).map { case (i, t) => (i, t, t0) }: _*)
+    q.processAllAvailable()
+    stream.addData(dups.map { case (i, t) => (i, t, t0) }: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id FROM curate_stream").as[Long].collect().toSet
+
+    val corpus = (base ++ junk ++ dups).toDF("doc_id", "text")
+    val kept = corpus.filter(TextQuality.c4Reason(col("text")) === "ok")
+    val dd = Dedup.exactDedupBy(kept, "doc_id", TextQuality.fingerprint(col("text")))
+    val expect = TextQuality.stratifiedHashSample(dd, "doc_id", lit(6000L), salt = "curate")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expect)
+    assert(!got.contains(500L) && !got.contains(501L)) // junk rejected at ingest
+    assert(got.nonEmpty && got.size < 30)              // the 60% sample engaged
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals batch gap-and-island on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamSessionize, StreamSessionize.Event
