@@ -456,4 +456,61 @@ object OracleSql {
       |s4 AS (SELECT doc_id, xor(z, z >> 31) AS z FROM s3)
       |SELECT doc_id, CAST(CASE WHEN z >= 9223372036854775808 THEN CAST(z AS HUGEINT) - 18446744073709551616 ELSE CAST(z AS HUGEINT) END AS BIGINT) AS fp64
       |FROM s4""".stripMargin
+
+  /** Per-doc sequence-packing manifest (Pack.concatChunks): the engine's
+    * two-level prefix sum is replayed here as ONE global window cumsum —
+    * identical integers, different execution shape. Window SUM over BIGINT
+    * yields HUGEINT in DuckDB → cast back. */
+  private def packManifestCtes(capacity: Long): String =
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), nz AS (SELECT * FROM c WHERE n_tokens > 0),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+       |  FROM nz),
+       |m AS (
+       |  SELECT doc_id, n_tokens, tok_offset,
+       |    tok_offset // $capacity AS chunk_first,
+       |    (tok_offset + n_tokens - 1) // $capacity AS chunk_last,
+       |    (tok_offset + n_tokens - 1) // $capacity - tok_offset // $capacity + 1 AS chunks_spanned
+       |  FROM o)""".stripMargin
+
+  def packChunks(capacity: Long = 2048L): String =
+    s"""${packManifestCtes(capacity)}
+       |SELECT doc_id, n_tokens, tok_offset, chunk_first, chunk_last, chunks_spanned FROM m""".stripMargin
+
+  def packFill(capacity: Long = 2048L): String =
+    s"""${packManifestCtes(capacity)}
+       |SELECT chunk_id, COUNT(*) AS n_docs, CAST(SUM(tokens_in_chunk) AS BIGINT) AS tokens_filled FROM (
+       |  SELECT g.chunk_id,
+       |    LEAST(m.tok_offset + m.n_tokens, (g.chunk_id + 1) * $capacity)
+       |      - GREATEST(m.tok_offset, g.chunk_id * $capacity) AS tokens_in_chunk
+       |  FROM m, unnest(generate_series(m.chunk_first, m.chunk_last)) AS g(chunk_id)
+       |) GROUP BY chunk_id""".stripMargin
+
+  /** Fixed-point integer PageRank (kg.PageRank.run) over the symmetrized
+    * order–part graph, iterations unrolled as chained CTEs. All-integer
+    * (scale 10⁶, truncating //) so both engines agree bit-for-bit; SUM and
+    * 85·x arithmetic pass through HUGEINT and are cast back per iteration. */
+  def pageRank(iterations: Int = 5): String = {
+    val head =
+      s"""WITH e AS (
+         |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, CAST(l_partkey AS BIGINT) + 100000000 AS dst FROM lineitem
+         |), sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         |verts AS (SELECT DISTINCT src AS node FROM sym),
+         |outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM verts)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT v.node, CAST(150000 + (85 * COALESCE(inc.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT sym.dst AS node, SUM(p.pr // o.deg) AS s
+         |    FROM sym JOIN r${k - 1} p ON p.node = sym.src JOIN outdeg o ON o.node = sym.src
+         |    GROUP BY sym.dst) inc ON inc.node = v.node)""".stripMargin
+    }.mkString
+    s"$head$iters\nSELECT node, pr FROM r$iterations"
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.datapipe.{Dedup, Similarity, TextQuality, Multimodal}
+import graft.datapipe.{Dedup, Pack, Similarity, TextQuality, Multimodal}
 import graft.fixtures.Fixtures
 import graft.kg.{Linker, Canonicalize, Triples}
 
@@ -172,6 +172,17 @@ object SparkEntry {
         col("n_nationkey").cast("long").as("src"),
         (col("n_regionkey").cast("long") + 1000L).as("dst"))
       Canonicalize.connectedComponents(s, edges)
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // entity-salience fixed-point PageRank (the graph-analytics companion
+      // to CC) over the symmetrized order–part bipartite graph from lineitem.
+      // Exact integer arithmetic (scale 10⁶, truncating div) — the DuckDB
+      // oracle replays 5 unrolled iterations bit-for-bit
+      val li = t(s, dir, "lineitem")
+      val e = li.select(col("l_orderkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 100000000L).as("dst"))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      kg.PageRank.run(s, sym, iterations = 5).withColumnRenamed("rank", "pr")
     }),
     "q_link_blocked" -> ((s, dir) => {
       // C11 blocking-key join: part p_brand tokens as "dictionary", supplier
@@ -429,6 +440,21 @@ object SparkEntry {
         md5(substring(col("text"), 1, 30)))
       TextQuality.stratifiedHashSample(deduped, "doc_id", lit(5000L), salt = "curate")
         .select(col("doc_id"), col("lang"), col("source"))
+    }),
+    "d_pack_chunks" -> ((s, dir) => {
+      // sequence packing (concat-and-chunk): per-doc manifest of token
+      // offsets and spanned 2048-token training chunks. Two-level prefix sum
+      // (bucket totals → broadcast bases → intra-bucket window) — no global
+      // single-partition window; the oracle replays it with one
+      Pack.concatChunks(s, t(s, dir, "documents"), "doc_id", "text",
+        capacity = 2048L, bucketWidth = 64L)
+    }),
+    "d_pack_fill" -> ((s, dir) => {
+      // per-chunk fill: docs contributing and slots filled (bounded explode —
+      // a doc spans ≤ n/capacity + 1 chunks)
+      Pack.chunkSummary(
+        Pack.concatChunks(s, t(s, dir, "documents"), "doc_id", "text",
+          capacity = 2048L, bucketWidth = 64L), capacity = 2048L)
     }),
 
     // ---- the KG-construction pipeline itself (nemo_*; rows-only) ----
@@ -699,6 +725,9 @@ object SparkEntry {
     "d_decontaminate" -> OracleSql.decontaminate,
     "d_dup_span_removal" -> OracleSql.dupSpanRemoval,
     "d_pii_redact" -> OracleSql.piiRedact,
-    "d_curation_pipeline" -> OracleSql.curationPipeline
+    "d_curation_pipeline" -> OracleSql.curationPipeline,
+    "d_pack_chunks" -> OracleSql.packChunks(2048L),
+    "d_pack_fill" -> OracleSql.packFill(2048L),
+    "q_pagerank" -> OracleSql.pageRank(5)
   )
 }
