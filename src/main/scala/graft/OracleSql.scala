@@ -122,6 +122,42 @@ object OracleSql {
     body.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
   }
 
+  /** Entity co-occurrence edges (kg.Cooccur.edges): replay link → star-edge
+    * CC closure → per-sentence distinct canonical entities → pairs → exact
+    * integer lift (HUGEINT intermediates mirror Spark's DECIMAL(38,0)). */
+  def cooc: String = {
+    val body =
+      s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph")}
+         |, star AS (
+         |  SELECT entity_id AS src, MIN(entity_id) OVER (PARTITION BY alias_norm) AS dst
+         |  FROM (SELECT DISTINCT entity_id, alias_norm FROM dblk)
+         |), e AS (SELECT DISTINCT src, dst FROM star WHERE src <> dst),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         |reach(node, comp) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+         |), comp AS (SELECT node, MIN(comp) AS canonical_id FROM reach GROUP BY node),
+         |canon AS (
+         |  SELECT DISTINCT l.doc_id, l.sent_id, COALESCE(c.canonical_id, l.entity_id) AS cid
+         |  FROM linked l LEFT JOIN comp c ON c.node = l.entity_id
+         |),
+         |tot AS (SELECT COUNT(*) AS n_sent FROM (SELECT DISTINCT doc_id, sent_id FROM canon)),
+         |marg AS (SELECT cid, COUNT(*) AS n_ent FROM canon GROUP BY cid),
+         |pairs AS (
+         |  SELECT a.cid AS ent_a, b.cid AS ent_b, COUNT(*) AS n_ab
+         |  FROM canon a JOIN canon b ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.cid < b.cid
+         |  GROUP BY a.cid, b.cid
+         |  HAVING COUNT(*) >= 2
+         |)
+         |SELECT * FROM (
+         |  SELECT p.ent_a, p.ent_b, p.n_ab, ma.n_ent AS n_a, mb.n_ent AS n_b, t.n_sent,
+         |    CAST((CAST(p.n_ab AS HUGEINT) * t.n_sent * 10000) // (CAST(ma.n_ent AS HUGEINT) * mb.n_ent) AS BIGINT) AS lift_bp
+         |  FROM pairs p JOIN marg ma ON ma.cid = p.ent_a JOIN marg mb ON mb.cid = p.ent_b, tot t
+         |) WHERE lift_bp >= 10000""".stripMargin
+    body.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+  }
+
   def langId: String =
     """WITH m(lang, marker) AS (VALUES
       |  ('en',' the '),('en',' and '),('en',' of '),('en',' is '),('en',' to '),('en','ing '),('en',' that '),

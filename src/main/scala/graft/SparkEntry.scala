@@ -493,6 +493,21 @@ object SparkEntry {
         .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
       Triples.fromLinkedMentions(withCanon)
     }),
+    "nemo_cooc" -> ((s, _) => {
+      // KG densification after linking+canonicalization: canonical entities
+      // co-mentioned in a sentence, kept when exact-integer lift ≥ 1.0
+      // (candidate edges for relation extraction). Oracle replays the full
+      // chain link→CC-closure→pairs→lift in SQL from fixture gold
+      import s.implicits._
+      val mentions = annotatedMentions(s, 300, "morph")
+      val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+      val linked = Linker.link(mentions, dict)
+      val entities = Canonicalize.canonicalize(s, dict)
+      val withCanon = linked
+        .join(broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"), "left")
+        .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+      kg.Cooccur.edges(withCanon)
+    }),
     "nemo_media_features" -> ((s, _) => {
       // multimodal plumbing: media spans → GRFT binary payloads → batched
       // feature extraction; modality/dims/frames are PARSED from the payload
@@ -691,6 +706,7 @@ object SparkEntry {
     "nemo_mentions_morph_align_token" -> OracleSql.mentions("tok_forms", "tok_single", "token", "morph-align-token"),
     "nemo_linked" -> OracleSql.linked,
     "nemo_triples" -> OracleSql.triples,
+    "nemo_cooc" -> OracleSql.cooc,
     // Replays the GRFT header fields from the media_ref tail-hex rule
     // (Multimodal.syntheticMedia): code = hv1 % 3 → modality; video frames =
     // 1 + hv2 (framePlan of (1+hv2)·1000 ms); image/video dims = 64 + 4·hv3/4.

@@ -68,6 +68,31 @@ class PackGraphSpec extends AnyFunSuite {
     assert((1L to 4L).map(s).distinct.size === 1) // spokes symmetric
   }
 
+  test("cooccurrence edges: exact lift arithmetic, min-count and lift filters") {
+    import graft.kg.Cooccur
+    // sentences: (d0,s0)={1,2}, (d0,s1)={1,2}, (d1,s0)={3,4}, (d1,s1)={4}
+    // entity 2 appears twice in (d0,s0) (duplicate mention) → distinct dedups
+    val linked = Seq(
+      (0L, 0L, 1L), (0L, 0L, 2L), (0L, 0L, 2L),
+      (0L, 1L, 1L), (0L, 1L, 2L),
+      (1L, 0L, 3L), (1L, 0L, 4L),
+      (1L, 1L, 4L)).toDF("doc_id", "sent_id", "canonical_id")
+    val got = Cooccur.edges(linked).collect()
+    // N=4; (1,2): n_ab=2, n_1=2, n_2=2 → lift = 2·4/(2·2) = 2.0 → 20000 bp
+    // (3,4): n_ab=1 → dropped by minCount=2
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (1L, 2L, 2L))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === (2L, 2L, 4L))
+    assert(r.getLong(6) === 20000L)
+    // with minCount=1, (3,4) appears: lift = 1·4/(1·2) = 2.0 → 20000 bp
+    val loose = Cooccur.edges(linked, minCount = 1L).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(6))).toSet
+    assert(loose === Set((1L, 2L, 20000L), (3L, 4L, 20000L)))
+    // raising the lift bar filters everything
+    assert(Cooccur.edges(linked, minLiftBp = 20001L).collect().isEmpty)
+  }
+
   test("pagerank: exact integer values match a scalar reference implementation") {
     // small irregular graph, directed — compare against a plain Scala replay
     // of the same integer recurrence
