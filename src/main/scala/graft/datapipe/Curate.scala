@@ -16,9 +16,11 @@ import graft.io.TableFormat
   *   (c) clusters — fuzzy near-dup clusters (LSH pairs → connected components)
   *   (d) curated  — cluster non-representatives dropped, then the
   *       deterministic stratified hash sample (training-mixture rebalance)
+  *   (e) packed   — the sequence-packing manifest over the curated set
+  *       ([[Pack.concatChunks]]): what a training run consumes
   *
   * Each stage reads the PREVIOUS stage's table, never the raw corpus again —
-  * at 10^12 docs, (b)–(d) touch only survivors. The fuzzy-cluster stage runs
+  * at 10^12 docs, (b)–(e) touch only survivors. The fuzzy-cluster stage runs
   * on the already exact-deduped set (exact dups would pollute LSH buckets
   * with guaranteed collisions).
   */
@@ -29,7 +31,8 @@ object Curate {
     val deduped = s"$workDir/deduped"
     val clusters = s"$workDir/clusters"
     val curated = s"$workDir/curated"
-    def all: Seq[String] = Seq(verdicts, deduped, clusters, curated)
+    val packed = s"$workDir/packed"
+    def all: Seq[String] = Seq(verdicts, deduped, clusters, curated, packed)
   }
 
   /** Run the staged curation flow over `docs` (doc_id, text, + passenger
@@ -39,7 +42,8 @@ object Curate {
   def runAll(spark: SparkSession, docs: DataFrame, workDir: String,
              buckets: Int = 32, resume: Boolean = true,
              minTokens: Int = 20, maxDist: Int = 3,
-             sampleRateBp: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+             sampleRateBp: Option[org.apache.spark.sql.Column] = None,
+             chunkCapacity: Long = 2048L, packBucketWidth: Long = 4096L): DataFrame = {
 
     val paths = StagePaths(workDir)
 
@@ -81,6 +85,17 @@ object Curate {
         TextQuality.stratifiedHashSample(survivors, "doc_id", rate, salt = "curate"),
         paths.curated, "doc_id", buckets, "curated")
     }
-    TableFormat.load(spark, paths.curated)
+    val curated = TableFormat.load(spark, paths.curated)
+
+    // (e) packing manifest: the chunk layout a training run reads. Bucketed
+    // by chunk_first so a trainer's "give me chunks [a, b)" is a pruned read
+    if (!(resume && TableFormat.isComplete(paths.packed))) {
+      TableFormat.save(
+        Pack.concatChunks(spark, curated, "doc_id", "text",
+          chunkCapacity, packBucketWidth),
+        paths.packed, "chunk_first", buckets, "packed")
+    }
+
+    curated
   }
 }

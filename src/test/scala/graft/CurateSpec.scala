@@ -36,7 +36,7 @@ class CurateSpec extends AnyFunSuite {
     (base ++ exactDups ++ junk).toDF("doc_id", "text")
   }
 
-  test("runAll writes all four stages with manifests; semantics compose") {
+  test("runAll writes all five stages with manifests; semantics compose") {
     val dir = java.nio.file.Files.createTempDirectory("curate").toString
     val out = Curate.runAll(spark, corpus, dir, buckets = 4,
       sampleRateBp = Some(lit(10000L))) // 100% — isolate filter+dedup semantics
@@ -58,6 +58,13 @@ class CurateSpec extends AnyFunSuite {
     assert(reasons(2000L) === "too_short")
     assert(reasons(2001L) === "symbol_soup")
     assert(reasons(2002L) === "repetitive")
+
+    // packing stage: manifest over exactly the curated set, tokens conserved
+    val packed = TableFormat.load(spark, paths.packed)
+    assert(packed.select("doc_id").as[Long].collect().toSet === ids)
+    val totalTokens = packed.agg(sum("n_tokens")).head().getLong(0)
+    val lastEnd = packed.agg(max(col("tok_offset") + col("n_tokens"))).head().getLong(0)
+    assert(totalTokens === lastEnd, "packed offsets must tile the token axis")
   }
 
   test("resume reuses complete stages and rebuilds only the deleted one") {
@@ -76,12 +83,12 @@ class CurateSpec extends AnyFunSuite {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
     }
-    rmrf(java.nio.file.Paths.get(paths.curated))
+    rmrf(java.nio.file.Paths.get(paths.packed))
     val out2 = Curate.runAll(spark, corpus, dir, buckets = 4,
       sampleRateBp = Some(lit(10000L)))
     assert(paths.all.dropRight(1).map(manifestMs) === before,
       "an upstream stage was recomputed on resume")
-    assert(TableFormat.isComplete(paths.curated))
+    assert(TableFormat.isComplete(paths.packed))
     assert(out2.select("doc_id").as[Long].collect().toSet === (0L until 40L).toSet)
   }
 

@@ -68,6 +68,17 @@ class PackGraphSpec extends AnyFunSuite {
     assert((1L to 4L).map(s).distinct.size === 1) // spokes symmetric
   }
 
+  test("empty inputs: packing, pagerank and cooccurrence all return empty, not crash") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Pack.concatChunks(spark, noDocs, "doc_id", "text").count() === 0)
+    assert(Pack.chunkSummary(
+      Pack.concatChunks(spark, noDocs, "doc_id", "text")).count() === 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.run(spark, noEdges, iterations = 2).count() === 0)
+    val noLinked = Seq.empty[(Long, Long, Long)].toDF("doc_id", "sent_id", "canonical_id")
+    assert(graft.kg.Cooccur.edges(noLinked).count() === 0)
+  }
+
   test("cooccurrence edges: exact lift arithmetic, min-count and lift filters") {
     import graft.kg.Cooccur
     // sentences: (d0,s0)={1,2}, (d0,s1)={1,2}, (d1,s0)={3,4}, (d1,s1)={4}
