@@ -493,6 +493,39 @@ object OracleSql {
       |SELECT doc_id, CAST(CASE WHEN z >= 9223372036854775808 THEN CAST(z AS HUGEINT) - 18446744073709551616 ELSE CAST(z AS HUGEINT) END AS BIGINT) AS fp64
       |FROM s4""".stripMargin
 
+  /** Mixture-plan replay (datapipe.Mix): per-stratum token stats joined with
+    * the literal weight table, rates from exact integer arithmetic. Must stay
+    * in sync with SparkEntry.mixWeights. */
+  private val mixWeightsValues =
+    "('de', 1000), ('en', 4000), ('es', 2000), ('fr', 1000), ('zh', 2000)"
+
+  private def mixCtes(budget: Long): String =
+    s"""WITH stats AS (
+       |  SELECT lang AS stratum, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang
+       |), w(stratum, target_bp) AS (VALUES $mixWeightsValues),
+       |p AS (
+       |  SELECT s.stratum, s.n_docs, s.n_tokens, CAST(w.target_bp AS BIGINT) AS target_bp,
+       |    CAST(($budget * w.target_bp) // 10000 AS BIGINT) AS desired_tokens
+       |  FROM stats s JOIN w USING (stratum)
+       |), pl AS (
+       |  SELECT stratum, n_docs, n_tokens, target_bp, desired_tokens,
+       |    LEAST(10000, (desired_tokens * 10000) // n_tokens) AS rate_bp,
+       |    (n_tokens * LEAST(10000, (desired_tokens * 10000) // n_tokens)) // 10000 AS planned_tokens,
+       |    CASE WHEN desired_tokens > n_tokens THEN 1 ELSE 0 END AS capped
+       |  FROM p)""".stripMargin
+
+  def mixPlan(budget: Long = 20000L): String =
+    s"""${mixCtes(budget)}
+       |SELECT stratum, n_docs, n_tokens, target_bp, desired_tokens, rate_bp, planned_tokens, capped FROM pl""".stripMargin
+
+  def mixApply(budget: Long = 20000L): String =
+    s"""${mixCtes(budget)}
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN pl ON pl.stratum = d.lang
+       |WHERE ${h48("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 10000 < pl.rate_bp""".stripMargin
+
   /** Per-doc sequence-packing manifest (Pack.concatChunks): the engine's
     * two-level prefix sum is replayed here as ONE global window cumsum —
     * identical integers, different execution shape. Window SUM over BIGINT

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.datapipe.{Dedup, Pack, Similarity, TextQuality, Multimodal}
+import graft.datapipe.{Dedup, Mix, Pack, Similarity, TextQuality, Multimodal}
 import graft.fixtures.Fixtures
 import graft.kg.{Linker, Canonicalize, Triples}
 
@@ -25,6 +25,11 @@ import graft.kg.{Linker, Canonicalize, Triples}
   * DuckDB hash-compare never sees engine-specific floating-point dust.
   */
 object SparkEntry {
+
+  /** Target mixture weights for d_mix_plan/d_mix_apply — must stay in sync
+    * with OracleSql.mixWeightsValues. */
+  private val mixWeights = Map(
+    "en" -> 4000L, "zh" -> 2000L, "es" -> 2000L, "de" -> 1000L, "fr" -> 1000L)
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -449,6 +454,19 @@ object SparkEntry {
       Pack.concatChunks(s, t(s, dir, "documents"), "doc_id", "text",
         capacity = 2048L, bucketWidth = 64L)
     }),
+    "d_mix_plan" -> ((s, dir) => {
+      // training-mixture planning: per-language sampling rates that hit a
+      // 20k-token budget at DoReMi-style target weights; exact integer plan
+      Mix.plan(t(s, dir, "documents"), "lang", "text", mixWeights, 20000L)
+    }),
+    "d_mix_apply" -> ((s, dir) => {
+      // apply the plan: broadcast-join rates by stratum + deterministic
+      // hash-bucket filter (no shuffle on the corpus side)
+      val docs = t(s, dir, "documents")
+      Mix.apply(docs, "doc_id", "lang",
+          Mix.plan(docs, "lang", "text", mixWeights, 20000L))
+        .select("doc_id", "lang", "source")
+    }),
     "d_pack_fill" -> ((s, dir) => {
       // per-chunk fill: docs contributing and slots filled (bounded explode —
       // a doc spans ≤ n/capacity + 1 chunks)
@@ -742,6 +760,8 @@ object SparkEntry {
     "d_dup_span_removal" -> OracleSql.dupSpanRemoval,
     "d_pii_redact" -> OracleSql.piiRedact,
     "d_curation_pipeline" -> OracleSql.curationPipeline,
+    "d_mix_plan" -> OracleSql.mixPlan(20000L),
+    "d_mix_apply" -> OracleSql.mixApply(20000L),
     "d_pack_chunks" -> OracleSql.packChunks(2048L),
     "d_pack_fill" -> OracleSql.packFill(2048L),
     "q_pagerank" -> OracleSql.pageRank(5)

@@ -1,0 +1,55 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-mixture planning: turn per-stratum corpus statistics and target
+  * mixture weights into deterministic per-stratum sampling rates that hit a
+  * global token budget (the static mixture-rebalance step a training-data
+  * run executes before packing — DoReMi-style weights in, rates out).
+  *
+  * All arithmetic is exact integer (token counts, basis points, truncating
+  * div) so the plan is engine-stable and DuckDB-replayable. Downsampling
+  * only: a stratum whose target exceeds its supply caps at rate 10⁴ bp and
+  * is flagged `capped` (upsampling/repetition is a training-loop decision,
+  * not a corpus operation). Long arithmetic holds to ~10¹⁴ budget tokens
+  * (budget·10⁴ < 2⁶³); beyond that, widen to DECIMAL(38,0) like Cooccur.
+  *
+  * Scale shape: one map-side-combined groupBy on the stratum key (stratum
+  * cardinality ≪ corpus), the weight table is a literal broadcast, and
+  * applying the plan is a broadcast join + the deterministic hash-bucket
+  * filter — no extra shuffle on the corpus side.
+  */
+object Mix {
+
+  /** Per-stratum plan: (stratum, n_docs, n_tokens, target_bp,
+    * desired_tokens, rate_bp, planned_tokens, capped). Strata absent from
+    * `weightsBp` are excluded (weight 0). */
+  def plan(df: DataFrame, stratumCol: String, textCol: String,
+           weightsBp: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(weightsBp.values.sum <= 10000L, "weights exceed 10000 bp")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextQuality.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val weights = weightsBp.toSeq.sortBy(_._1).toDF("stratum", "target_bp")
+    stats.join(broadcast(weights), "stratum")
+      .withColumn("desired_tokens", expr(s"(${budgetTokens}L * target_bp) div 10000"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("(desired_tokens * 10000) div n_tokens")))
+      .withColumn("planned_tokens", expr("(n_tokens * rate_bp) div 10000"))
+      .withColumn("capped", (col("desired_tokens") > col("n_tokens")).cast("int"))
+      .select("stratum", "n_docs", "n_tokens", "target_bp", "desired_tokens",
+        "rate_bp", "planned_tokens", "capped")
+  }
+
+  /** Apply a plan: keep each doc iff its deterministic hash bucket clears its
+    * stratum's rate. Docs in unplanned strata are dropped (rate 0). */
+  def apply(df: DataFrame, idCol: String, stratumCol: String,
+            planDf: DataFrame, salt: String = "mix"): DataFrame =
+    df.join(broadcast(planDf.select(col("stratum").as(stratumCol), col("rate_bp"))),
+        Seq(stratumCol))
+      .filter(TextQuality.hashBucket(col(idCol), salt) < col("rate_bp"))
+      .drop("rate_bp")
+}

@@ -390,4 +390,32 @@ class DatapipeSpec extends AnyFunSuite {
     val fps = df.select(TextQuality.fingerprint(col("text"))).as[String].collect()
     assert(fps(0) === fps(1))
   }
+
+  test("mixture plan: exact rates hit the budget, oversubscribed strata cap") {
+    import graft.datapipe.Mix
+    // strata: "a" has 10 docs × 10 tokens = 100; "b" has 2 docs × 10 = 20;
+    // "c" exists in the corpus but carries no weight → excluded
+    def mk(lang: String, n: Int, off: Int) = (0 until n).map(i =>
+      ((off + i).toLong, (1 to 10).map(j => s"t$j").mkString(" "), lang))
+    val docs = (mk("a", 10, 0) ++ mk("b", 2, 100) ++ mk("c", 3, 200))
+      .toDF("doc_id", "text", "lang")
+    // budget 80 tokens: a @ 5000bp → 40 desired (rate 4000bp, planned 40);
+    // b @ 5000bp → 40 desired > 20 supply → capped at 10000bp
+    val p = Mix.plan(docs, "lang", "text", Map("a" -> 5000L, "b" -> 5000L), 80L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("a", "b"))
+    val a = p("a"); val b = p("b")
+    assert((a.getLong(2), a.getLong(4), a.getLong(5), a.getLong(6), a.getInt(7))
+      === ((100L, 40L, 4000L, 40L, 0)))
+    assert((b.getLong(2), b.getLong(4), b.getLong(5), b.getLong(6), b.getInt(7))
+      === ((20L, 40L, 10000L, 20L, 1)))
+    // apply: capped stratum keeps everything; unplanned stratum drops out
+    val kept = Mix.apply(docs, "doc_id", "lang",
+      Mix.plan(docs, "lang", "text", Map("a" -> 5000L, "b" -> 5000L), 80L))
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(kept.filter(_._2 == "b").map(_._1).toSet === Set(100L, 101L))
+    assert(!kept.exists(_._2 == "c"))
+    val aKept = kept.count(_._2 == "a")
+    assert(aKept > 0 && aKept < 10) // the 40% rate actually sampled
+  }
 }
