@@ -101,6 +101,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < 30)              // the 60% sample engaged
   }
 
+  test("StreamCurate.run writes manifested epoch tables of exactly the curated docs") {
+    import graft.io.TableFormat
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curate-ckpt").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val good = (0L until 20L).map(i =>
+      (i, "the " + (0 until 25).map(j =>
+        s"tok${('a' + (i.toInt + j) % 26).toChar}${('a' + j % 26).toChar}").mkString(" "), t0))
+    val junk = Seq((900L, "nope", t0))
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    stream.addData(good ++ junk: _*)
+    val q = graft.streaming.StreamCurate.run(spark,
+      stream.toDS().toDF("doc_id", "text", "ingest_ts"), out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable(); q.stop()
+
+    assert(TableFormat.isComplete(s"$out/epoch=0"), "epoch table not manifested")
+    val got = TableFormat.load(spark, s"$out/epoch=0")
+    assert(got.columns.toSet === Set("doc_id", "text"))
+    // default rate 10000 bp = keep-all: every clean doc lands, junk doesn't
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids === good.map(_._1).toSet)
+    assert(!ids.contains(900L), "junk doc admitted at ingest")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals batch gap-and-island on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamSessionize, StreamSessionize.Event
