@@ -187,7 +187,10 @@ object SparkEntry {
       val e = li.select(col("l_orderkey").cast("long").as("src"),
         (col("l_partkey").cast("long") + 100000000L).as("dst"))
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      kg.PageRank.run(s, sym, iterations = 5).withColumnRenamed("rank", "pr")
+      // allReceive: a symmetrized graph has no in-degree-0 vertex, so the
+      // per-iteration teleport-only left join is skipped (identical result)
+      kg.PageRank.run(s, sym, iterations = 5, allReceive = true)
+        .withColumnRenamed("rank", "pr")
     }),
     "q_link_blocked" -> ((s, dir) => {
       // C11 blocking-key join: part p_brand tokens as "dictionary", supplier

@@ -34,9 +34,18 @@ object PageRank {
   /** edges: (src: long, dst: long) DIRECTED (symmetrize upstream for an
     * undirected graph). Returns (node: long, rank: long) with Σ rank ≈
     * nNodes·scale. `scale` must be a multiple of 100 so the teleport term
-    * 0.15·scale is exact. */
+    * 0.15·scale is exact.
+    *
+    * `allReceive = true` declares every vertex has an in-edge (always true
+    * for a symmetrized graph, where each vertex appears as both src and
+    * dst): the per-iteration left join against the vertex set — which only
+    * exists to hand teleport-only rank to in-degree-0 nodes — is skipped,
+    * removing one join stage per iteration. Results are identical when the
+    * precondition holds; with in-degree-0 nodes present it would silently
+    * drop them, so it defaults off. */
   def run(spark: SparkSession, edges: DataFrame, iterations: Int = 5,
-          scale: Long = 1000000L, checkpointEvery: Int = 1): DataFrame = {
+          scale: Long = 1000000L, checkpointEvery: Int = 1,
+          allReceive: Boolean = false): DataFrame = {
     require(scale % 100L == 0L, "scale must be a multiple of 100")
     require(iterations >= 1 && checkpointEvery >= 1)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -56,7 +65,9 @@ object PageRank {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("inc"))
-      ranks = verts.join(contribs, Seq("node"), "left")
+      val joined = if (allReceive) contribs
+        else verts.join(contribs, Seq("node"), "left")
+      ranks = joined
         .select(col("node"),
           (lit(teleport) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
       iter += 1

@@ -66,6 +66,11 @@ class PackGraphSpec extends AnyFunSuite {
       .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
     assert(s(0L) > s(1L))
     assert((1L to 4L).map(s).distinct.size === 1) // spokes symmetric
+    // the symmetric-graph fast path (skip the teleport-only left join) must
+    // be bit-identical to the general path
+    val fast = PageRank.run(spark, star, iterations = 5, allReceive = true)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(fast === s)
   }
 
   test("empty inputs: packing, pagerank and cooccurrence all return empty, not crash") {
