@@ -162,6 +162,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+    // --- multi-PROCESS fleet probe FIRST, while this JVM is fresh: the
+    // same 8→cpus-core step as separate worker JVMs (the real fleet
+    // execution model — own heap/GC/JIT per worker, only the memory bus
+    // shared). Run before any Spark session exists so the children don't
+    // contend with the bench's own big heap / executor pools ---
+    val fleetThreads = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIR_HIGH", "8").toInt
+    val fleetSizes = Seq(1, 2, cpus / fleetThreads).distinct.sorted.filter(_ >= 1)
+    val fleetDocs = sys.env.getOrElse("SPARK_GRAFT_FLEET_DOCS", "100000").toInt
+    val fleet = tools.FleetProbe.run(fleetSizes, fleetThreads, fleetDocs, quiet = true)
+    val fleetEff =
+      if (fleet.size >= 2)
+        (fleet.last.dps / fleet.head.dps) / (fleet.last.workers.toDouble / fleet.head.workers)
+      else 0.0
+
     // --- per-query timings at the driver-requested parallelism ---
     // failures are recorded explicitly (ok=false, sec=-1) — a crashing query
     // must never masquerade as a fast successful run in the report
@@ -292,6 +306,7 @@ object Bench {
     val probeDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "40000").toInt
     val probe = threadProbe(probeLevels, probeDocs, () => cpuTimes())
 
+
     // --- skew: hot-key shuffle join, unsalted vs salted vs AQE skew-split ---
     val (skewNoSalt, skewSalt, skewAqe) = skewBench(cpus)
 
@@ -351,8 +366,11 @@ object Bench {
     val probeJson = probe.map(p =>
       s"""{"n":${p.n},"wall_sec":${f(p.wall)},"cpu_sec":${f(p.cpu)},"gc_sec":${f(p.gc)},"steal":${f(p.steal)},"docs_per_sec":${f(p.dps)},"cpu_us_per_doc":${f(p.usPerDoc)}}""")
       .mkString("[", ",", "]")
+    val fleetJson = fleet.map(r =>
+      s"""{"workers":${r.workers},"threads":${r.threads},"wall_sec":${f(r.wall)},"docs":${r.docs},"docs_per_sec":${f(r.dps)},"cpu_us_per_doc":${f(r.cpuUsPerDoc)}}""")
+      .mkString(s"""{"rows":[""", ",", s"""],"efficiency_low_to_high":${f(fleetEff)}}""")
     val jsonLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","total_first_pass":${f(totalFirstPass)},"query_reps":$queryReps,"queries":$qs,"failed":$failed,"scaling":$scaling,"thread_probe":$probeJson,"skew":$skew,"e2e":{"docs":$e2eDocs,"sec":${f(e2eSec)},"docs_per_sec":${f(e2eDocs / e2eSec)},"triples":$e2eTriples,"stages":{${e2eStages.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString(",")}}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","total_first_pass":${f(totalFirstPass)},"query_reps":$queryReps,"queries":$qs,"failed":$failed,"scaling":$scaling,"thread_probe":$probeJson,"fleet_probe":$fleetJson,"skew":$skew,"e2e":{"docs":$e2eDocs,"sec":${f(e2eSec)},"docs_per_sec":${f(e2eDocs / e2eSec)},"triples":$e2eTriples,"stages":{${e2eStages.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString(",")}}},"sf":"$sfDir"}"""
     println(jsonLine)
     // sentinel-prefixed duplicate: sbt's [info] prefixes and interleaved Spark
     // logs mangled the bare stdout line two rounds running ("parsed": null) —
@@ -454,6 +472,23 @@ object Bench {
          |steal ${if (probe.nonEmpty) f(probe.last.steal * 100) else "?"}% and
          |GC ${if (probe.nonEmpty) f(probe.last.gcPct) else "?"}% — the memory-bandwidth
          |signature described above (see BENCH/NOTES.md for the round-2 deep dive).
+         |
+         |### Multi-process fleet probe (the 8→$cpus-core step as SEPARATE worker JVMs)
+         |
+         |The same annotate kernel, but each "worker" is its OWN JVM process with
+         |$fleetThreads threads over its own disjoint doc range ($fleetDocs docs/worker,
+         |best of 2 rounds) — the real fleet execution model: private heap, GC
+         |and JIT per worker, only the box's memory bus shared. This is the
+         |closest single-box stand-in for "1 executor host vs ${cpus / fleetThreads} executor
+         |hosts"; a single local[$cpus] JVM additionally pays shared-heap
+         |allocator/GC contention that a real fleet never sees.
+         |
+         || workers × threads | wall sec | docs | agg docs/s | CPU µs/doc (per-worker sum) |
+         ||---|---|---|---|---|
+         |${fleet.map(r => s"| ${r.workers} × ${r.threads} | ${f(r.wall)} | ${r.docs} | ${f(r.dps)} | ${f(r.cpuUsPerDoc)} |").mkString("\n         |")}
+         |
+         |Fleet scaling efficiency ${fleet.headOption.map(_.workers).getOrElse(1)}×$fleetThreads → ${fleet.lastOption.map(_.workers).getOrElse(4)}×$fleetThreads
+         |(aggregate-throughput ratio / worker ratio) = **${f(fleetEff)}**.
          |
          |## End-to-end KG materialization (runAll, all stages written)
          |
