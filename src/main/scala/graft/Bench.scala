@@ -489,6 +489,9 @@ object Bench {
          |
          |Fleet scaling efficiency ${fleet.headOption.map(_.workers).getOrElse(1)}×$fleetThreads → ${fleet.lastOption.map(_.workers).getOrElse(4)}×$fleetThreads
          |(aggregate-throughput ratio / worker ratio) = **${f(fleetEff)}**.
+         |Per-doubling: ${fleet.sortBy(_.workers).sliding(2).collect { case Seq(lo, hi) =>
+             s"${lo.workers}×$fleetThreads→${hi.workers}×$fleetThreads **${f((hi.dps / lo.dps) / (hi.workers.toDouble / lo.workers))}**"
+           }.mkString(" · ")}.
          |
          |## End-to-end KG materialization (runAll, all stages written)
          |
