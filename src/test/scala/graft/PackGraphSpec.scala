@@ -73,6 +73,64 @@ class PackGraphSpec extends AnyFunSuite {
     assert(fast === s)
   }
 
+  test("packing fuzz: offsets tile the token axis for random corpora and parameters") {
+    val r = new scala.util.Random(42)
+    for (trial <- 0 until 4) {
+      val n = 30 + r.nextInt(120)
+      val docs = (0 until n).map { _ =>
+        // sparse non-contiguous ids; some whitespace-heavy and empty-ish texts
+        val id = r.nextInt(100000).toLong
+        val toks = r.nextInt(40)
+        (id, (0 until toks).map(j => s"t$j").mkString("  "))
+      }.distinct.toDF("doc_id", "text").dropDuplicates("doc_id")
+      val cap = 1L + r.nextInt(64)
+      val bw = 1L + r.nextInt(5000)
+      val m = Pack.concatChunks(spark, docs, "doc_id", "text", cap, bw)
+        .orderBy("doc_id").collect()
+      // offsets are the exact prefix sum in doc_id order, first offset 0
+      var expect = 0L
+      m.foreach { row =>
+        assert(row.getLong(2) === expect,
+          s"trial $trial (cap=$cap bw=$bw): offset broke at doc ${row.getLong(0)}")
+        expect += row.getLong(1)
+        assert(row.getLong(3) === row.getLong(2) / cap)
+        assert(row.getLong(4) === (row.getLong(2) + row.getLong(1) - 1) / cap)
+      }
+      // chunk summary conserves every token
+      val fill = Pack.chunkSummary(
+        Pack.concatChunks(spark, docs, "doc_id", "text", cap, bw), cap)
+      val filled = fill.agg(sum("tokens_filled")).head().getLong(0)
+      assert(filled === expect, s"trial $trial: token conservation")
+    }
+  }
+
+  test("cooccurrence fuzz: exact agreement with a scalar brute-force recompute") {
+    import graft.kg.Cooccur
+    val r = new scala.util.Random(7)
+    val rows = (0 until 400).map { _ =>
+      (r.nextInt(12).toLong, r.nextInt(6).toLong, (1 + r.nextInt(9)).toLong)
+    }
+    val got = Cooccur.edges(rows.toDF("doc_id", "sent_id", "canonical_id"),
+        minLiftBp = 0L, minCount = 1L)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+
+    val sents = rows.distinct.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).toSet).toMap
+    val nSent = sents.size.toLong
+    val marg = sents.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCnt = collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    sents.values.foreach { es =>
+      val v = es.toSeq.sorted
+      for (i <- v.indices; j <- i + 1 until v.size) pairCnt((v(i), v(j))) += 1
+    }
+    val expect = pairCnt.map { case ((a, b), nab) =>
+      val lift = (BigInt(nab) * nSent * 10000 / (BigInt(marg(a)) * marg(b))).toLong
+      (a, b) -> ((nab, marg(a), marg(b), nSent, lift))
+    }.toMap
+    assert(got === expect)
+  }
+
   test("empty inputs: packing, pagerank and cooccurrence all return empty, not crash") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Pack.concatChunks(spark, noDocs, "doc_id", "text").count() === 0)
