@@ -125,36 +125,19 @@ object Bench {
 
   private def threadProbe(levels: Seq[Int], docsPerLevel: Int,
                           stealFn: () => (Long, Long)): Seq[ProbeRow] = {
-    val bean = java.lang.management.ManagementFactory.getThreadMXBean
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMs = { var s = 0L; gcBeans.forEach(b => s += b.getCollectionTime); s }
-    val m = SparkEntry.fixtureModels
-    val lex: String => Boolean = m.lexicon.contains _
-    def annotate(i: Int): Int = {
-      val fd = fixtures.Fixtures.doc(i)
-      Pipeline.annotateDoc(m, lex, schema.InputDoc(fd.docId, fd.spans.toArray)).sents.length
-    }
-    (0 until 4000).foreach(annotate) // JIT warm on one thread
+    // identical measurement kernel to the FleetProbe workers — the
+    // single-JVM vs multi-process comparison must be apples-to-apples
+    val annotate = tools.AnnotateKernel.annotator()
+    tools.AnnotateKernel.warm(annotate) // JIT warm on one thread
     // two rounds per level, keep the second (warmed allocator/JIT state)
     (for (round <- 1 to 2; n <- levels) yield {
       val gc0 = gcMs; val (tot0, st0) = stealFn()
-      val next = new java.util.concurrent.atomic.AtomicInteger(0)
-      val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
-      val t0 = System.nanoTime()
-      val threads = (0 until n).map { _ =>
-        new Thread(() => {
-          val tid = Thread.currentThread().getId
-          val c0 = bean.getThreadCpuTime(tid)
-          var i = next.getAndIncrement()
-          while (i < docsPerLevel) { annotate(i); i = next.getAndIncrement() }
-          cpuNs.addAndGet(bean.getThreadCpuTime(tid) - c0); ()
-        })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      val wall = (System.nanoTime() - t0) / 1e9
+      val r = tools.AnnotateKernel.run(annotate, n, docsPerLevel)
       val (tot1, st1) = stealFn()
       val steal = if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
-      (round, ProbeRow(n, wall, cpuNs.get / 1e9, (gcMs - gc0) / 1e3, steal, docsPerLevel))
+      (round, ProbeRow(n, r.wall, r.cpuSec, (gcMs - gc0) / 1e3, steal, docsPerLevel))
     }).collect { case (2, row) => row }
   }
 
@@ -170,7 +153,14 @@ object Bench {
     val fleetThreads = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIR_HIGH", "8").toInt
     val fleetSizes = Seq(1, 2, cpus / fleetThreads).distinct.sorted.filter(_ >= 1)
     val fleetDocs = sys.env.getOrElse("SPARK_GRAFT_FLEET_DOCS", "100000").toInt
-    val fleet = tools.FleetProbe.run(fleetSizes, fleetThreads, fleetDocs, quiet = true)
+    // a broken probe must never take the bench down (the per-query sweep is
+    // the primary deliverable); FleetProbe.run already skips dead-worker
+    // rounds, this guards everything else (e.g. fork refused under mem limit)
+    val fleet =
+      try tools.FleetProbe.run(fleetSizes, fleetThreads, fleetDocs, quiet = true)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] fleet probe failed: ${e.getMessage}"); Seq.empty
+      }
     val fleetEff =
       if (fleet.size >= 2)
         (fleet.last.dps / fleet.head.dps) / (fleet.last.workers.toDouble / fleet.head.workers)
@@ -367,7 +357,7 @@ object Bench {
       s"""{"n":${p.n},"wall_sec":${f(p.wall)},"cpu_sec":${f(p.cpu)},"gc_sec":${f(p.gc)},"steal":${f(p.steal)},"docs_per_sec":${f(p.dps)},"cpu_us_per_doc":${f(p.usPerDoc)}}""")
       .mkString("[", ",", "]")
     val fleetJson = fleet.map(r =>
-      s"""{"workers":${r.workers},"threads":${r.threads},"wall_sec":${f(r.wall)},"docs":${r.docs},"docs_per_sec":${f(r.dps)},"cpu_us_per_doc":${f(r.cpuUsPerDoc)}}""")
+      s"""{"workers":${r.workers},"threads":${r.threads},"wall_sec":${f(r.wall)},"docs":${r.docs},"docs_per_sec":${f(r.dps)},"cpu_us_per_doc":${f(r.cpuUsPerDoc)},"overlap":${f(r.overlap)}}""")
       .mkString(s"""{"rows":[""", ",", s"""],"efficiency_low_to_high":${f(fleetEff)}}""")
     val jsonLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","total_first_pass":${f(totalFirstPass)},"query_reps":$queryReps,"queries":$qs,"failed":$failed,"scaling":$scaling,"thread_probe":$probeJson,"fleet_probe":$fleetJson,"skew":$skew,"e2e":{"docs":$e2eDocs,"sec":${f(e2eSec)},"docs_per_sec":${f(e2eDocs / e2eSec)},"triples":$e2eTriples,"stages":{${e2eStages.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString(",")}}},"sf":"$sfDir"}"""
@@ -481,11 +471,14 @@ object Bench {
          |and JIT per worker, only the box's memory bus shared. This is the
          |closest single-box stand-in for "1 executor host vs ${cpus / fleetThreads} executor
          |hosts"; a single local[$cpus] JVM additionally pays shared-heap
-         |allocator/GC contention that a real fleet never sees.
+         |allocator/GC contention that a real fleet never sees. "overlap" =
+         |min/max worker wall — near 1.0 means the workers' measured sections
+         |ran concurrently (the makespan estimate is honest); well under 1.0
+         |flags staggered starts inflating the aggregate.
          |
-         || workers × threads | wall sec | docs | agg docs/s | CPU µs/doc (per-worker sum) |
-         ||---|---|---|---|---|
-         |${fleet.map(r => s"| ${r.workers} × ${r.threads} | ${f(r.wall)} | ${r.docs} | ${f(r.dps)} | ${f(r.cpuUsPerDoc)} |").mkString("\n         |")}
+         || workers × threads | wall sec | overlap | docs | agg docs/s | CPU µs/doc (per-worker sum) |
+         ||---|---|---|---|---|---|
+         |${fleet.map(r => s"| ${r.workers} × ${r.threads} | ${f(r.wall)} | ${f(r.overlap)} | ${r.docs} | ${f(r.dps)} | ${f(r.cpuUsPerDoc)} |").mkString("\n         |")}
          |
          |Fleet scaling efficiency ${fleet.headOption.map(_.workers).getOrElse(1)}×$fleetThreads → ${fleet.lastOption.map(_.workers).getOrElse(4)}×$fleetThreads
          |(aggregate-throughput ratio / worker ratio) = **${f(fleetEff)}**.

@@ -494,17 +494,17 @@ object OracleSql {
       |FROM s4""".stripMargin
 
   /** Mixture-plan replay (datapipe.Mix): per-stratum token stats joined with
-    * the literal weight table, rates from exact integer arithmetic. Must stay
-    * in sync with SparkEntry.mixWeights. */
-  private val mixWeightsValues =
-    "('de', 1000), ('en', 4000), ('es', 2000), ('fr', 1000), ('zh', 2000)"
+    * the weight table, rendered as a VALUES literal from the SAME Map the
+    * engine query uses (no hand-synced duplicate). */
+  private def mixWeightsValues(weights: Map[String, Long]): String =
+    weights.toSeq.sorted.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
 
-  private def mixCtes(budget: Long): String =
+  private def mixCtes(budget: Long, weights: Map[String, Long]): String =
     s"""WITH stats AS (
        |  SELECT lang AS stratum, COUNT(*) AS n_docs,
        |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY lang
-       |), w(stratum, target_bp) AS (VALUES $mixWeightsValues),
+       |), w(stratum, target_bp) AS (VALUES ${mixWeightsValues(weights)}),
        |p AS (
        |  SELECT s.stratum, s.n_docs, s.n_tokens, CAST(w.target_bp AS BIGINT) AS target_bp,
        |    CAST(($budget * w.target_bp) // 10000 AS BIGINT) AS desired_tokens
@@ -516,12 +516,12 @@ object OracleSql {
        |    CASE WHEN desired_tokens > n_tokens THEN 1 ELSE 0 END AS capped
        |  FROM p)""".stripMargin
 
-  def mixPlan(budget: Long = 20000L): String =
-    s"""${mixCtes(budget)}
+  def mixPlan(budget: Long, weights: Map[String, Long]): String =
+    s"""${mixCtes(budget, weights)}
        |SELECT stratum, n_docs, n_tokens, target_bp, desired_tokens, rate_bp, planned_tokens, capped FROM pl""".stripMargin
 
-  def mixApply(budget: Long = 20000L): String =
-    s"""${mixCtes(budget)}
+  def mixApply(budget: Long, weights: Map[String, Long]): String =
+    s"""${mixCtes(budget, weights)}
        |SELECT d.doc_id, d.lang, d.source
        |FROM documents d JOIN pl ON pl.stratum = d.lang
        |WHERE ${h48("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 10000 < pl.rate_bp""".stripMargin

@@ -26,8 +26,8 @@ import graft.kg.{Linker, Canonicalize, Triples}
   */
 object SparkEntry {
 
-  /** Target mixture weights for d_mix_plan/d_mix_apply — must stay in sync
-    * with OracleSql.mixWeightsValues. */
+  /** Target mixture weights for d_mix_plan/d_mix_apply (the oracle SQL is
+    * generated from this same Map — no hand-synced duplicate). */
   private val mixWeights = Map(
     "en" -> 4000L, "zh" -> 2000L, "es" -> 2000L, "de" -> 1000L, "fr" -> 1000L)
 
@@ -763,8 +763,8 @@ object SparkEntry {
     "d_dup_span_removal" -> OracleSql.dupSpanRemoval,
     "d_pii_redact" -> OracleSql.piiRedact,
     "d_curation_pipeline" -> OracleSql.curationPipeline,
-    "d_mix_plan" -> OracleSql.mixPlan(20000L),
-    "d_mix_apply" -> OracleSql.mixApply(20000L),
+    "d_mix_plan" -> OracleSql.mixPlan(20000L, mixWeights),
+    "d_mix_apply" -> OracleSql.mixApply(20000L, mixWeights),
     "d_pack_chunks" -> OracleSql.packChunks(2048L),
     "d_pack_fill" -> OracleSql.packFill(2048L),
     "q_pagerank" -> OracleSql.pageRank(5)

@@ -47,15 +47,24 @@ object Curate {
 
     val paths = StagePaths(workDir)
 
+    // DIRTY CHAIN: once any stage rebuilds, every downstream stage rebuilds
+    // too — a stage's manifest only proves it is current w.r.t. the inputs it
+    // was built from. (Deleting `curated` to re-sample must also re-derive
+    // `packed`, or a trainer reads chunk offsets for a corpus that no longer
+    // exists.)
+    var dirty = false
+    def stage(path: String)(build: => Unit): Unit =
+      if (dirty || !(resume && TableFormat.isComplete(path))) { build; dirty = true }
+
     // (a) verdicts — one narrow pass over the raw corpus
-    if (!(resume && TableFormat.isComplete(paths.verdicts))) {
+    stage(paths.verdicts) {
       TableFormat.save(TextQuality.c4Filter(docs, "doc_id", "text", minTokens),
         paths.verdicts, "doc_id", buckets, "verdicts")
     }
     val verdicts = TableFormat.load(spark, paths.verdicts)
 
     // (b) kept + exact dedup keep-one (fingerprint window, min doc_id wins)
-    if (!(resume && TableFormat.isComplete(paths.deduped))) {
+    stage(paths.deduped) {
       val kept = docs.join(
         verdicts.filter(col("keep") === 1).select("doc_id"), "doc_id")
       TableFormat.save(
@@ -65,7 +74,7 @@ object Curate {
     val deduped = TableFormat.load(spark, paths.deduped)
 
     // (c) fuzzy near-dup clusters on the exact-deduped survivors
-    if (!(resume && TableFormat.isComplete(paths.clusters))) {
+    stage(paths.clusters) {
       TableFormat.save(
         Dedup.nearDupClusters(spark, deduped, "doc_id", "text", maxDist),
         paths.clusters, "doc_id", buckets, "clusters")
@@ -75,7 +84,7 @@ object Curate {
     // (d) drop cluster non-representatives, then the deterministic sample.
     // The drop-set (doc_id ≠ cluster_rep) is the sparse clustered tail —
     // a left_anti join against it is broadcast-sized in practice
-    if (!(resume && TableFormat.isComplete(paths.curated))) {
+    stage(paths.curated) {
       val dropIds = clusters.filter(col("doc_id") =!= col("cluster_rep"))
         .select("doc_id")
       val survivors = deduped.join(dropIds, Seq("doc_id"), "left_anti")
@@ -89,7 +98,7 @@ object Curate {
 
     // (e) packing manifest: the chunk layout a training run reads. Bucketed
     // by chunk_first so a trainer's "give me chunks [a, b)" is a pruned read
-    if (!(resume && TableFormat.isComplete(paths.packed))) {
+    stage(paths.packed) {
       TableFormat.save(
         Pack.concatChunks(spark, curated, "doc_id", "text",
           chunkCapacity, packBucketWidth),

@@ -27,6 +27,7 @@ object Mix {
     * `weightsBp` are excluded (weight 0). */
   def plan(df: DataFrame, stratumCol: String, textCol: String,
            weightsBp: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(weightsBp.values.forall(_ >= 0L), "negative weight")
     require(weightsBp.values.sum <= 10000L, "weights exceed 10000 bp")
     val spark = df.sparkSession
     import spark.implicits._

@@ -33,8 +33,11 @@ import scala.jdk.CollectionConverters._
 object Compact {
 
   private def rmrf(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
 
   private def listField(path: String, field: String): Seq[String] = {
     val mf = Paths.get(path, "_manifest.json")
@@ -43,15 +46,29 @@ object Compact {
       .map(_.group(1)).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
   }
 
+  /** Identity of an epoch table = name @ its manifest's wall_ms stamp. Epoch
+    * NAMES alone are not stable identities: a stream whose checkpoint is
+    * cleared restarts epoch numbering at 0, so a re-used name with new data
+    * must read as a FRESH epoch, never as "already merged" (which would
+    * delete unmerged data). */
+  private def epochIdentity(streamDir: String, name: String): String = {
+    val stamp = listField(s"$streamDir/$name", "wall_ms").headOption.getOrElse("?")
+    s"$name@$stamp"
+  }
+
   /** Complete epoch tables under streamDir, oldest first. */
   def completeEpochs(streamDir: String): Seq[String] = {
     val d = Paths.get(streamDir)
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("epoch="))
-      .filter(p => TableFormat.isComplete(p.toString))
-      .map(_.getFileName.toString).toSeq
-      .sortBy(n => n.stripPrefix("epoch=").toLong)
+    else {
+      val ls = Files.list(d)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("epoch="))
+        .filter(p => TableFormat.isComplete(p.toString))
+        .map(_.getFileName.toString).toSeq
+        .sortBy(n => n.stripPrefix("epoch=").toLong)
+      finally ls.close()
+    }
   }
 
   /** Swap a complete `.next` generation into place and drop the epochs its
@@ -70,9 +87,15 @@ object Compact {
     }
     Files.move(Paths.get(next), Paths.get(baseDir))
     rmrf(old)
-    listField(baseDir, "compacted_epochs")
-      .foreach(e => rmrf(Paths.get(streamDir, e)))
+    dropAbsorbed(streamDir, listField(baseDir, "compacted_epochs").toSet)
   }
+
+  /** Delete on-disk epochs whose CURRENT identity is in the absorbed set —
+    * a same-named epoch with a different stamp is new data and survives. */
+  private def dropAbsorbed(streamDir: String, absorbed: Set[String]): Unit =
+    completeEpochs(streamDir)
+      .filter(e => absorbed.contains(epochIdentity(streamDir, e)))
+      .foreach(e => rmrf(Paths.get(streamDir, e)))
 
   /** Merge all complete, not-yet-merged epochs into baseDir. Returns the
     * number of epochs folded in (0 = nothing to do). */
@@ -80,10 +103,13 @@ object Compact {
                   keyCol: String, buckets: Int = 32): Int = {
     finishSwap(streamDir, baseDir) // recover a crashed previous run first
     val already = listField(baseDir, "compacted_epochs").toSet
-    val fresh = completeEpochs(streamDir).filterNot(already.contains)
-    // an epoch listed as merged but still on disk: deletion crashed — finish it
-    already.foreach(e => rmrf(Paths.get(streamDir, e)))
+    // an epoch whose identity is listed but still on disk: deletion crashed —
+    // finish it; a SAME-NAMED epoch with a new stamp stays and merges fresh
+    dropAbsorbed(streamDir, already)
+    val fresh = completeEpochs(streamDir)
+      .filterNot(e => already.contains(epochIdentity(streamDir, e)))
     if (fresh.isEmpty) return 0
+    val freshIds = fresh.map(e => epochIdentity(streamDir, e))
 
     val parts: Seq[DataFrame] =
       (if (TableFormat.isComplete(baseDir)) Seq(TableFormat.load(spark, baseDir)) else Seq.empty) ++
@@ -91,7 +117,7 @@ object Compact {
     val merged = parts.reduce(_.unionByName(_))
     TableFormat.save(merged, s"$baseDir.next", keyCol, buckets,
       stage = "compacted",
-      extra = Map("compacted_epochs" -> (already.toSeq ++ fresh).sorted.mkString(",")))
+      extra = Map("compacted_epochs" -> (already.toSeq ++ freshIds).sorted.mkString(",")))
     finishSwap(streamDir, baseDir)
     fresh.size
   }

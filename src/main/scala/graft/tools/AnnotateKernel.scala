@@ -1,0 +1,52 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** THE shared measurement kernel for every scaling probe (ThreadProbe,
+  * FleetProbe workers, Bench.threadProbe): annotate N fixture docs on T
+  * work-stealing threads, summing per-thread CPU time. One implementation so
+  * single-JVM and multi-process probes measure the identical workload —
+  * a warmup-size or accounting change cannot silently diverge between the
+  * probes whose comparison the bench report is built on. Callers sample
+  * GC/steal around `run` if they need it. */
+object AnnotateKernel {
+
+  final case class Result(wall: Double, cpuSec: Double)
+
+  /** Per-doc annotate closure over the fixture corpus (full pipeline:
+    * tokenize → NER → lattice → prune → MD → morph NER → align). */
+  def annotator(): Int => Int = {
+    val m = graft.SparkEntry.fixtureModels
+    val lex: String => Boolean = m.lexicon.contains _
+    (i: Int) => {
+      val fd = graft.fixtures.Fixtures.doc(i)
+      graft.Pipeline.annotateDoc(m, lex, graft.schema.InputDoc(fd.docId, fd.spans.toArray)).sents.length
+    }
+  }
+
+  /** JIT/allocator warmup on the calling thread. */
+  def warm(annotate: Int => Int, startDoc: Int = 0, n: Int = 4000): Unit = {
+    (startDoc until startDoc + n).foreach(annotate)
+    ()
+  }
+
+  /** Annotate docs [startDoc, startDoc+docs) on `threads` threads. */
+  def run(annotate: Int => Int, threads: Int, docs: Int, startDoc: Int = 0): Result = {
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    val next = new AtomicInteger(0)
+    val cpuNs = new AtomicLong(0)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      new Thread(() => {
+        val tid = Thread.currentThread().getId
+        val c0 = bean.getThreadCpuTime(tid)
+        var i = next.getAndIncrement()
+        while (i < docs) { annotate(startDoc + i); i = next.getAndIncrement() }
+        cpuNs.addAndGet(bean.getThreadCpuTime(tid) - c0)
+        ()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    Result((System.nanoTime() - t0) / 1e9, cpuNs.get / 1e9)
+  }
+}

@@ -1,8 +1,5 @@
 package graft.tools
 
-import java.lang.management.ManagementFactory
-import java.util.concurrent.atomic.AtomicInteger
-
 /** Multi-PROCESS fleet-scaling probe: W worker JVMs × T threads each, every
   * worker annotating its own disjoint doc range — the closest this single-box
   * sandbox gets to "the same job on a 1-worker vs 4-worker cluster". Unlike
@@ -16,7 +13,8 @@ import java.util.concurrent.atomic.AtomicInteger
   * per-worker CPU-µs/doc to the 1×T level: inflation with steal≈0 and GC≈0
   * is the memory-bandwidth ceiling (shared bus) that separate HOSTS in a real
   * fleet do not share — corroborating, process-isolated, the ThreadProbe
-  * argument in BENCH/NOTES.md.
+  * argument in BENCH/NOTES.md. The measurement kernel is SHARED with the
+  * single-JVM probes ([[AnnotateKernel]]) so the comparison is apples-to-apples.
   *
   * Usage: `sbt "runMain graft.tools.FleetProbe"` (defaults: T=8, fleet sizes
   * 1 and 4, 40000 docs per worker). Env: FLEETPROBE_DOCS, FLEETPROBE_THREADS,
@@ -28,49 +26,37 @@ object FleetProbe {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("worker")) workerMain(args) else driverMain()
 
-  /** Child JVM: annotate [start, start+n) on T threads, print one stats line. */
+  /** Child JVM: annotate [start, start+n) on T threads, print one stats line.
+    * Locale-independent output: Double.toString always uses '.' — the parent
+    * parses with toDouble regardless of the JVM's default locale. */
   private def workerMain(args: Array[String]): Unit = {
     val start = args(1).toInt
     val n = args(2).toInt
     val threads = args(3).toInt
-    val m = graft.SparkEntry.fixtureModels
-    val lex: String => Boolean = m.lexicon.contains _
-    val bean = ManagementFactory.getThreadMXBean
-    def annotate(i: Int): Int = {
-      val fd = graft.fixtures.Fixtures.doc(i)
-      graft.Pipeline.annotateDoc(m, lex, graft.schema.InputDoc(fd.docId, fd.spans.toArray)).sents.length
-    }
-    (start until start + 4000).foreach(annotate) // JIT warmup
-    val next = new AtomicInteger(0)
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
-    val t0 = System.nanoTime()
-    val ts = (0 until threads).map { _ =>
-      new Thread(() => {
-        val tid = Thread.currentThread().getId
-        val c0 = bean.getThreadCpuTime(tid)
-        var i = next.getAndIncrement()
-        while (i < n) { annotate(start + i); i = next.getAndIncrement() }
-        cpuNs.addAndGet(bean.getThreadCpuTime(tid) - c0)
-        ()
-      })
-    }
-    ts.foreach(_.start()); ts.foreach(_.join())
-    val wall = (System.nanoTime() - t0) / 1e9
-    // stdout contract parsed by the driver: WORKER <wallSec> <cpuSec>
-    println(f"WORKER ${wall}%.4f ${cpuNs.get / 1e9}%.4f")
+    val annotate = AnnotateKernel.annotator()
+    AnnotateKernel.warm(annotate, start)
+    val r = AnnotateKernel.run(annotate, threads, n, start)
+    println("WORKER " + r.wall + " " + r.cpuSec)
   }
 
   final case class FleetRow(workers: Int, threads: Int, wall: Double,
-                            cpuSec: Double, docs: Long) {
+                            cpuSec: Double, docs: Long, outerWall: Double,
+                            minWorkerWall: Double) {
     def dps: Double = docs / wall
     def cpuUsPerDoc: Double = cpuSec * 1e6 / docs
+    /** min/max worker wall — well under 1.0 means the workers' measured
+      * sections did not fully overlap (staggered starts) and the aggregate
+      * throughput is optimistic; reported so a bad round is visible. */
+    def overlap: Double = if (wall > 0) minWorkerWall / wall else 1.0
   }
 
   /** Run the multi-process probe: for each fleet size, spawn that many worker
     * JVMs and aggregate. Returns the BEST round per fleet size (rounds warm
     * the page cache / scheduler; throughput over the workers' measured
     * post-warmup sections — max worker wall is the fleet makespan, since
-    * workers start within ~1 s of each other). */
+    * workers start within ~1 s of each other; the `overlap` ratio records how
+    * true that was). A round with a dead worker is SKIPPED with a warning,
+    * never fatal — a probe must not take the whole bench down. */
   def run(fleets: Seq[Int], threads: Int, docsPerWorker: Int,
           rounds: Int = 2, quiet: Boolean = false): Seq[FleetRow] = {
     val java = s"${System.getProperty("java.home")}/bin/java"
@@ -78,26 +64,33 @@ object FleetProbe {
     val best = collection.mutable.LinkedHashMap[Int, FleetRow]()
     for (round <- 1 to rounds; w <- fleets) {
       val t0 = System.nanoTime()
-      val procs = (0 until w).map { k =>
-        new ProcessBuilder(java, "-Xmx4g", "-XX:+UseParallelGC", "-cp", cp,
-          "graft.tools.FleetProbe", "worker",
-          (k * docsPerWorker).toString, docsPerWorker.toString, threads.toString)
-          .redirectErrorStream(true).start()
+      val statsTry = scala.util.Try {
+        val procs = (0 until w).map { k =>
+          new ProcessBuilder(java, "-Xmx4g", "-XX:+UseParallelGC", "-cp", cp,
+            "graft.tools.FleetProbe", "worker",
+            (k * docsPerWorker).toString, docsPerWorker.toString, threads.toString)
+            .redirectErrorStream(true).start()
+        }
+        procs.map { p =>
+          val out = new String(p.getInputStream.readAllBytes())
+          p.waitFor()
+          val line = out.linesIterator.find(_.startsWith("WORKER "))
+            .getOrElse(sys.error(s"worker died:\n${out.takeRight(2000)}"))
+          val Array(_, wall, cpu) = line.split(" ")
+          (wall.toDouble, cpu.toDouble)
+        }
       }
-      val stats = procs.map { p =>
-        val out = new String(p.getInputStream.readAllBytes())
-        p.waitFor()
-        val line = out.linesIterator.find(_.startsWith("WORKER "))
-          .getOrElse(sys.error(s"worker died:\n$out"))
-        val Array(_, wall, cpu) = line.split(" ")
-        (wall.toDouble, cpu.toDouble)
+      statsTry match {
+        case scala.util.Failure(e) =>
+          System.err.println(s"[fleetprobe] round=$round workers=$w SKIPPED: ${e.getMessage.linesIterator.nextOption().getOrElse("")}")
+        case scala.util.Success(stats) =>
+          val outerWall = (System.nanoTime() - t0) / 1e9
+          val row = FleetRow(w, threads, stats.map(_._1).max, stats.map(_._2).sum,
+            w.toLong * docsPerWorker, outerWall, stats.map(_._1).min)
+          if (!best.contains(w) || row.dps > best(w).dps) best(w) = row
+          if (!quiet)
+            println(f"[fleetprobe] round=$round workers=$w%2d x $threads threads  wall=${row.wall}%7.2f s (outer $outerWall%.2f, overlap ${row.overlap}%.2f)  docs=${row.docs}%7d  agg-docs/s=${row.dps}%8.0f  cpu-us/doc=${row.cpuUsPerDoc}%7.1f")
       }
-      val outerWall = (System.nanoTime() - t0) / 1e9
-      val row = FleetRow(w, threads, stats.map(_._1).max, stats.map(_._2).sum,
-        w.toLong * docsPerWorker)
-      if (!best.contains(w) || row.dps > best(w).dps) best(w) = row
-      if (!quiet)
-        println(f"[fleetprobe] round=$round workers=$w%2d x $threads threads  wall=${row.wall}%7.2f s (outer $outerWall%.2f)  docs=${row.docs}%7d  agg-docs/s=${row.dps}%8.0f  cpu-us/doc=${row.cpuUsPerDoc}%7.1f")
     }
     best.values.toSeq
   }

@@ -41,26 +41,60 @@ class CompactSpec extends AnyFunSuite {
     assert(baseRows(base) === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  private def epochStamp(stream: String, n: Long): String = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$stream/epoch=$n", "_manifest.json"))
+    """"wall_ms": "(\d+)"""".r.findFirstMatchIn(txt).get.group(1)
+  }
+
+  private def copyDir(from: String, to: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(from)
+    val walk = java.nio.file.Files.walk(src)
+    try walk.iterator().asScala.foreach { p =>
+      val dst = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst)
+    } finally walk.close()
+  }
+
   test("a crashed run with a complete .next generation is finished, not re-merged") {
     val stream = tmp(); val base = s"${tmp()}/base"
     writeEpoch(stream, 0, Seq((1L, "a")))
     // simulate: previous run wrote the merged generation and died pre-swap
+    // (bookkeeping carries epoch IDENTITIES = name@wall_ms)
     TableFormat.save(Seq((1L, "a")).toDF("id", "v"), s"$base.next", "id", 4,
-      stage = "compacted", extra = Map("compacted_epochs" -> "epoch=0"))
+      stage = "compacted",
+      extra = Map("compacted_epochs" -> s"epoch=0@${epochStamp(stream, 0)}"))
     assert(Compact.mergeEpochs(spark, stream, base, "id", 4) === 0)
     assert(baseRows(base) === Seq((1L, "a")))
     assert(Compact.completeEpochs(stream).isEmpty, "absorbed epoch must be dropped on recovery")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base.next")))
   }
 
-  test("an epoch listed as merged but still on disk is deleted, never double-counted") {
+  test("an epoch whose deletion crashed (same identity back on disk) is dropped, never double-counted") {
+    val stream = tmp(); val base = s"${tmp()}/base"
+    writeEpoch(stream, 0, Seq((1L, "a")))
+    val saved = s"${tmp()}/saved-epoch"
+    copyDir(s"$stream/epoch=0", saved)
+    assert(Compact.mergeEpochs(spark, stream, base, "id", 4) === 1)
+    // simulate: deletion crashed — the IDENTICAL merged epoch dir reappears
+    copyDir(saved, s"$stream/epoch=0")
+    assert(Compact.mergeEpochs(spark, stream, base, "id", 4) === 0)
+    assert(baseRows(base) === Seq((1L, "a")))
+    assert(Compact.completeEpochs(stream).isEmpty)
+  }
+
+  test("a stream restart that reuses epoch numbers merges the new data instead of deleting it") {
     val stream = tmp(); val base = s"${tmp()}/base"
     writeEpoch(stream, 0, Seq((1L, "a")))
     assert(Compact.mergeEpochs(spark, stream, base, "id", 4) === 1)
-    // simulate: deletion crashed — the merged epoch reappears on disk
-    writeEpoch(stream, 0, Seq((1L, "a")))
-    assert(Compact.mergeEpochs(spark, stream, base, "id", 4) === 0)
-    assert(baseRows(base) === Seq((1L, "a")))
+    Thread.sleep(2) // distinct wall_ms stamp for the reused epoch number
+    // checkpoint cleared → Spark restarts batch ids at 0 with FRESH docs
+    writeEpoch(stream, 0, Seq((9L, "z")))
+    assert(Compact.mergeEpochs(spark, stream, base, "id", 4) === 1,
+      "same-named epoch with new identity must merge as fresh data")
+    assert(baseRows(base) === Seq((1L, "a"), (9L, "z")))
     assert(Compact.completeEpochs(stream).isEmpty)
   }
 

@@ -92,6 +92,32 @@ class CurateSpec extends AnyFunSuite {
     assert(out2.select("doc_id").as[Long].collect().toSet === (0L until 40L).toSet)
   }
 
+  test("rebuilding an upstream stage dirties everything downstream (packed can never go stale)") {
+    val dir = java.nio.file.Files.createTempDirectory("curate").toString
+    Curate.runAll(spark, corpus, dir, buckets = 4, sampleRateBp = Some(lit(10000L)))
+    val paths = Curate.StagePaths(dir)
+    def manifestMs(p: String): String = {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p, "_manifest.json"))
+      """"wall_ms": "(\d+)"""".r.findFirstMatchIn(txt).get.group(1)
+    }
+    val upstreamBefore = Seq(paths.verdicts, paths.deduped, paths.clusters).map(manifestMs)
+    val packedBefore = manifestMs(paths.packed)
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    Thread.sleep(2)
+    // delete curated (e.g. to re-sample): packed must rebuild too — its
+    // offsets are a function of the curated set
+    rmrf(java.nio.file.Paths.get(paths.curated))
+    Curate.runAll(spark, corpus, dir, buckets = 4, sampleRateBp = Some(lit(10000L)))
+    assert(Seq(paths.verdicts, paths.deduped, paths.clusters).map(manifestMs)
+      === upstreamBefore, "stages upstream of the deleted one must be reused")
+    assert(manifestMs(paths.packed) !== packedBefore,
+      "packed served a stale manifest for a rebuilt curated set")
+  }
+
   test("deterministic sampling: same salt+ids give the same curated set at any rate") {
     val d1 = java.nio.file.Files.createTempDirectory("curate").toString
     val d2 = java.nio.file.Files.createTempDirectory("curate").toString
