@@ -304,7 +304,8 @@ object OracleSql {
       |  FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks FROM documents)
       |), v AS (
       |  SELECT doc_id,
-      |    CASE WHEN n < 20 THEN 'too_short'
+      |    CASE WHEN n IS NULL THEN 'null_text' -- n is null iff text is null
+      |         WHEN n < 20 THEN 'too_short'
       |         WHEN tot_chars * 100 < n * 200 THEN 'short_tokens'
       |         WHEN tot_chars * 100 > n * 1200 THEN 'long_tokens'
       |         WHEN stop_cnt = 0 THEN 'no_stopwords'

@@ -44,12 +44,25 @@ object SparkEntry {
     * same annotated corpus (scenario label layers all live on one Doc row), so
     * annotating once and extracting many times is the engine's real design —
     * exactly what Pipeline.runAll's docs_labeled stage checkpoint does at
-    * scale. WEAKLY keyed on the session object itself: a stopped session's
-    * entries become collectable (no retained Datasets bound to dead contexts,
-    * no identity-hash collisions handing a fresh session stale state). */
+    * scale. Keyed on the session object itself (no identity-hash collisions
+    * handing a fresh session stale state) and evicted EXPLICITLY when the
+    * session's context stops: weak keys alone cannot collect these entries,
+    * because the cached Dataset values strongly reference their SparkSession
+    * — a value→key chain that (per WeakHashMap's own javadoc) pins the key
+    * forever. The listener is the actual lifecycle mechanism; the weak map
+    * is just the collision-free identity keying. */
   private val annotCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[(Int, Boolean), org.apache.spark.sql.Dataset[graft.schema.Doc]]]())
+
+  /** Drop a session's cache entry when its SparkContext ends (the value
+    * Datasets are unusable past that point anyway). */
+  private def evictOnStop(cache: java.util.Map[SparkSession, _], spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        cache.remove(spark)
+    })
 
   private def annotatedDocs(spark: SparkSession, n: Int,
                             usePruning: Boolean): org.apache.spark.sql.Dataset[graft.schema.Doc] =
@@ -58,7 +71,7 @@ object SparkEntry {
         val m = annotCache.get(spark)
         if (m != null) m else {
           val m2 = scala.collection.mutable.Map.empty[(Int, Boolean), org.apache.spark.sql.Dataset[graft.schema.Doc]]
-          annotCache.put(spark, m2); m2
+          annotCache.put(spark, m2); evictOnStop(annotCache, spark); m2
         }
       }
       perSession.getOrElseUpdate((n, usePruning), {
@@ -84,7 +97,7 @@ object SparkEntry {
         val m = ivfCache.get(s)
         if (m != null) m else {
           val m2 = scala.collection.mutable.Map.empty[String, (Array[(Int, Array[Float])], DataFrame)]
-          ivfCache.put(s, m2); m2
+          ivfCache.put(s, m2); evictOnStop(ivfCache, s); m2
         }
       }
       perSession.getOrElseUpdate(dir, {

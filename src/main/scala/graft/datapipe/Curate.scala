@@ -36,14 +36,20 @@ object Curate {
   }
 
   /** Run the staged curation flow over `docs` (doc_id, text, + passenger
-    * columns). `sampleRateBp` is the per-row keep rate in basis points, by
-    * default 50% for "en" and 100% otherwise — any Column over the row works.
+    * columns). `sampleRateBp` is the per-row keep rate in basis points — any
+    * Column over the row works; the default is 50% for "en" and 100%
+    * otherwise when the corpus HAS a `lang` column, and 100% flat when it
+    * doesn't (the contract only requires doc_id + text).
     * Returns the curated DataFrame (read back from the final stage table). */
   def runAll(spark: SparkSession, docs: DataFrame, workDir: String,
              buckets: Int = 32, resume: Boolean = true,
              minTokens: Int = 20, maxDist: Int = 3,
              sampleRateBp: Option[org.apache.spark.sql.Column] = None,
              chunkCapacity: Long = 2048L, packBucketWidth: Long = 4096L): DataFrame = {
+    // fail at submit time, not hours into stage (d): the input contract is
+    // (doc_id, text, + passengers) — anything else is a caller error
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"Curate.runAll input needs doc_id and text columns, got ${docs.columns.mkString(", ")}")
 
     val paths = StagePaths(workDir)
 
@@ -89,7 +95,9 @@ object Curate {
         .select("doc_id")
       val survivors = deduped.join(dropIds, Seq("doc_id"), "left_anti")
       val rate = sampleRateBp.getOrElse(
-        when(col("lang") === "en", lit(5000L)).otherwise(lit(10000L)))
+        if (docs.columns.contains("lang"))
+          when(col("lang") === "en", lit(5000L)).otherwise(lit(10000L))
+        else lit(10000L))
       TableFormat.save(
         TextQuality.stratifiedHashSample(survivors, "doc_id", rate, salt = "curate"),
         paths.curated, "doc_id", buckets, "curated")

@@ -1,6 +1,6 @@
 package graft.datapipe
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,13 +14,30 @@ import org.apache.spark.sql.functions._
   * unpartitioned-window warning — a serialization point that cannot survive
   * 10¹² docs). Instead the classic two-level scan:
   *
-  *   1. bucket docs by `doc_id div bucketWidth` and aggregate per-bucket token
-  *      totals — one map-side-combined shuffle to ~maxId/bucketWidth rows;
-  *   2. cumulative-sum the bucket totals on the driver (size caller-bounded:
-  *      at 10¹² docs and bucketWidth 10⁶ that is 10⁶ longs) and broadcast-join
-  *      the bucket base offsets back;
+  *   1. bucket docs with an ORDER-PRESERVING, DETERMINISTIC coarsening of
+  *      doc_id and aggregate per-bucket token totals — one map-side-combined
+  *      shuffle down to the bucket count;
+  *   2. cumulative-sum the bucket totals on the driver (bounded: one long per
+  *      bucket) and broadcast-join the bucket base offsets back;
   *   3. an intra-bucket window (partitionBy bucket, orderBy doc_id) adds the
   *      local prefix — every bucket scans in parallel.
+  *
+  * The bucketing function must be a pure function of the doc_id VALUE, not of
+  * the execution: the totals aggregation and the final join are separate jobs
+  * that each traverse the bucketing, so an execution-dependent partitioner
+  * (`repartitionByRange`, whose sample seed varies with the run) could assign
+  * a row to different buckets in the two traversals and corrupt offsets.
+  * Hence two value-deterministic paths:
+  *
+  *   - integral ids: `doc_id div bucketWidth` — arbitrarily fine buckets
+  *     (window parallelism scales with the id range, 10⁶+ buckets at
+  *     10¹² docs);
+  *   - any other orderable id (e.g. string "doc-0017"): FROZEN-BOUNDARY range
+  *     bucketing — a deterministic hash-sample of ids is sorted BY SPARK (so
+  *     boundary order matches Spark's own comparison semantics), strided into
+  *     `rangeBuckets`−1 boundary literals, and every traversal buckets with
+  *     the same frozen `doc_id > boundary` count. Bucket count bounds window
+  *     parallelism on this path — size `rangeBuckets` to ~cluster cores.
   *
   * All arithmetic is exact integer (token counts, truncating div), so the
   * resulting manifest is engine-stable and the DuckDB oracle replays it with a
@@ -28,24 +45,71 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  private val integralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+
+  /** Frozen range-bucket boundaries for a non-integral id column: a
+    * deterministic hash-sample (content-keyed — a retry never redraws),
+    * Spark-sorted, strided to ≤ rangeBuckets−1 cut points. */
+  private def frozenBounds(counted: DataFrame, rangeBuckets: Int): Array[Any] = {
+    val n = counted.count()
+    if (n == 0) return Array.empty
+    // target ~64 sample ids per bucket; mod 1 collects everything (small data)
+    val mod = math.max(1L, n / (rangeBuckets.toLong * 64L))
+    val sampled = counted
+      .filter(pmod(Dedup.hash48Col(col("doc_id").cast("string")), lit(mod)) === 0L)
+      .select("doc_id").orderBy("doc_id").collect().map(_.get(0))
+    if (sampled.isEmpty) return Array.empty
+    val stride = math.max(1, sampled.length / rangeBuckets)
+    sampled.indices.collect { case i if (i + 1) % stride == 0 => sampled(i) }
+      .take(rangeBuckets - 1).toArray
+  }
+
+  /** Bucket index = #boundaries strictly below doc_id — a binary-search tree
+    * of nested CASE WHEN (depth ⌈log₂ buckets⌉ comparisons per row, pure
+    * Catalyst, no UDF). Boundaries are literals, so every traversal of the
+    * plan buckets identically. */
+  private def boundsBucket(id: Column, bounds: Array[Any]): Column = {
+    def tree(lo: Int, hi: Int): Column = // bucket for ids in (bounds(lo-1), bounds(hi)]
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2 // compare against bounds(mid): ≤ → left half
+        when(id <= lit(bounds(mid)), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+      }
+    val bucket = if (bounds.isEmpty) lit(0) else tree(0, bounds.length)
+    // a null id must surface as a null bucket (caught loudly downstream),
+    // not silently fall through the comparison ladder into the last bucket
+    when(id.isNull, lit(null)).otherwise(bucket).cast("long")
+  }
+
   /** Per-doc packing manifest: (doc_id, n_tokens, tok_offset, chunk_first,
     * chunk_last, chunks_spanned) for chunks of `capacity` tokens. Documents
-    * are packed in doc_id order; empty docs (0 tokens) are dropped (they
-    * occupy no span). */
+    * are packed in ascending doc_id order under the column's NATIVE ordering
+    * (no hidden numeric cast — string ids pack in string order, matching the
+    * SQL replay); ids must be distinct and non-null; empty docs (0 tokens)
+    * are dropped (they occupy no span). */
   def concatChunks(spark: SparkSession, df: DataFrame, idCol: String,
                    textCol: String, capacity: Long = 2048L,
-                   bucketWidth: Long = 4096L): DataFrame = {
-    require(capacity > 0 && bucketWidth > 0)
-    val counted = df
-      .select(col(idCol).cast("long").as("doc_id"),
+                   bucketWidth: Long = 4096L, rangeBuckets: Int = 256): DataFrame = {
+    require(capacity > 0 && bucketWidth > 0 && rangeBuckets > 0)
+    val counted0 = df
+      .select(col(idCol).as("doc_id"),
         TextQuality.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0L)
-      .withColumn("bucket", expr(s"doc_id div ${bucketWidth}L"))
+    val integral = integralTypes.contains(counted0.schema("doc_id").dataType)
+    val bucketCol =
+      if (integral) expr(s"doc_id div ${bucketWidth}L")
+      else boundsBucket(col("doc_id"), frozenBounds(counted0, rangeBuckets))
+    val counted = counted0.withColumn("bucket", bucketCol)
 
-    // level 1: per-bucket totals (tiny: maxId/bucketWidth rows), cumsum on
-    // the driver, rebroadcast as base offsets
+    // level 1: per-bucket totals (tiny), cumsum on the driver, rebroadcast
+    // as base offsets
     val totals = counted.groupBy("bucket").agg(sum("n_tokens").as("tot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0), s"concatChunks: null $idCol — ids must be non-null")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
     var acc = 0L
     val bases = totals.map { case (b, tot) => val base = acc; acc += tot; (b, base) }
     import spark.implicits._

@@ -148,7 +148,11 @@ object TextQuality {
     val distCnt = size(array_distinct(toks)).cast("long")
     val alphaChars = length(regexp_replace(text, "[^\\p{L}]", "")).cast("long")
     val len = length(text).cast("long")
-    when(n < minTokens, "too_short")
+    // null text first: every arithmetic predicate below evaluates to NULL on
+    // null input, so without this branch a null document would fall through
+    // to otherwise("ok") and pass the quality filter
+    when(text.isNull, "null_text")
+      .when(n < minTokens, "too_short")
       .when(totChars * 100L < n * 200L, "short_tokens")
       .when(totChars * 100L > n * 1200L, "long_tokens")
       .when(stopCnt === 0L, "no_stopwords")

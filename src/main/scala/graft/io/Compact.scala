@@ -46,14 +46,60 @@ object Compact {
       .map(_.group(1)).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
   }
 
-  /** Identity of an epoch table = name @ its manifest's wall_ms stamp. Epoch
-    * NAMES alone are not stable identities: a stream whose checkpoint is
-    * cleared restarts epoch numbering at 0, so a re-used name with new data
-    * must read as a FRESH epoch, never as "already merged" (which would
-    * delete unmerged data). */
+  /** Identity of an epoch table. Epoch NAMES alone are not stable identities:
+    * a stream whose checkpoint is cleared restarts epoch numbering at 0, so a
+    * re-used name with new data must read as a FRESH epoch, never as "already
+    * merged" (which would delete unmerged data).
+    *
+    * Preferred identity: `name@stream:<stream_id>` — the writer stamps each
+    * epoch manifest with [[streamInstanceId]], a UUID that LIVES IN THE
+    * STREAMING CHECKPOINT. Same checkpoint ⇒ same id, and Structured
+    * Streaming's foreachBatch contract (same epochId ⇒ same data) makes the
+    * identity stable across replays: an epoch re-written after a crash —
+    * even after compaction already merged and DELETED it — reproduces the
+    * identity it was merged under and is skipped, not double-merged. A
+    * cleared checkpoint mints a new UUID, so re-used epoch numbers with
+    * genuinely new data merge as fresh.
+    *
+    * Fallback for writers that don't stamp a stream id: `name@wall_ms` —
+    * replay-after-delete of such an epoch gets a fresh stamp and WILL merge
+    * again (exactly-once there requires the epoch dir to outlive the
+    * checkpoint commit, the pre-stream_id behavior). */
   private def epochIdentity(streamDir: String, name: String): String = {
-    val stamp = listField(s"$streamDir/$name", "wall_ms").headOption.getOrElse("?")
-    s"$name@$stamp"
+    val dir = s"$streamDir/$name"
+    listField(dir, "stream_id").headOption match {
+      case Some(sid) => s"$name@stream:$sid"
+      case None =>
+        val stamp = listField(dir, "wall_ms").headOption.getOrElse("?")
+        s"$name@$stamp"
+    }
+  }
+
+  /** The stream-instance id for a streaming query: a UUID stored as
+    * `_graft_stream_id` INSIDE the checkpoint directory, created on first
+    * use. It shares the checkpoint's fate — replays (same checkpoint) reuse
+    * it, a cleared checkpoint mints a new one — which is exactly the
+    * lifetime an epoch identity needs. Epoch writers pass it to
+    * [[TableFormat.save]] as `extra = Map("stream_id" -> ...)`. */
+  def streamInstanceId(checkpointDir: String): String = {
+    val dir = Paths.get(checkpointDir)
+    Files.createDirectories(dir)
+    val f = dir.resolve("_graft_stream_id")
+    if (Files.exists(f)) Files.readString(f).trim
+    else {
+      val id = java.util.UUID.randomUUID().toString
+      val tmp = dir.resolve("._graft_stream_id.tmp")
+      Files.writeString(tmp, id)
+      try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // lost a creation race or FS lacks atomic move: trust whoever won
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.AtomicMoveNotSupportedException =>
+          if (!Files.exists(f)) Files.move(tmp, f)
+          else Files.deleteIfExists(tmp)
+      }
+      Files.readString(f).trim
+    }
   }
 
   /** Complete epoch tables under streamDir, oldest first. */
@@ -97,6 +143,41 @@ object Compact {
       .filter(e => absorbed.contains(epochIdentity(streamDir, e)))
       .foreach(e => rmrf(Paths.get(streamDir, e)))
 
+  /** How many of the newest merged epochs per stream instance stay in the
+    * ledger. Structured Streaming re-delivers at most the batches after the
+    * last checkpoint commit — in practice the single in-flight batch — so an
+    * epoch 64 batches behind the newest merged one can never be replayed. */
+  private val ReplayWindow = 64L
+
+  private def epochNumOf(identity: String): Long =
+    identity.takeWhile(_ != '@').stripPrefix("epoch=").toLong
+
+  /** Bound the `compacted_epochs` ledger (it would otherwise grow by one
+    * entry per micro-batch forever — the metadata-growth problem this module
+    * exists to solve, recreated in its own manifest). An entry may be
+    * dropped only when its epoch can never be presented for merging again:
+    *
+    *   - stream-identified entries (`@stream:<id>`): droppable once older
+    *     than [[ReplayWindow]] behind that stream's newest merged epoch —
+    *     past the checkpoint's replay horizon, the identity cannot recur;
+    *   - stamp-identified entries (`@wall_ms`): droppable as soon as the
+    *     epoch directory is gone — a future re-write of the same name mints
+    *     a fresh stamp, so this exact identity cannot recur.
+    *
+    * Entries whose directory still exists are always kept (deletion may have
+    * crashed; the ledger is what lets the next run finish it). */
+  private[graft] def pruneLedger(streamDir: String, ids: Seq[String]): Seq[String] = {
+    val onDisk: Set[String] =
+      completeEpochs(streamDir).map(e => epochIdentity(streamDir, e)).toSet
+    ids.groupBy(id => id.substring(id.indexOf('@') + 1)).flatMap { case (suffix, group) =>
+      if (!suffix.startsWith("stream:")) group.filter(onDisk.contains)
+      else {
+        val horizon = group.map(epochNumOf).max - ReplayWindow
+        group.filter(id => epochNumOf(id) > horizon || onDisk.contains(id))
+      }
+    }.toSeq
+  }
+
   /** Merge all complete, not-yet-merged epochs into baseDir. Returns the
     * number of epochs folded in (0 = nothing to do). */
   def mergeEpochs(spark: SparkSession, streamDir: String, baseDir: String,
@@ -115,9 +196,12 @@ object Compact {
       (if (TableFormat.isComplete(baseDir)) Seq(TableFormat.load(spark, baseDir)) else Seq.empty) ++
         fresh.map(e => TableFormat.load(spark, s"$streamDir/$e"))
     val merged = parts.reduce(_.unionByName(_))
+    // fresh ids are NEVER pruned here — their directories are deleted only
+    // in the finishSwap below, and the ledger is what authorizes that delete
+    val ledger = (pruneLedger(streamDir, already.toSeq) ++ freshIds).distinct
     TableFormat.save(merged, s"$baseDir.next", keyCol, buckets,
       stage = "compacted",
-      extra = Map("compacted_epochs" -> (already.toSeq ++ freshIds).sorted.mkString(",")))
+      extra = Map("compacted_epochs" -> ledger.sorted.mkString(",")))
     finishSwap(streamDir, baseDir)
     fresh.size
   }

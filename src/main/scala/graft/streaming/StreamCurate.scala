@@ -46,15 +46,20 @@ object StreamCurate {
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
           checkpointDir: String, watermark: String = "1 hour",
           minTokens: Int = 20, sampleRateBp: Column = lit(10000L),
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // checkpoint-scoped stream identity: lets Compact recognize a replayed
+    // epoch as already merged even after its directory was compacted away
+    val streamId = graft.io.Compact.streamInstanceId(checkpointDir)
     curate(docs, watermark, minTokens, sampleRateBp).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         TableFormat.save(batch.drop("ingest_ts"), s"$outDir/epoch=$epochId",
-          "doc_id", buckets = 8, stage = s"curated-epoch-$epochId")
+          "doc_id", buckets = 8, stage = s"curated-epoch-$epochId",
+          extra = Map("stream_id" -> streamId))
         ()
       }
       .start()
+  }
 }

@@ -62,6 +62,7 @@ object StreamPipeline {
     val entities = graft.kg.Canonicalize.canonicalize(spark, dict)
       .select(col("entity_id"), col("canonical_id"))
       .localCheckpoint()
+    val streamId = graft.io.Compact.streamInstanceId(checkpointDir)
     val annotated = annotateStream(spark, docs, modelsBc)
     annotated.writeStream
       .outputMode(OutputMode.Append())
@@ -73,9 +74,12 @@ object StreamPipeline {
         val triples = Triples.fromLinkedMentions(
           linked.join(broadcast(entities), Seq("entity_id"), "left")
             .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id"))))
-        // idempotent epoch-keyed write: a replayed epoch overwrites itself
+        // idempotent epoch-keyed write: a replayed epoch overwrites itself;
+        // the checkpoint-scoped stream_id keeps its Compact identity stable
+        // across replays (no double-merge after compaction deleted the dir)
         TableFormat.save(triples, s"$outDir/epoch=$epochId", "doc_id",
-          buckets = 8, stage = s"triples-epoch-$epochId")
+          buckets = 8, stage = s"triples-epoch-$epochId",
+          extra = Map("stream_id" -> streamId))
         ()
       }
       .start()

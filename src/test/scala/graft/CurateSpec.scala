@@ -118,6 +118,18 @@ class CurateSpec extends AnyFunSuite {
       "packed served a stale manifest for a rebuilt curated set")
   }
 
+  test("runAll default sample works without a lang column (contract is doc_id+text only)") {
+    val dir = java.nio.file.Files.createTempDirectory("curate-nolang").toString
+    // corpus has no `lang`; the default rate must fall back to 100% flat
+    // instead of resolving col("lang") and dying at stage (d)
+    val out = Curate.runAll(spark, corpus, dir, buckets = 4)
+    assert(out.count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Curate.runAll(spark, corpus.drop("text"), dir, buckets = 4)
+    }
+    assert(e.getMessage.contains("text"), "missing columns must fail at submit time")
+  }
+
   test("deterministic sampling: same salt+ids give the same curated set at any rate") {
     val d1 = java.nio.file.Files.createTempDirectory("curate").toString
     val d2 = java.nio.file.Files.createTempDirectory("curate").toString

@@ -189,6 +189,18 @@ class DatapipeSpec extends AnyFunSuite {
     assert(v(5L).getAs[Int]("keep") === 1 && v(4L).getAs[Int]("keep") === 0)
   }
 
+  test("c4 filter: null text is rejected, not silently kept") {
+    // every arithmetic rule is NULL on null text; without the explicit
+    // null branch the verdict would fall through to otherwise("ok")
+    val df = Seq((1L, Option.empty[String]),
+      (2L, Some("the quick brown fox jumps over a lazy dog and runs to the green hill with its old friend every sunny day")))
+      .toDF("doc_id", "text")
+    val v = TextQuality.c4Filter(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(v(1L) === (("null_text", 0)))
+    assert(v(2L)._2 === 1)
+  }
+
   test("stratified hash sample: deterministic, salt-sensitive, near the rate") {
     val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "he"))
       .toDF("doc_id", "lang")

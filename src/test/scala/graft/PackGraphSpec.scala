@@ -36,6 +36,45 @@ class PackGraphSpec extends AnyFunSuite {
     assert(d4.getLong(3) === 1L && d4.getLong(4) === 2L && d4.getLong(5) === 2L)
   }
 
+  test("string doc ids pack in native string order — no silent numeric cast") {
+    // string order: doc-07 < doc-100 < doc-7 (a numeric cast would instead
+    // null these out and crash, or collapse '07' and '7')
+    val docs = Seq(("doc-07", "a b c"), ("doc-7", "d e"), ("doc-100", "f g h i"))
+      .toDF("doc_id", "text")
+    val m = Pack.concatChunks(spark, docs, "doc_id", "text", capacity = 4L)
+      .orderBy("tok_offset").collect()
+    assert(m.map(_.getString(0)).toSeq === Seq("doc-07", "doc-100", "doc-7"))
+    assert(m.map(_.getLong(2)).toSeq === Seq(0L, 3L, 7L))
+  }
+
+  test("string-id packing matches a single-window replay at every rangeBuckets") {
+    // ASCII ids with deliberately tangled lexicographic vs numeric order;
+    // enough rows that frozenBounds actually samples and strides
+    val docs = (0 until 500).map { i =>
+      (s"k${i % 7}-$i", (0 until 1 + (i % 9)).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sorted = docs.collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").count(_.nonEmpty).toLong))
+      .sortBy(_._1) // ASCII ids: JVM string order == Spark UTF8 binary order
+    var acc = 0L
+    val expected = sorted.map { case (id, n) => val o = acc; acc += n; (id, o) }.toMap
+    for (rb <- Seq(1, 4, 64)) {
+      val got = Pack.concatChunks(spark, docs, "doc_id", "text",
+        capacity = 8L, rangeBuckets = rb).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(got === expected, s"offsets diverge at rangeBuckets=$rb")
+    }
+  }
+
+  test("a null doc_id fails loudly instead of corrupting the packing order") {
+    val docs = Seq((Some("a"), "x y"), (None, "z")) // None → null id
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Pack.concatChunks(spark, docs, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+
   test("packing chunk summary conserves tokens and fills every non-final chunk") {
     val docs = (0L until 50L).map(i =>
       (i, (0 until (3 + (i % 5)).toInt).map(j => s"t$j").mkString(" ")))
