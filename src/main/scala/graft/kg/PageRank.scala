@@ -48,13 +48,22 @@ object PageRank {
           allReceive: Boolean = false): DataFrame = {
     require(scale % 100L == 0L, "scale must be a multiple of 100")
     require(iterations >= 1 && checkpointEvery >= 1)
+    // static build, fused: dedup (one shuffle on (src,dst)), then one
+    // repartition onto the iteration key and the out-degree as a full-frame
+    // window count over that SAME partitioning — no separate groupBy
+    // aggregate and no deg join, which would each shuffle the edge set again
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e2 = e.join(outdeg, "src")
-      .repartition(col("src")).persist()
-    val verts = e2.select(col("src").as("node"))
-      .union(e2.select(col("dst").as("node"))).distinct()
+    val e2 = e.repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist()
+    // under allReceive every vertex occurs as a dst, so the vertex set needs
+    // only the dst side — half the distinct input
+    val verts = (if (allReceive) e2.select(col("dst").as("node"))
+                 else e2.select(col("src").as("node"))
+                   .union(e2.select(col("dst").as("node"))))
+      .distinct()
       .repartition(col("node")).persist()
     val teleport = 15L * scale / 100L
 
