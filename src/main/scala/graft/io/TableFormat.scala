@@ -3,6 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
 
 /** Iceberg-shaped table facade (SURVEY §7.5#2): the sandbox has no Iceberg jar,
   * so tables are bucketed partitioned Parquet plus a `_manifest.json` snapshot
@@ -28,6 +29,7 @@ object TableFormat {
     * well-sized file per bucket per stage. */
   def save(df: DataFrame, path: String, keyCol: String, buckets: Int = 32,
            stage: String = "", extra: Map[String, String] = Map.empty): Unit = {
+    val t0 = System.currentTimeMillis()
     val out = df.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int"))
       .repartition(buckets, col(BucketCol))
     out.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
@@ -40,11 +42,12 @@ object TableFormat {
     // infer the schema from data. Iceberg carries the schema in table
     // metadata; this is our facade's equivalent.
     Files.writeString(Paths.get(path, "_schema.json"), df.schema.json)
-    writeManifest(df.sparkSession, path, stage, extra)
+    writeManifest(df.sparkSession, path, stage, extra,
+      writeMs = System.currentTimeMillis() - t0)
   }
 
   private def writeManifest(spark: SparkSession, path: String, stage: String,
-                            extra: Map[String, String]): Unit = {
+                            extra: Map[String, String], writeMs: Long): Unit = {
     // Per-partition lineage counts from a scan that projects ONLY the bucket
     // partition column: the parquet reader materializes row counts from file
     // footers (zero data columns read), so this is metadata-priced even when
@@ -54,17 +57,39 @@ object TableFormat {
         .select(col(BucketCol))
         .groupBy(col(BucketCol)).count()
         .collect()
-        .map(r => s""""${r.get(0)}": ${r.getLong(1)}""")
-        .sorted
-        .mkString("{", ", ", "}")
+        .map(r => (r.get(0).toString, r.getLong(1)))
+        .sortBy(_._1)
       catch {
         // an empty stage output writes no part files — zero partitions
         case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => "{}"
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => Array.empty[(String, Long)]
       }
+    val countsJson = counts.map { case (b, n) => s""""$b": $n""" }.mkString("{", ", ", "}")
+    // Stage metrics beside the lineage: total rows, files, bytes on disk
+    // (directory walk of what was just written — metadata-priced), and the
+    // write's wall duration. What an operator dashboard reads per stage.
+    val (nFiles, nBytes) = {
+      val root = Paths.get(path)
+      if (!Files.exists(root)) (0L, 0L)
+      else {
+        val walk = Files.walk(root)
+        try {
+          var f = 0L; var b = 0L
+          walk.iterator().asScala.foreach { p =>
+            val name = p.getFileName.toString
+            if (Files.isRegularFile(p) && !name.startsWith("_") && !name.startsWith(".")) {
+              f += 1; b += Files.size(p)
+            }
+          }
+          (f, b)
+        } finally walk.close()
+      }
+    }
+    val metrics = s"""{"rows": ${counts.map(_._2).sum}, "files": $nFiles, """ +
+      s""""bytes": $nBytes, "write_ms": $writeMs}"""
     val kv = (extra + ("stage" -> stage, "wall_ms" -> System.currentTimeMillis().toString))
       .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
-    val json = s"""{$kv, "partition_rows": $counts, "complete": true}"""
+    val json = s"""{$kv, "partition_rows": $countsJson, "metrics": $metrics, "complete": true}"""
     // Atomic publish: the manifest is the stage's "complete" marker, so a
     // crash mid-write must not leave a readable half manifest (resume would
     // then trust a broken snapshot). Write to a temp name, fsync-free rename.

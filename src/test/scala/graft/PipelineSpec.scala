@@ -240,6 +240,27 @@ class PipelineSpec extends AnyFunSuite {
     rm(new java.io.File(work))
   }
 
+  test("TableFormat manifest carries stage metrics beside the lineage counts") {
+    val work = java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    import spark.implicits._
+    TableFormat.save((0L until 100L).map(i => (i, s"v$i")).toDF("doc_id", "v"),
+      work, "doc_id", buckets = 4, stage = "m")
+    val mf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(work, "_manifest.json"))
+    val metrics = """"metrics": \{"rows": (\d+), "files": (\d+), "bytes": (\d+), "write_ms": (\d+)\}""".r
+      .findFirstMatchIn(mf).getOrElse(fail(s"no metrics in $mf"))
+    assert(metrics.group(1).toLong === 100L)       // rows == lineage total
+    assert(metrics.group(2).toLong === 4L)         // one file per bucket
+    assert(metrics.group(3).toLong > 0L)           // bytes counted
+    // lineage counts still present and summing to the same total
+    val partRows = """": (\d+)[,}]""".r.findAllMatchIn(
+      """"partition_rows": \{([^}]*)\}""".r.findFirstMatchIn(mf).get.group(1) + "}")
+      .map(_.group(1).toLong).sum
+    assert(partRows === 100L)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(work))
+  }
+
   test("TableFormat.lookup point-reads exactly one bucket (partition pruning)") {
     val work = java.nio.file.Files.createTempDirectory("graft-lookup").toString
     val docs = spark.createDataset(Fixtures.inputDocs(40)).toDF()
