@@ -358,13 +358,18 @@ object OracleSql {
        |         CAST(doc_id % 200 AS VARCHAR) || '.3 acct 90000' || CAST(10000 + doc_id % 90000 AS VARCHAR)
        |    ELSE '' END AS text2
        |  FROM documents)
+       |, seq AS (
+       |  SELECT doc_id, text2,
+       |    regexp_replace(text2, '$email', '<EMAIL>', 'g') AS t1
+       |  FROM aug
+       |), seq2 AS (
+       |  SELECT doc_id, text2, t1, regexp_replace(t1, '$ipv4', '<IP>', 'g') AS t2 FROM seq)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(text2, '$email')) AS INT) AS n_emails,
-       |  CAST(len(regexp_extract_all(text2, '$ipv4')) AS INT) AS n_ipv4,
-       |  CAST(len(regexp_extract_all(text2, '$longId')) AS INT) AS n_long_ids,
-       |  md5(regexp_replace(regexp_replace(regexp_replace(text2,
-       |    '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'), '$longId', '<ID>', 'g')) AS redacted_fp
-       |FROM aug""".stripMargin
+       |  CAST(len(regexp_extract_all(t1, '$ipv4')) AS INT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(t2, '$longId')) AS INT) AS n_long_ids,
+       |  md5(regexp_replace(t2, '$longId', '<ID>', 'g')) AS redacted_fp
+       |FROM seq2""".stripMargin
   }
 
   /** Composed curation flow: C4 verdict → keep → exact dedup keep-one on the
@@ -503,7 +508,7 @@ object OracleSql {
   private def mixCtes(budget: Long, weights: Map[String, Long]): String =
     s"""WITH stats AS (
        |  SELECT lang AS stratum, COUNT(*) AS n_docs,
-       |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+       |    CAST(SUM(COALESCE(len(string_split_regex(trim(text), '\\s+')), 0)) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY lang
        |), w(stratum, target_bp) AS (VALUES ${mixWeightsValues(weights)}),
        |p AS (
@@ -512,8 +517,10 @@ object OracleSql {
        |  FROM stats s JOIN w USING (stratum)
        |), pl AS (
        |  SELECT stratum, n_docs, n_tokens, target_bp, desired_tokens,
-       |    LEAST(10000, (desired_tokens * 10000) // n_tokens) AS rate_bp,
-       |    (n_tokens * LEAST(10000, (desired_tokens * 10000) // n_tokens)) // 10000 AS planned_tokens,
+       |    CASE WHEN n_tokens = 0 THEN 10000
+       |         ELSE LEAST(10000, (desired_tokens * 10000) // n_tokens) END AS rate_bp,
+       |    CASE WHEN n_tokens = 0 THEN 0
+       |         ELSE (n_tokens * LEAST(10000, (desired_tokens * 10000) // n_tokens)) // 10000 END AS planned_tokens,
        |    CASE WHEN desired_tokens > n_tokens THEN 1 ELSE 0 END AS capped
        |  FROM p)""".stripMargin
 

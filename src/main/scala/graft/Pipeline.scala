@@ -35,7 +35,35 @@ object Pipeline {
       multi: NerModel,
       morph: NerModel,
       lexicon: Set[String],
-      maxSentenceLength: Int = 250)
+      maxSentenceLength: Int = 250) {
+
+    /** Content fingerprint over every weight tensor + config + lexicon.
+      * Stage manifests record it, so `runAll(resume = true)` against a
+      * workDir built with DIFFERENT weights rebuilds from annotation instead
+      * of silently serving the old model's outputs. */
+    lazy val fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = java.nio.ByteBuffer.allocate(4)
+      def f(x: Float): Unit = {
+        buf.clear(); buf.putFloat(x); md.update(buf.array(), 0, 4)
+      }
+      def v(a: Array[Float]): Unit = a.foreach(f)
+      def m2(a: Array[Array[Float]]): Unit = a.foreach(v)
+      def m3(a: Array[Array[Array[Float]]]): Unit = a.foreach(m2)
+      def cell(c: graft.ner.LstmCellWeights): Unit = { m2(c.wi); m2(c.wh); v(c.b) }
+      Seq(single, multi, morph).foreach { m =>
+        md.update(m.config.toString.getBytes("UTF-8"))
+        m2(m.wordEmb); m2(m.charEmb); m3(m.charCnnW); v(m.charCnnB)
+        m.charLstm.foreach(_.foreach(cell))
+        m.lstm.foreach(_.foreach(cell))
+        m3(m.cnnW); v(m.cnnB)
+        m2(m.hidden2tag); v(m.hidden2tagB); m2(m.transitions)
+      }
+      lexicon.toSeq.sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+      md.update(maxSentenceLength.toString.getBytes("UTF-8"))
+      md.digest().map(b => f"$b%02x").mkString
+    }
+  }
 
   /** Which multi model the hybrid pipeline uses (reference config.py:20
     * MULTI_MODEL_FOR_HYBRID). */
@@ -306,34 +334,56 @@ object Pipeline {
     import spark.implicits._
     val paths = StagePaths(workDir)
     val modelsBc = spark.sparkContext.broadcast(models)
+    val fp = models.fingerprint
 
-    // (a) docs_labeled
-    if (!(resume && TableFormat.isComplete(paths.docsLabeled))) {
+    // DIRTY CHAIN (same contract as Curate.runAll): once any stage rebuilds,
+    // every downstream stage rebuilds too — a manifest only proves a stage is
+    // current w.r.t. the inputs it was built from. The docs_labeled manifest
+    // additionally records the model fingerprint: resuming with DIFFERENT
+    // injected weights must re-annotate, not serve the old model's outputs.
+    def manifestField(path: String, field: String): Option[String] = {
+      val mf = java.nio.file.Paths.get(path, "_manifest.json")
+      if (!java.nio.file.Files.exists(mf)) None
+      else s""""$field": "([^"]*)"""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(mf)).map(_.group(1))
+    }
+    var dirty = false
+    def stage(path: String, current: => Boolean = true)(build: => Unit): Unit =
+      if (dirty || !(resume && TableFormat.isComplete(path) && current)) {
+        build; dirty = true
+      }
+
+    // (a) docs_labeled — model-dependent: fingerprint gates the resume
+    stage(paths.docsLabeled, manifestField(paths.docsLabeled, "models_fp").contains(fp)) {
       val annotated = annotate(spark, docs, modelsBc)
-      TableFormat.save(annotated.toDF(), paths.docsLabeled, "doc_id", buckets, "docs_labeled")
+      TableFormat.save(annotated.toDF(), paths.docsLabeled, "doc_id", buckets,
+        "docs_labeled", extra = Map("models_fp" -> fp))
     }
     val labeled = TableFormat.load(spark, paths.docsLabeled).as[Doc]
 
-    // (b) mentions
-    if (!(resume && TableFormat.isComplete(paths.mentions))) {
-      TableFormat.save(extractMentions(labeled, scenario), paths.mentions, "doc_id", buckets, "mentions")
+    // (b) mentions — scenario-dependent: a resume with a different scenario
+    // must re-extract, not serve the previous scenario's spans
+    stage(paths.mentions, manifestField(paths.mentions, "scenario").contains(scenario)) {
+      TableFormat.save(extractMentions(labeled, scenario), paths.mentions, "doc_id", buckets,
+        "mentions", extra = Map("scenario" -> scenario))
     }
     val mentions = TableFormat.load(spark, paths.mentions)
 
     // (c) linked (broadcast join — shuffle-free)
-    if (!(resume && TableFormat.isComplete(paths.linked))) {
+    stage(paths.linked) {
       TableFormat.save(Linker.link(mentions, dict), paths.linked, "doc_id", buckets, "linked")
     }
     val linked = TableFormat.load(spark, paths.linked)
 
-    // (d) canonical entities
-    if (!(resume && TableFormat.isComplete(paths.entities))) {
+    // (d) canonical entities (dict-only input, but kept on the linear dirty
+    // chain — an unnecessary rebuild is cheap and the invariant stays simple)
+    stage(paths.entities) {
       TableFormat.save(Canonicalize.canonicalize(spark, dict), paths.entities, "entity_id", buckets, "entities")
     }
     val entities = TableFormat.load(spark, paths.entities)
 
     // (e) triples
-    if (!(resume && TableFormat.isComplete(paths.triples))) {
+    if (dirty || !(resume && TableFormat.isComplete(paths.triples))) {
       val withCanon = linked.join(
         broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"), "left")
         .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))

@@ -19,10 +19,12 @@ import graft.io.TableFormat
   *   (e) packed   — the sequence-packing manifest over the curated set
   *       ([[Pack.concatChunks]]): what a training run consumes
   *
-  * Each stage reads the PREVIOUS stage's table, never the raw corpus again —
-  * at 10^12 docs, (b)–(e) touch only survivors. The fuzzy-cluster stage runs
-  * on the already exact-deduped set (exact dups would pollute LSH buckets
-  * with guaranteed collisions).
+  * Stages (c)–(e) read only the previous stage's (survivor-sized) table;
+  * the raw corpus is scanned exactly twice — stage (a) for verdicts and
+  * stage (b)'s keep-join, which must recover the text the verdict table
+  * deliberately doesn't carry. The fuzzy-cluster stage runs on the already
+  * exact-deduped set (exact dups would pollute LSH buckets with guaranteed
+  * collisions).
   */
 object Curate {
 

@@ -170,8 +170,8 @@ object Dedup {
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     val pairs = buckets
-      .select(explode(pairUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     pairs
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
@@ -182,9 +182,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), expr("inter * 10000 div uni").as("jaccard_bp"))
   }
 
-  private val pairUdf = udf { (ids: Seq[Long]) =>
-    val s = ids.sorted
-    for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+  /** Within-bucket ordered pairs (id_a < id_b), pure Catalyst: sort the
+    * bucket, then a nested transform enumerates i<j. Type-GENERIC over the
+    * id (long, string, …) and codegen-friendly — no UDF boundary in the
+    * bucket-expansion hot path. Bounded by the maxBucket cap upstream. */
+  private def bucketPairs(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = sort_array(ids)
+    flatten(transform(sequence(lit(0), size(s) - 2), i =>
+      transform(sequence(i + 1, size(s) - 1), j =>
+        struct(element_at(s, i + 1).as("id_a"), element_at(s, j + 1).as("id_b")))))
   }
 
   /** Exact n-gram Jaccard for ALL pairs of a (small) candidate set — the
@@ -294,8 +300,17 @@ object Dedup {
     val buckets = banded.groupBy("band", "chunk")
       .agg(collect_list(struct(col("id"), col("sim"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-    val pairs = buckets.select(explode(simPairUdf(col("xs"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("dist"))
+    // ordered within-bucket pairs + Hamming distance, pure Catalyst (struct
+    // sort_array orders by id first — generic over the id type, no UDF)
+    val s = sort_array(col("xs"))
+    val pairsCol = flatten(transform(sequence(lit(0), size(s) - 2), i =>
+      transform(sequence(i + 1, size(s) - 1), j => {
+        val a = element_at(s, i + 1); val b = element_at(s, j + 1)
+        struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+          bit_count(a.getField("sim").bitwiseXOR(b.getField("sim"))).as("dist"))
+      })))
+    val pairs = buckets.select(explode(pairsCol).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
       .distinct()
     pairs.filter(col("dist") <= maxDist)
   }
@@ -427,9 +442,4 @@ object Dedup {
           exists(col("starts"), s => s <= p && p < s + n))).as("n_removed"))
   }
 
-  private val simPairUdf = udf { (xs: Seq[org.apache.spark.sql.Row]) =>
-    val s = xs.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    for (i <- s.indices; j <- i + 1 until s.length)
-      yield (s(i)._1, s(j)._1, java.lang.Long.bitCount(s(i)._2 ^ s(j)._2))
-  }
 }

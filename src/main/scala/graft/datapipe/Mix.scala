@@ -31,14 +31,22 @@ object Mix {
     require(weightsBp.values.sum <= 10000L, "weights exceed 10000 bp")
     val spark = df.sparkSession
     import spark.implicits._
+    // per-row coalesce: a null text counts 0 tokens, so a stratum of null
+    // docs aggregates to n_tokens = 0 (a null SUM would otherwise flow into
+    // the rate div, and least() SKIPS nulls → silent rate_bp = 10000 with
+    // planned_tokens = NULL — unaccounted keep-all)
     val stats = df.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(TextQuality.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+        sum(coalesce(TextQuality.tokenCount(col(textCol)).cast("long"), lit(0L)))
+          .as("n_tokens"))
     val weights = weightsBp.toSeq.sortBy(_._1).toDF("stratum", "target_bp")
     stats.join(broadcast(weights), "stratum")
       .withColumn("desired_tokens", expr(s"(${budgetTokens}L * target_bp) div 10000"))
+      // zero-token stratum: keep-all EXPLICITLY (its docs cost no budget;
+      // planned_tokens stays an honest 0) instead of via div-by-zero null
       .withColumn("rate_bp",
-        least(lit(10000L), expr("(desired_tokens * 10000) div n_tokens")))
+        when(col("n_tokens") === 0L, lit(10000L))
+          .otherwise(least(lit(10000L), expr("(desired_tokens * 10000) div n_tokens"))))
       .withColumn("planned_tokens", expr("(n_tokens * rate_bp) div 10000"))
       .withColumn("capped", (col("desired_tokens") > col("n_tokens")).cast("int"))
       .select("stratum", "n_docs", "n_tokens", "target_bp", "desired_tokens",

@@ -93,11 +93,16 @@ object Pack {
                    textCol: String, capacity: Long = 2048L,
                    bucketWidth: Long = 4096L, rangeBuckets: Int = 256): DataFrame = {
     require(capacity > 0 && bucketWidth > 0 && rangeBuckets > 0)
-    val counted0 = df
+    val counted1 = df
       .select(col(idCol).as("doc_id"),
         TextQuality.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0L)
-    val integral = integralTypes.contains(counted0.schema("doc_id").dataType)
+    val integral = integralTypes.contains(counted1.schema("doc_id").dataType)
+    // generic path: cut the lineage once — count(), the boundary sample, the
+    // totals aggregation and the final join would otherwise each re-tokenize
+    // the corpus (4 full passes); the checkpoint makes it one. The integral
+    // path keeps its two lazy traversals (no boundary jobs to amortize).
+    val counted0 = if (integral) counted1 else counted1.localCheckpoint()
     val bucketCol =
       if (integral) expr(s"doc_id div ${bucketWidth}L")
       else boundsBucket(col("doc_id"), frozenBounds(counted0, rangeBuckets))

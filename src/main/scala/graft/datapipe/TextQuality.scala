@@ -249,20 +249,26 @@ object TextQuality {
     * without ever materializing the redacted corpus twice. Replacement order
     * matters and is fixed: emails first (an address can contain digit runs),
     * then IPs, then bare long ids; the placeholders contain no digits, so
-    * no pass can create a match for a later pass. Pure Catalyst
+    * no pass can create a match for a later pass. Each count is taken on the
+    * text AS THE CORRESPONDING PASS SEES IT (post-previous-redactions) —
+    * counting every pattern on the original text can disagree with what was
+    * actually replaced, e.g. in "a@b.com192.168.4.7" the IP has no \\b
+    * boundary until <EMAIL> is substituted in, and a digit run inside a
+    * matched email would be counted as an id yet never replaced. So
+    * n_emails + n_ipv4 + n_long_ids always equals the number of
+    * placeholders in the redacted text. Pure Catalyst
     * (regexp_extract_all / regexp_replace) — narrow, shuffle-free, codegen. */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
-          ipv4Re, "<IP>"),
-        longIdRe, "<ID>")
+    def countRe(c: org.apache.spark.sql.Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    val t1 = regexp_replace(col(textCol), emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, longIdRe, "<ID>")
     df.select(col(idCol).as("doc_id"),
-      size(expr(s"regexp_extract_all($textCol, '${emailRe.replace("\\", "\\\\")}', 0)")).as("n_emails"),
-      size(expr(s"regexp_extract_all($textCol, '${ipv4Re.replace("\\", "\\\\")}', 0)")).as("n_ipv4"),
-      size(expr(s"regexp_extract_all($textCol, '${longIdRe.replace("\\", "\\\\")}', 0)")).as("n_long_ids"),
-      md5(redacted).as("redacted_fp"))
+      countRe(col(textCol), emailRe).as("n_emails"),
+      countRe(t1, ipv4Re).as("n_ipv4"),
+      countRe(t2, longIdRe).as("n_long_ids"),
+      md5(t3).as("redacted_fp"))
   }
 
   // ---------- language ID ----------

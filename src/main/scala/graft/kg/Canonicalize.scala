@@ -19,31 +19,52 @@ import org.apache.spark.sql.functions._
   */
 object Canonicalize {
 
-  /** edges: (src: long, dst: long) undirected. Returns (node: long, component:
-    * long = min node id of its component). */
+  /** edges: (src, dst) undirected, any orderable id type (long ids get the
+    * cheapest convergence detector; string ids work — "component" is then the
+    * lexicographically-min member id). Returns (node, component = min node id
+    * of its component). */
   def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     import spark.implicits._
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    val numericIds = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
+      .contains(sym.schema("src").dataType) ||
+      sym.schema("src").dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
 
-    // Fixpoint detector: min-label propagation is MONOTONE (a node's label
-    // only ever decreases), so Σ labels strictly decreases until convergence —
-    // one narrow scan of the just-checkpointed labels per iteration, instead
-    // of a join-with-previous + count (a whole extra shuffle join per loop).
+    // Fixpoint detector, numeric ids: min-label propagation is MONOTONE (a
+    // node's label only ever decreases), so Σ labels strictly decreases until
+    // convergence — one narrow scan of the just-checkpointed labels per
+    // iteration, instead of a join-with-previous + count (a whole extra
+    // shuffle join per loop).
     // decimal(38,0): a long Σ can overflow past ~10^10 nodes of 48-bit ids
     // (ANSI mode would throw mid-job); the decimal sum stays exact.
     // coalesce: sum over ZERO rows is NULL — an empty edge set (no duplicates
-    // anywhere, a perfectly clean corpus) must converge, not NPE
+    // anywhere, a perfectly clean corpus) must converge, not NPE.
+    // NON-numeric ids never take this path: cast("decimal") of a string id
+    // is NULL (non-ANSI), the sum would read 0 every round and the loop
+    // would declare convergence after one iteration with wrong components.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // Generic detector: stability under one neighbor-min round means labels
+    // agree across every edge (label(u) ≤ label(v) and vice versa), i.e.
+    // labels are component-constant = the fixpoint. One labels-sized join
+    // per iteration — only paid when the cheap sum detector can't run.
+    def changed(prev: DataFrame, next: DataFrame): Boolean =
+      next.join(prev.select(col("node"), col("component").as("prev_component")), "node")
+        .filter(col("component") =!= col("prev_component"))
+        .limit(1).count() > 0
+    var prevSum = if (numericIds) labelSum(labels) else null
+    var prevLabels = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -76,9 +97,14 @@ object Canonicalize {
       // deterministic function of half, so half stabilizing ⟹ labels
       // stabilized, and the stabilized state is a fixpoint of the combined
       // neighbor-min operator (component-constant labels = component min)
-      val s = labelSum(half)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      if (numericIds) {
+        val s = labelSum(half)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else {
+        converged = !changed(prevLabels, half)
+        prevLabels = half
+      }
       labels = next
       iter += 1
     }

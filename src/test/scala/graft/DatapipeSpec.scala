@@ -315,6 +315,49 @@ class DatapipeSpec extends AnyFunSuite {
     assert(r(2L).getAs[String]("redacted_fp") === md5hex("no pii here 123 1.2 short"))
   }
 
+  test("pii: counts reflect what each pass actually replaced (sequential text)") {
+    // the IP has no \b boundary until <EMAIL> is substituted in; a count on
+    // the ORIGINAL text would claim n_ipv4 = 0 while the fingerprint shows
+    // an <IP> redaction
+    val df = Seq((1L, "a@b.com192.168.4.7")).toDF("doc_id", "text")
+    val r = TextQuality.redactPii(df, "doc_id", "text").collect().head
+    assert(r.getAs[Int]("n_emails") === 1)
+    assert(r.getAs[Int]("n_ipv4") === 1)
+    assert(r.getAs[Int]("n_long_ids") === 0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(r.getAs[String]("redacted_fp") === md5hex("<EMAIL><IP>"))
+  }
+
+  test("near-dup clusters work with STRING doc ids") {
+    val base = "the quick brown fox jumps over a lazy dog and runs far away today"
+    val docs = Seq(
+      ("d-b", base), ("d-a", base), ("d-c", base + " extra"),
+      ("u-1", "completely different words about gardens and rivers flowing north"))
+      .toDF("doc_id", "text")
+    val r = Dedup.nearDupClusters(spark, docs, "doc_id", "text", maxDist = 3)
+      .collect().map(x => x.getString(0) -> (x.getString(1), x.getLong(2))).toMap
+    // the three near-identical docs cluster under the lexicographic min id
+    assert(r("d-a")._1 === "d-a" && r("d-b")._1 === "d-a")
+    assert(r("d-a")._2 >= 2L)
+  }
+
+  test("mixture plan: a zero-token stratum keeps all docs with an honest planned_tokens of 0") {
+    import graft.datapipe.Mix
+    val docs = Seq(
+      (1L, "ten little words make up this very ordinary doc here", "a"),
+      (2L, null.asInstanceOf[String], "z"),
+      (3L, null.asInstanceOf[String], "z")).toDF("doc_id", "text", "lang")
+    val p = Mix.plan(docs, "lang", "text", Map("a" -> 5000L, "z" -> 5000L), 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z = p("z")
+    assert(z.getLong(2) === 0L)     // n_tokens aggregates null texts to 0
+    assert(z.getLong(5) === 10000L) // explicit keep-all, not a div-by-zero null
+    assert(z.getLong(6) === 0L)     // planned tokens honest, not NULL
+    assert(z.getInt(7) === 1)       // flagged capped (desired > supply)
+  }
+
   test("token-length percentiles: rank-select semantics and tie invariance") {
     // group g: counts 1..10 → p50 = 5 (rk*100 >= n*50 at rk=5), p90 = 9, p99 = 10
     val g = (1 to 10).map(i => ("g", (1 to i).map(_ => "w").mkString(" ")))

@@ -52,6 +52,22 @@ class KgSpec extends AnyFunSuite {
     assert(Canonicalize.connectedComponents(spark, none).count() === 0L)
   }
 
+  test("connected components over STRING ids: chain converges via the generic detector") {
+    // decimal-cast of a string id is NULL (non-ANSI), so the numeric sum
+    // detector would read Σ=0 every round and declare convergence after one
+    // iteration — this chain needs several rounds, catching exactly that
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"))
+      .toDF("src", "dst")
+    val got = Canonicalize.connectedComponents(spark, chain)
+      .as[(String, String)].collect().toMap
+    assert(got.size === 6 && got.values.forall(_ === "a"))
+    // component label is the LEXICOGRAPHIC min for string ids
+    val tangled = Seq(("doc-7", "doc-100"), ("doc-100", "doc-07")).toDF("src", "dst")
+    val got2 = Canonicalize.connectedComponents(spark, tangled)
+      .as[(String, String)].collect().toMap
+    assert(got2.values.toSet === Set("doc-07"))
+  }
+
   test("fuzzy linking: near-miss surface reaches its entity through the block") {
     import org.apache.spark.sql.functions._
     val dict = Seq(

@@ -225,6 +225,48 @@ class PipelineSpec extends AnyFunSuite {
     rm2(new java.io.File(work))
   }
 
+  test("resume with different models or scenario rebuilds instead of serving stale stages") {
+    val work = java.nio.file.Files.createTempDirectory("graft-dirty").toString
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    val docs = spark.createDataset(Fixtures.inputDocs(10))
+    def mf(stage: String, field: String): String =
+      s""""$field": "([^"]*)"""".r.findFirstMatchIn(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$work/$stage", "_manifest.json"))).map(_.group(1))
+        .getOrElse(fail(s"no $field in $stage manifest"))
+    Pipeline.runAll(spark, docs, dict, work, buckets = 2)
+    val defaultFp = Pipeline.fixtureModels().fingerprint
+    assert(mf("docs_labeled", "models_fp") === defaultFp)
+    assert(mf("mentions", "scenario") === "morph")
+    val t0 = mf("triples", "wall_ms")
+
+    // same models + scenario → true resume, nothing rewritten
+    Pipeline.runAll(spark, docs, dict, work, buckets = 2)
+    assert(mf("triples", "wall_ms") === t0, "clean resume must not rewrite stages")
+
+    // different weights (OOV registry variants) → docs_labeled re-annotates
+    // and the dirty chain rewrites everything downstream
+    val oov = Pipeline.Models(
+      Pipeline.fixtureRegistry("token-single_oov"),
+      Pipeline.fixtureRegistry("token-multi_oov"),
+      Pipeline.fixtureRegistry("morph_oov"),
+      Fixtures.lexicon)
+    assert(oov.fingerprint !== defaultFp)
+    Pipeline.runAll(spark, docs, dict, work, buckets = 2, models = oov)
+    assert(mf("docs_labeled", "models_fp") === oov.fingerprint,
+      "stale model outputs served on resume with different weights")
+    assert(mf("triples", "wall_ms") !== t0, "downstream stages must follow the rebuild")
+
+    // different scenario → mentions (and downstream) rebuild
+    val t1 = mf("triples", "wall_ms")
+    Thread.sleep(2)
+    Pipeline.runAll(spark, docs, dict, work, buckets = 2, models = oov,
+      scenario = "token-single")
+    assert(mf("mentions", "scenario") === "token-single")
+    assert(mf("triples", "wall_ms") !== t1)
+    def rm3(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm3); f.delete() }
+    rm3(new java.io.File(work))
+  }
+
   test("TableFormat: an empty stage output round-trips via the schema snapshot") {
     val work = java.nio.file.Files.createTempDirectory("graft-empty").toString
     import spark.implicits._
