@@ -186,7 +186,7 @@ object Dedup {
     * bucket, then a nested transform enumerates i<j. Type-GENERIC over the
     * id (long, string, …) and codegen-friendly — no UDF boundary in the
     * bucket-expansion hot path. Bounded by the maxBucket cap upstream. */
-  private def bucketPairs(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[datapipe] def bucketPairs(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val s = sort_array(ids)
     flatten(transform(sequence(lit(0), size(s) - 2), i =>
       transform(sequence(i + 1, size(s) - 1), j =>

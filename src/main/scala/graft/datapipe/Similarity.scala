@@ -205,12 +205,10 @@ object Similarity {
     val buckets = banded.groupBy("band", "chunk")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    val pairUdf = udf { (ids: Seq[Long]) =>
-      val s = ids.sorted
-      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
-    }
-    val pairs = buckets.select(explode(pairUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    // ordered within-bucket pairs, pure Catalyst and id-type-generic
+    // (Dedup.bucketPairs: sort_array + nested transform — no UDF boundary)
+    val pairs = buckets.select(explode(Dedup.bucketPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     pairs
       .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
