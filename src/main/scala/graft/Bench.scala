@@ -384,8 +384,10 @@ object Bench {
          |Failed queries are marked FAILED and excluded from the total.
          |Note: queries backed by a per-session artifact cache — the nemo_*
          |family (annotate-once, extract-many: the docs_labeled
-         |stage-checkpoint design) and d_ann_ivf (write-time IVF index,
-         |cached per session) — report their steady-state cost under
+         |stage-checkpoint design), the canonicalized entity dictionary
+         |(built once per session, as in runAll's entities stage and the
+         |stream-start canonicalization), and d_ann_ivf (write-time IVF
+         |index, cached per session) — report their steady-state cost under
          |min-of-passes; the one-time build costs are the e2e docs_labeled
          |stage and the first-pass sum above, respectively.
          |

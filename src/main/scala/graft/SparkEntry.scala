@@ -84,6 +84,29 @@ object SparkEntry {
                                 usePruning: Boolean = true): DataFrame =
     Pipeline.extractMentions(annotatedDocs(spark, n, usePruning), scenario)
 
+  /** Canonicalized fixture dictionary, built once per session — the same
+    * materialize-once design as Pipeline.runAll's `entities` stage checkpoint
+    * and StreamPipeline's stream-start canonicalization: the dictionary is
+    * static, so the CC fixpoint runs once and every KG query broadcast-joins
+    * the result. localCheckpoint: the returned frame must not re-run the CC
+    * loop's tail join per consumer. */
+  private val entitiesCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  private def fixtureEntities(s: SparkSession): DataFrame =
+    entitiesCache.synchronized {
+      val cached = entitiesCache.get(s)
+      if (cached != null) cached
+      else {
+        import s.implicits._
+        val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+        val e = Canonicalize.canonicalize(s, dict)
+          .select(col("entity_id"), col("canonical_id")).localCheckpoint()
+        entitiesCache.put(s, e); evictOnStop(entitiesCache, s)
+        e
+      }
+    }
+
   /** IVF write-time artifact, built once per session: deterministic k-means
     * centroids + persisted cell-assigned corpus (at real scale this is the
     * cell-partitioned table written at ingest; queries only probe it). */
@@ -521,9 +544,8 @@ object SparkEntry {
       val mentions = annotatedMentions(s, 300, "morph")
       val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
       val linked = Linker.link(mentions, dict)
-      val entities = Canonicalize.canonicalize(s, dict)
       val withCanon = linked
-        .join(broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"), "left")
+        .join(broadcast(fixtureEntities(s)), Seq("entity_id"), "left")
         .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
       Triples.fromLinkedMentions(withCanon)
     }),
@@ -536,9 +558,8 @@ object SparkEntry {
       val mentions = annotatedMentions(s, 300, "morph")
       val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
       val linked = Linker.link(mentions, dict)
-      val entities = Canonicalize.canonicalize(s, dict)
       val withCanon = linked
-        .join(broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"), "left")
+        .join(broadcast(fixtureEntities(s)), Seq("entity_id"), "left")
         .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
       kg.Cooccur.edges(withCanon)
     }),
