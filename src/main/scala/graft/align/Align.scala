@@ -12,7 +12,8 @@ import scala.collection.mutable.ArrayBuffer
 object Align {
 
   /** C1: atom count of a multi label (len(bio.split('^')) — nemo.py:66-75). */
-  def bioseCount(multi: String): Int = multi.split('^').length
+  // limit -1: Python's split keeps trailing empty atoms; Scala's default drops them
+  def bioseCount(multi: String): Int = multi.split("\\^", -1).length
 
   /** C4: soft-merge token-multi atoms onto that token's predicted morphemes
     * (exact port of soft_merge_bio_labels, nemo.py:117-137).
@@ -24,15 +25,16 @@ object Align {
     * Returns (branch, Seq(form → label)).
     */
   def softMergeToken(forms: Seq[String], multiLabel: String): (Int, Seq[(String, String)]) = {
-    val bio = multiLabel.split('^').toSeq
+    val bio = multiLabel.split("\\^", -1).toSeq // limit -1: Python split semantics
     if (forms.length == bio.length) (1, forms.zip(bio))
     else if (forms.length > bio.length) {
       val dif = forms.length - bio.length
-      val padded = forms.take(dif).map(f => (f, "O")) ++
-        forms.reverse.zip(bio.reverse).reverse
+      // right-aligned zip: the LAST bio.length forms pair with the atoms
+      val padded = forms.take(dif).map(f => (f, "O")) ++ forms.drop(dif).zip(bio)
       (2, padded)
     } else {
-      (3, forms.reverse.zip(bio.reverse).reverse)
+      // right-aligned zip: atoms truncated from the left to forms.length
+      (3, forms.zip(bio.takeRight(forms.length)))
     }
   }
 

@@ -203,8 +203,12 @@ object Biose {
     val n = labels.length
     labels.zipWithIndex.map { case (l, i) =>
       val (bio, cat) = splitAtom(l)
+      // reference fidelity (tagSchemeConverter.py:32,37): continuation is
+      // decided ONLY by the next label carrying "I-" — the category is NOT
+      // compared, so noisy input like (B-PER, I-ORG) converts to
+      // (B-PER, E-ORG), exactly as BIO2BIOES does
       def nextIsI: Boolean =
-        i + 1 < n && { val (nb, nc) = splitAtom(labels(i + 1)); nb == "I" && nc == cat }
+        i + 1 < n && splitAtom(labels(i + 1))._1 == "I"
       bio match {
         case "B" => (if (nextIsI) "B-" else "S-") + cat
         case "I" => (if (nextIsI) "I-" else "E-") + cat

@@ -54,14 +54,12 @@ object Analyzer {
   def sentenceLattice(tokens: IndexedSeq[String],
                       lexicon: String => Boolean = _ => true): Array[LatticeEdge] = {
     val edges = new ArrayBuffer[LatticeEdge]()
-    var nextNode = 0
     var tokStart = 0
     var t = 0
     while (t < tokens.length) {
       val segs = segmentations(tokens(t), lexicon)
-      val maxLen = segs.map(_.length).max
       // end node id must be > every interior id of every analysis
-      var interiorBudget = segs.map(s => math.max(0, s.length - 1)).sum
+      val interiorBudget = segs.map(s => math.max(0, s.length - 1)).sum
       val tokEnd = tokStart + interiorBudget + 1
       var interiorNext = tokStart + 1
       for (seg <- segs) {

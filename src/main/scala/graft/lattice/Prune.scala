@@ -54,7 +54,10 @@ object Prune {
     val pairs = tokenEdges.map(e => (e.id1, e.id2))
     val minNode = tokenEdges.head.id1
     val maxNode = tokenEdges.last.id2
-    val bioseCount = biose.split('^').length
+    // split with limit -1: Python's split KEEPS trailing empty atoms
+    // (len("B-ORG^".split('^')) == 2), Scala's default drops them — the
+    // count decides which path lengths survive pruning
+    val bioseCount = biose.split("\\^", -1).length
     var vp: Seq[Seq[Int]] =
       if (nonOOnly && !biose.contains('-'))
         simplePaths(pairs, minNode, maxNode, -1)

@@ -13,9 +13,16 @@ final case class Alphabet(instances: IndexedSeq[String], isLabel: Boolean) {
 
   private def firstId: Int = if (isLabel) 1 else 2 // 0 pad (+1 unk for words)
 
-  /** string → id with UNK fallback (reference alphabet.py:47-56). */
+  /** string → id with UNK fallback for word/char alphabets (reference
+    * alphabet.py:47-56). A LABEL alphabet has no UNKNOWN slot — the frozen
+    * reference raises KeyError there (`instance2index[UNKNOWN]` misses), so
+    * an unknown label fails loudly here too instead of silently mapping to
+    * whichever label holds id 1. */
   def get(s: String): Int =
-    index.getOrElse(s, if (isLabel) 1 else unkIndex)
+    index.getOrElse(s,
+      if (isLabel) throw new NoSuchElementException(
+        s"unknown label '$s' in frozen label alphabet")
+      else unkIndex)
 
   /** id → string; pad/unk render as sentinels. */
   def instance(id: Int): String =

@@ -97,7 +97,7 @@ object NerModel {
       val in = if (l == 0) wordRepDim else 2 * cfg.hidden
       Array(lstmWeights(r, in, cfg.hidden), lstmWeights(r, in, cfg.hidden))
     }
-    val featDim = if (cfg.wordExtractor == "CNN") cfg.hidden * 2 else cfg.hidden * 2
+    val featDim = cfg.hidden * 2
     val cnnW = Array.fill(featDim)(mat(r, 3, wordRepDim, uniformScale(wordRepDim)))
     NerModel(
       cfg, wa, ca, la,

@@ -297,6 +297,7 @@ object Scorer {
   def forwardAlphas(m: NerModel, emit: Array[Array[Float]]): (Array[Array[Double]], Double) = {
     val t = m.numTags
     val L = emit.length
+    if (L == 0) return (Array.empty, 0.0) // same guard as viterbi: empty → no paths, logZ 0
     val tr = m.transitions
     val alpha = Array.ofDim[Double](L, t)
     var j = 0
@@ -324,6 +325,7 @@ object Scorer {
   def backwardBetas(m: NerModel, emit: Array[Array[Float]]): Array[Array[Double]] = {
     val t = m.numTags
     val L = emit.length
+    if (L == 0) return Array.empty
     val tr = m.transitions
     val beta = Array.ofDim[Double](L, t)
     var j = 0
@@ -345,6 +347,7 @@ object Scorer {
 
   /** Score of one tag path (F9, `CRF._score_sentence`). */
   def goldScore(m: NerModel, emit: Array[Array[Float]], tags: Array[Int]): Double = {
+    if (tags.isEmpty) return 0.0 // empty sentence: consistent with forwardAlphas' logZ 0
     val tr = m.transitions
     var s = tr(m.startTag)(tags(0)).toDouble + emit(0)(tags(0))
     var i = 1
@@ -372,6 +375,8 @@ object Scorer {
       : (Double, Array[Array[Double]], Array[Array[Double]]) = {
     val t = m.numTags
     val L = emit.length
+    if (L == 0) // empty sentence: zero loss, zero gradients (guards align
+      return (0.0, Array.empty, Array.ofDim[Double](t + 2, t + 2)) // with viterbi)
     val tr = m.transitions
     val (alpha, logZ) = forwardAlphas(m, emit)
     val beta = backwardBetas(m, emit)

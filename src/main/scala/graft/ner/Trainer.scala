@@ -29,7 +29,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object Trainer {
 
-  final case class TrainExample(tokens: Seq[String], labels: Seq[String])
+  final case class TrainExample(tokens: Seq[String], labels: Seq[String]) {
+    /** Memoized content hash — computed once per cached JVM object, so the
+      * per-epoch minibatch assignment mixes a precomputed int instead of
+      * re-hashing the full token sequence nBatches× per epoch. */
+    @transient lazy val tokenHash: Int =
+      scala.util.hashing.MurmurHash3.orderedHash(tokens, 17)
+  }
 
   final case class EpochStats(epoch: Int, trainNll: Double, devTokenAcc: Double, lr: Double)
 
@@ -184,9 +190,12 @@ object Trainer {
   }
 
   /** Deterministic epoch-seeded batch assignment: a fresh partition of the
-    * examples into `nBatches` groups every epoch (the shuffle). */
-  private def batchOf(tokens: Seq[String], epoch: Int, nBatches: Int): Int = {
-    val h = scala.util.hashing.MurmurHash3.orderedHash(tokens, epoch * 31 + 17)
+    * examples into `nBatches` groups every epoch (the shuffle). Takes the
+    * example's memoized content hash and mixes the epoch in with a cheap
+    * integer finalizer — O(1) per example per scan. */
+  private def batchOf(tokenHash: Int, epoch: Int, nBatches: Int): Int = {
+    var h = tokenHash ^ (epoch * 0x9E3779B9)
+    h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13
     java.lang.Math.floorMod(h, nBatches)
   }
 
@@ -239,7 +248,7 @@ object Trainer {
       else {
         val fd = train.rdd.flatMap { ex =>
           goldIds(bcFeat.value, ex).map(g =>
-            (ex.tokens, Scorer.features(bcFeat.value, ex.tokens.toIndexedSeq), g))
+            (ex.tokenHash, Scorer.features(bcFeat.value, ex.tokens.toIndexedSeq), g))
         }.cache()
         fd.count() // one-time featurization; cached blocks serve the epochs
         fd
@@ -247,7 +256,7 @@ object Trainer {
     if (trainEncoder) { data.count(); () }
     var model = init
     var best = init
-    var bestAcc = devTokenAccuracy(init, dev)
+    var bestAcc = -10.0
     val history = Vector.newBuilder[EpochStats]
     try {
       for (epoch <- 0 until epochs) {
@@ -257,7 +266,7 @@ object Trainer {
         for (b <- 0 until nBatches) {
           val bc = spark.sparkContext.broadcast(model)
           if (trainEncoder) {
-            val acc = data.filter(ex => batchOf(ex.tokens, epoch, nBatches) == b)
+            val acc = data.filter(ex => batchOf(ex.tokenHash, epoch, nBatches) == b)
               .treeAggregate(new Backprop.ModelGrad(model))(
                 (a, ex) => { accumulateFull(bc.value, a, ex); a },
                 (a1, a2) => a1.merge(a2))
@@ -274,7 +283,10 @@ object Trainer {
           bc.destroy()
         }
         val devAcc = devTokenAccuracy(model, dev)
-        if (devAcc >= bestAcc) { bestAcc = devAcc; best = model } // checkpoint best-dev
+        // strict >, seeded at -10 like the reference loop (ncrf_main.py:384,
+        // 461): epoch 1 always checkpoints; a plateau keeps the FIRST tying
+        // model, not the last one still drifting on train loss
+        if (devAcc > bestAcc) { bestAcc = devAcc; best = model }
         history += EpochStats(epoch, if (epochN == 0) 0.0 else epochLoss / epochN, devAcc, lr)
       }
     } finally {

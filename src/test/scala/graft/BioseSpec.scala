@@ -67,6 +67,14 @@ class BioseSpec extends AnyFunSuite {
     assert(Biose.bioesToBio(bioes) === bio)
   }
 
+  test("bioToBioes matches reference BIO2BIOES on category-switching noise") {
+    // tagSchemeConverter.py:32,37 — continuation is decided only by the next
+    // label carrying "I-"; the category is NOT compared. (B-PER, I-ORG)
+    // therefore converts to (B-PER, E-ORG), not (S-PER, E-ORG).
+    assert(Biose.bioToBioes(Seq("B-PER", "I-ORG")) === Seq("B-PER", "E-ORG"))
+    assert(Biose.bioToBioes(Seq("I-PER", "I-ORG", "O")) === Seq("I-PER", "E-ORG", "O"))
+  }
+
   test("iobToBio begins runs correctly") {
     assert(Biose.iobToBio(Seq("I-PER", "I-PER", "O", "I-ORG")) ===
       Seq("B-PER", "I-PER", "O", "B-ORG"))

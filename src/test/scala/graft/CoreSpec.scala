@@ -92,6 +92,9 @@ class CoreSpec extends AnyFunSuite {
   test("bioseCount (C1)") {
     assert(Align.bioseCount("O") === 1)
     assert(Align.bioseCount("O^B-PER^I-PER") === 3)
+    // Python len("B-ORG^".split('^')) == 2: trailing empty atoms COUNT
+    assert(Align.bioseCount("B-ORG^") === 2)
+    assert(Align.bioseCount("^") === 2)
   }
 
   test("softMergeToken three branches (nemo.py:117-137)") {

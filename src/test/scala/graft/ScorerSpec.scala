@@ -183,5 +183,23 @@ class ScorerSpec extends AnyFunSuite {
     val l = Alphabet.fromStrings(Seq("O", "S-PER"), isLabel = true)
     assert(l.get("O") === 1)
     assert(l.instance(1) === "O")
+    // a frozen label alphabet has no UNKNOWN slot — the reference raises
+    // KeyError (alphabet.py:56); silent fallback would decode wrong labels
+    intercept[NoSuchElementException] { l.get("B-MISSING") }
+  }
+
+  test("CRF math guards empty sentences consistently with viterbi") {
+    val m = NerModel.synthesize(
+      NerConfig("token-single", wordEmbDim = 4, charEmbDim = 3, charHidden = 3,
+        hidden = 4, lstmLayers = 1),
+      Seq("aa", "bb"), Seq("O", "S-PER"), seed = 5)
+    val empty = Array.empty[Array[Float]]
+    val (alpha, logZ) = Scorer.forwardAlphas(m, empty)
+    assert(alpha.isEmpty && logZ === 0.0)
+    assert(Scorer.backwardBetas(m, empty).isEmpty)
+    assert(Scorer.goldScore(m, empty, Array.empty) === 0.0)
+    val (loss, dEmit, dTr) = Scorer.crfGradients(m, empty, Array.empty)
+    assert(loss === 0.0 && dEmit.isEmpty && dTr.forall(_.forall(_ === 0.0)))
+    assert(Scorer.negLogLikelihood(m, empty, Array.empty) === 0.0)
   }
 }
