@@ -55,46 +55,15 @@ object Bench {
     * unsalted, salted (Linker saltBuckets), and unsalted + AQE skew-join.
     * Demonstrates the BASELINE.md skew protocol. */
   private def skewBench(cpus: Int, nMentions: Int = 3000000): (Double, Double, Double) = {
-    import org.apache.spark.sql.functions._
     val spark = session(cpus)
-    import spark.implicits._
-    val dictRows = fixtures.Fixtures.entityDictionary()
-    val dict = spark.createDataset(dictRows).toDF()
-    val hot = dictRows.head
-    val surfaces = dictRows.map(_.canonical)
-    val bcSurf = spark.sparkContext.broadcast(surfaces)
-    val hotSurface = hot.canonical
-    val mentions = spark.range(0, nMentions.toLong, 1, 8 * cpus)
-      .mapPartitions { it =>
-        val surf = bcSurf.value
-        it.map { i =>
-          val s = if (i % 10 < 8) hotSurface else surf((i % surf.length).toInt)
-          (s"doc-${i % 100000}", (i % 7).toLong, s, "PER", 1, 0, "token", "skew")
-        }
-      }
-      .toDF("doc_id", "sent_id", "surface", "category", "occ", "start", "level", "scenario")
+    // fixtures + AQE thresholds shared with tools/SkewProbe (one source of
+    // truth — the probe that explains the thresholds and the bench that
+    // commits the numbers must measure the identical workload)
+    val (mentions, dict) = tools.SkewProbe.zipfMentions(spark, nMentions.toLong, 8 * cpus)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1") // AQE too
     def run(salt: Int, aqeSkew: Boolean): Double = {
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
-      if (aqeSkew) {
-        // AQE flags a partition as skewed by its COMPRESSED shuffle bytes; an
-        // 80%-one-key partition compresses ~50×, so the 256 MB default (and
-        // even 16 MB) never triggers at this scale — round-1 measured "AQE
-        // slower" purely because the split never fired and adaptive
-        // re-planning overhead was all that was added. Thresholds here are
-        // sized to the actual compressed partition sizes (probe:
-        // tools/SkewProbe, plan shows SortMergeJoin(skew=true)).
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
-        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-      } else {
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
-      }
+      tools.SkewProbe.applySkewConf(spark, aqeSkew, tuned = aqeSkew)
       val t0 = System.nanoTime()
       kg.Linker.link(mentions, dict, broadcastDict = false, saltBuckets = salt).count()
       (System.nanoTime() - t0) / 1e9
@@ -161,9 +130,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] fleet probe failed: ${e.getMessage}"); Seq.empty
       }
+    // sort by worker count: FleetProbe.run returns first-success insertion
+    // order, which can differ from size order when a round is skipped
+    val fleetSorted = fleet.sortBy(_.workers)
     val fleetEff =
-      if (fleet.size >= 2)
-        (fleet.last.dps / fleet.head.dps) / (fleet.last.workers.toDouble / fleet.head.workers)
+      if (fleetSorted.size >= 2)
+        (fleetSorted.last.dps / fleetSorted.head.dps) /
+          (fleetSorted.last.workers.toDouble / fleetSorted.head.workers)
       else 0.0
 
     // --- per-query timings at the driver-requested parallelism ---
@@ -218,7 +191,8 @@ object Bench {
     // fully-loaded local[32] is hit hardest by noisy neighbors, so each timed
     // run records the steal it suffered and the report shows it
     def cpuTimes(): (Long, Long) = {
-      val parts2 = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
+      val parts2 = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).split("\\s+")
       val vals = parts2.drop(1).map(_.toLong)
       (vals.sum, if (vals.length > 7) vals(7) else 0L)
     }
@@ -242,7 +216,8 @@ object Bench {
       val cpuL = new CpuTimeListener
       s.sparkContext.addSparkListener(cpuL)
       pipelineRun(s, 4000, parts)
-      val c0 = cpuL.cpuNs.get
+      Thread.sleep(300) // drain the async listener bus: warmup task-end
+      val c0 = cpuL.cpuNs.get // events must not bill into the timed window
       val (sec, steal) = timedOnce(level, s)
       Thread.sleep(300) // listener bus is async; let task-end events drain
       val cpu = (cpuL.cpuNs.get - c0) / 1e9
@@ -250,7 +225,8 @@ object Bench {
       Sample(sec, steal, cpu)
     }
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     // Primary pair: N=2 vs 4N=8 cores — measured stable on this sandbox host.
     // The host oversubscribes beyond ~8-16 concurrent vCPUs (see steal +
@@ -316,15 +292,10 @@ object Bench {
       val nT = Pipeline.runAll(s, docs, dict, work, buckets = cpus, resume = false).count()
       val sec = (System.nanoTime() - t0) / 1e9
       // per-stage breakdown from the manifests' completion timestamps
-      val stageNames = Seq("docs_labeled", "mentions", "linked", "entities", "triples")
-      val wallMs = stageNames.map { st =>
-        val txt = Files.readString(Paths.get(s"$work/$st/_manifest.json"))
-        val m = "\"wall_ms\": \"(\\d+)\"".r.findFirstMatchIn(txt)
-        st -> m.map(_.group(1).toLong).getOrElse(0L)
-      }
-      val stages = wallMs.zip(t0ms +: wallMs.map(_._2)).map {
-        case ((st, end), start) => st -> math.max(end - start, 0L) / 1e3
-      }
+      // (shared parser: TableFormat.stageWallsSec — fails loudly on a
+      // malformed manifest instead of poisoning the breakdown with a 0 stamp)
+      val stages = io.TableFormat.stageWallsSec(work,
+        Seq("docs_labeled", "mentions", "linked", "entities", "triples"), t0ms)
       def rm(fl: java.io.File): Unit = { if (fl.isDirectory) fl.listFiles.foreach(rm); fl.delete() }
       rm(new java.io.File(work))
       s.stop()

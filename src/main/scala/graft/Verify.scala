@@ -21,7 +21,10 @@ object Verify {
     // SIBLING of outDir, not inside it: the external comparator scans every
     // directory under outDir as a query output, and the aux tables' array
     // columns crashed its pandas hash (the round-2 'aux' err row).
-    val auxDir = new java.io.File(s"${outDir.stripSuffix("/")}_aux").getAbsolutePath
+    // normalize FIRST (File strips any number of trailing slashes —
+    // "out//" must not resolve to "out/_aux", which is INSIDE outDir and
+    // would resurrect the round-2 comparator crash)
+    val auxDir = new java.io.File(outDir).getAbsolutePath + "_aux"
     SparkEntry.auxTables.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")

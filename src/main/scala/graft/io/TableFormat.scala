@@ -108,6 +108,23 @@ object TableFormat {
   def isComplete(path: String): Boolean =
     Files.exists(Paths.get(path, "_manifest.json"))
 
+  /** The manifest's wall_ms completion stamp. Fails loudly on a missing or
+    * malformed manifest — a silent 0 would make the NEXT stage's computed
+    * wall ≈ the whole epoch and poison any timing breakdown built on it. */
+  def manifestWallMs(path: String): Long =
+    "\"wall_ms\": \"(\\d+)\"".r
+      .findFirstMatchIn(Files.readString(Paths.get(path, "_manifest.json")))
+      .getOrElse(throw new IllegalStateException(s"no wall_ms in $path/_manifest.json"))
+      .group(1).toLong
+
+  /** Per-stage wall seconds from consecutive manifest completion stamps
+    * (shared by Bench's e2e breakdown and tools/E2eProbe — one parser, one
+    * semantics). */
+  def stageWallsSec(workDir: String, stages: Seq[String], startMs: Long): Seq[(String, Double)] = {
+    val ends = stages.map(st => manifestWallMs(s"$workDir/$st"))
+    stages.zip((startMs +: ends).sliding(2).map(p => math.max(p(1) - p(0), 0L) / 1e3).toSeq)
+  }
+
   /** Load a table previously written by save (drops the bucket column).
     * An empty table (no part files) reconstructs from the schema snapshot. */
   def load(spark: SparkSession, path: String): DataFrame = {

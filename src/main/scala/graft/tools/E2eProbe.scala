@@ -28,13 +28,8 @@ object E2eProbe {
       val t0 = System.nanoTime()
       val nT = graft.Pipeline.runAll(s, docs, dict, work, buckets = cpus, resume = false).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val stageNames = Seq("docs_labeled", "mentions", "linked", "entities", "triples")
-      val wallMs = stageNames.map { st =>
-        val txt = Files.readString(Paths.get(s"$work/$st/_manifest.json"))
-        "\"wall_ms\": \"(\\d+)\"".r.findFirstMatchIn(txt).get.group(1).toLong
-      }
-      val bounds = t0ms +: wallMs
-      val stages = stageNames.zip(bounds.sliding(2).map(p => (p(1) - p(0)) / 1e3).toSeq)
+      val stages = graft.io.TableFormat.stageWallsSec(work,
+        Seq("docs_labeled", "mentions", "linked", "entities", "triples"), t0ms)
       println(f"E2EPROBE round=$r docs=$nDocs triples=$nT wall=$sec%.2fs " +
         stages.map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
       s.stop()

@@ -64,22 +64,34 @@ object FleetProbe {
     val best = collection.mutable.LinkedHashMap[Int, FleetRow]()
     for (round <- 1 to rounds; w <- fleets) {
       val t0 = System.nanoTime()
+      // every spawned child is tracked and force-killed on ANY failure or
+      // timeout — an abandoned 100k-doc worker would otherwise keep burning
+      // CPU under the rest of the bench, silently inflating its timings; and
+      // waitFor is BOUNDED so one hung child cannot block the bench forever
+      val started = collection.mutable.ArrayBuffer[Process]()
       val statsTry = scala.util.Try {
         val procs = (0 until w).map { k =>
-          new ProcessBuilder(java, "-Xmx4g", "-XX:+UseParallelGC", "-cp", cp,
+          val p = new ProcessBuilder(java, "-Xmx4g", "-XX:+UseParallelGC", "-cp", cp,
             "graft.tools.FleetProbe", "worker",
             (k * docsPerWorker).toString, docsPerWorker.toString, threads.toString)
             .redirectErrorStream(true).start()
+          started += p
+          p
         }
         procs.map { p =>
+          // exit first (bounded), then drain: the worker's output is one
+          // stats line, far below the pipe buffer, so it never blocks on a
+          // full pipe before exiting
+          if (!p.waitFor(600, _root_.java.util.concurrent.TimeUnit.SECONDS))
+            sys.error("worker timed out after 600 s")
           val out = new String(p.getInputStream.readAllBytes())
-          p.waitFor()
           val line = out.linesIterator.find(_.startsWith("WORKER "))
             .getOrElse(sys.error(s"worker died:\n${out.takeRight(2000)}"))
           val Array(_, wall, cpu) = line.split(" ")
           (wall.toDouble, cpu.toDouble)
         }
       }
+      started.foreach(p => if (p.isAlive) { p.destroyForcibly(); () })
       statsTry match {
         case scala.util.Failure(e) =>
           System.err.println(s"[fleetprobe] round=$round workers=$w SKIPPED: ${e.getMessage.linesIterator.nextOption().getOrElse("")}")
