@@ -92,22 +92,29 @@ object OracleSql {
     s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph")}
        |SELECT * FROM linked""".stripMargin
 
+  /** Star-edge connected-components closure over the alias blocks
+    * (canonical_id = component min) — ONE definition of canonicalization,
+    * shared by the triples and cooc oracles. */
+  private def ccClosureCtes: String =
+    """, star AS (
+      |  SELECT entity_id AS src, MIN(entity_id) OVER (PARTITION BY alias_norm) AS dst
+      |  FROM (SELECT DISTINCT entity_id, alias_norm FROM dblk)
+      |), e AS (SELECT DISTINCT src, dst FROM star WHERE src <> dst),
+      |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+      |reach(node, comp) AS (
+      |  SELECT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+      |), comp AS (SELECT node, MIN(comp) AS canonical_id FROM reach GROUP BY node)""".stripMargin
+
   /** Full KG chain: mentions → linking → star-edge connected components
     * (recursive-CTE transitive closure, canonical_id = component min) →
     * 5-predicate triple union (mentions multiset, the rest distinct). */
   def triples: String = {
     val body =
       s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph")}
-         |, star AS (
-         |  SELECT entity_id AS src, MIN(entity_id) OVER (PARTITION BY alias_norm) AS dst
-         |  FROM (SELECT DISTINCT entity_id, alias_norm FROM dblk)
-         |), e AS (SELECT DISTINCT src, dst FROM star WHERE src <> dst),
-         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
-         |reach(node, comp) AS (
-         |  SELECT src, src FROM sym
-         |  UNION
-         |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
-         |), comp AS (SELECT node, MIN(comp) AS canonical_id FROM reach GROUP BY node),
+${ccClosureCtes}
+         |,
          |base AS (
          |  SELECT 'ent:' || CAST(COALESCE(c.canonical_id, l.entity_id) AS VARCHAR) AS subj,
          |         l.entity_id, l.canonical, l.dict_category, l.surface, l.doc_id
@@ -128,16 +135,8 @@ object OracleSql {
   def cooc: String = {
     val body =
       s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph")}
-         |, star AS (
-         |  SELECT entity_id AS src, MIN(entity_id) OVER (PARTITION BY alias_norm) AS dst
-         |  FROM (SELECT DISTINCT entity_id, alias_norm FROM dblk)
-         |), e AS (SELECT DISTINCT src, dst FROM star WHERE src <> dst),
-         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
-         |reach(node, comp) AS (
-         |  SELECT src, src FROM sym
-         |  UNION
-         |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
-         |), comp AS (SELECT node, MIN(comp) AS canonical_id FROM reach GROUP BY node),
+${ccClosureCtes}
+         |,
          |canon AS (
          |  SELECT DISTINCT l.doc_id, l.sent_id, COALESCE(c.canonical_id, l.entity_id) AS cid
          |  FROM linked l LEFT JOIN comp c ON c.node = l.entity_id
@@ -212,7 +211,7 @@ object OracleSql {
        |  list_reduce(list_transform(range(1, len(ct.cent)+1), j -> ${sq("q.qvec")}), (a,b) -> a + b) AS d
        |  FROM q CROSS JOIN cents ct),
        |probe AS (SELECT qid, qvec, cell FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cell) AS rk FROM qd) WHERE rk <= 4),
-       |scored AS (SELECT p.qid, a.id, list_cosine_similarity(a.vec, p.qvec) AS cos FROM probe p JOIN assign a USING (cell))
+       |scored AS (SELECT p.qid, a.id, list_cosine_similarity(a.vec::DOUBLE[], p.qvec::DOUBLE[]) AS cos FROM probe p JOIN assign a USING (cell))
        |SELECT qid, id, rk FROM (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk FROM scored) WHERE rk <= 3""".stripMargin
   }
 
@@ -290,14 +289,20 @@ object OracleSql {
        |  ((n_grams - ndist) * 10000) // n_grams AS dup_gram_bp
        |FROM a""".stripMargin
 
+  /** Stopword list rendered from TextQuality.defaultStopwords — ONE source
+    * of truth (an edit there must not silently diverge the oracles). */
+  private[graft] def sqlStopwordsList: String = sqlStopwords
+  private def sqlStopwords: String =
+    graft.datapipe.TextQuality.defaultStopwords.mkString("['", "','", "']")
+
   /** C4/Gopher composite filter verdict — same rule order and integer
     * thresholds as TextQuality.c4Filter. */
   def c4Filter: String =
-    """WITH f AS (
+    raw"""WITH f AS (
       |  SELECT doc_id,
       |    CAST(len(toks) AS BIGINT) AS n,
       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS tot_chars,
-      |    CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with'], x))) AS BIGINT) AS stop_cnt,
+      |    CAST(len(list_filter(toks, x -> list_contains($sqlStopwords, x))) AS BIGINT) AS stop_cnt,
       |    CAST(len(list_distinct(toks)) AS BIGINT) AS dist_cnt,
       |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS BIGINT) AS alpha_chars,
       |    CAST(length(text) AS BIGINT) AS len
@@ -418,7 +423,8 @@ object OracleSql {
     * lambdas are 1-based, the engine's filter() index is 0-based, hence the
     * i-1 shifts. */
   def dupSpanRemoval: String =
-    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |       FROM documents WHERE text IS NOT NULL),
        |g AS (SELECT doc_id, i - 1 AS start, array_to_string(toks[i:i+4], ' ') AS gram
        |      FROM t, unnest(range(1, len(toks) - 3)) AS u(i) WHERE len(toks) >= 5),
        |h AS (SELECT doc_id, start, ${h48("gram")} AS h FROM g),
@@ -439,11 +445,13 @@ object OracleSql {
     * (percentile_disc semantics, tie-invariant) — replays
     * TextQuality.tokenLenPercentiles(ps = 50/90/99). */
   def lenPercentiles: String =
-    s"""WITH c AS (SELECT lang AS grp, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents),
+    s"""WITH c AS (SELECT lang AS grp, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |nn AS (SELECT * FROM c WHERE n_tokens IS NOT NULL),
        |r AS (SELECT grp, n_tokens,
        |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n_tokens) AS rk,
        |        COUNT(*) OVER (PARTITION BY grp) AS n
-       |      FROM c)
+       |      FROM nn)
        |SELECT grp, COUNT(*) AS n_docs,
        |  MIN(CASE WHEN rk * 100 >= n * 50 THEN n_tokens END) AS p50,
        |  MIN(CASE WHEN rk * 100 >= n * 90 THEN n_tokens END) AS p90,
@@ -471,7 +479,7 @@ object OracleSql {
       |pairs AS (SELECT DISTINCT m1.id AS id_a, m2.id AS id_b
       |          FROM mem m1 JOIN mem m2 USING (band, chunk) JOIN sized USING (band, chunk) WHERE m1.id < m2.id)
       |SELECT id_a, id_b FROM pairs p JOIN e a ON a.id = p.id_a JOIN e b ON b.id = p.id_b
-      |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.3""".stripMargin
+      |WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 4) >= 0.3""".stripMargin
 
   /** 64-bit wraparound polynomial hash + splitmix64 finalizer, replayed in SQL
     * via INT128 arithmetic mod 2^64 (products split into 32-bit halves so the

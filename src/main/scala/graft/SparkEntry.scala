@@ -230,11 +230,15 @@ object SparkEntry {
     }),
     "q_link_blocked" -> ((s, dir) => {
       // C11 blocking-key join: part p_brand tokens as "dictionary", supplier
-      // names as "mentions" — shape check of normalize→block→join→best-pick
+      // names as "mentions" — shape check of normalize→block→join→best-pick.
+      // Uses the REAL first-token block key (Linker.blockKeyCol), and the
+      // oracle replays the same first-token semantics — brands are single
+      // tokens after normalization, so the two keys coincide on this data,
+      // but the oracle must replay the operator, not a lookalike equi-join
       val dict = t(s, dir, "part").select(col("p_brand")).distinct()
-        .withColumn("block", Linker.normalizeKeyCol(col("p_brand")))
+        .withColumn("block", Linker.blockKeyCol(col("p_brand")))
       val m = t(s, dir, "part").select(col("p_partkey"), col("p_brand").as("mention"))
-        .withColumn("block", Linker.normalizeKeyCol(col("mention")))
+        .withColumn("block", Linker.blockKeyCol(col("mention")))
       m.join(broadcast(dict), Seq("block")).select(col("p_partkey"), col("p_brand"))
     }),
 
@@ -679,10 +683,10 @@ object SparkEntry {
         |)
         |SELECT node, MIN(comp) AS component FROM reach GROUP BY node""".stripMargin,
     "q_link_blocked" ->
-      """SELECT m.p_partkey, m.p_brand
+      """SELECT m.p_partkey, d.p_brand
         |FROM part m JOIN (SELECT DISTINCT p_brand FROM part) d
-        |ON trim(regexp_replace(regexp_replace(lower(m.p_brand), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g'))
-        | = trim(regexp_replace(regexp_replace(lower(d.p_brand), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g'))""".stripMargin,
+        |ON string_split(trim(regexp_replace(regexp_replace(lower(m.p_brand), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), ' ')[1]
+        | = string_split(trim(regexp_replace(regexp_replace(lower(d.p_brand), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), ' ')[1]""".stripMargin,
     "q_event_window" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -690,16 +694,26 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) AS n
         |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+    // deterministic window replay instead of DuckDB's native ASOF JOIN: at
+    // equal candidate timestamps ASOF picks an UNSPECIFIED row, while the
+    // engine deterministically takes the max payload — the replay encodes
+    // that tie-break (ts closest, then event_id DESC) explicitly
     "q_asof_join" ->
-      """SELECT p.event_id, s.event_id AS signup_id
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+      """SELECT event_id, signup_id FROM (
+        |  SELECT p.event_id, s.event_id AS signup_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rk
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |    ON p.user_id = s.user_id AND s.ts <= p.ts)
+        |WHERE rk = 1""".stripMargin,
     "q_asof_forward" ->
-      """SELECT p.event_id, s.event_id AS signup_id
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-        |  ON p.user_id = s.user_id AND p.ts <= s.ts""".stripMargin,
+      """SELECT event_id, signup_id FROM (
+        |  SELECT p.event_id, s.event_id AS signup_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY s.ts ASC, s.event_id DESC) AS rk
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |    ON p.user_id = s.user_id AND s.ts >= p.ts)
+        |WHERE rk = 1""".stripMargin,
     "d_exact_dedup_keep" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 30)) ORDER BY doc_id) AS rk
@@ -725,9 +739,9 @@ object SparkEntry {
         |FROM (SELECT doc_id, md5(substr(text, 1, 30)) AS fp FROM documents)
         |GROUP BY fp HAVING COUNT(*) > 1""".stripMargin,
     "d_quality_basis" ->
-      """SELECT doc_id,
+      raw"""SELECT doc_id,
         |  CAST(len(toks) AS INT) AS n_tokens,
-        |  (CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with'], x))) AS BIGINT) * 10000) // len(toks) AS stopword_bp,
+        |  (CAST(len(list_filter(toks, x -> list_contains(${OracleSql.sqlStopwordsList}, x))) AS BIGINT) * 10000) // len(toks) AS stopword_bp,
         |  (CAST(len(list_distinct(toks)) AS BIGINT) * 10000) // len(toks) AS distinct_bp
         |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)""".stripMargin,
     "d_bpe_token_count" ->
@@ -737,12 +751,12 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
-        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
     "d_ann_topk" ->
       """SELECT qid, id, rk FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS id,
         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rk
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rk
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
         |WHERE rk <= 3""".stripMargin,

@@ -82,9 +82,15 @@ object Dedup {
   }
 
   def polyHash(s: String): Long = {
+    // code-point fold (not UTF-16 units) — matches PolyHash64 and the
+    // oracle's unicode(c) replay on astral characters
     var h = 1125899906842597L
     var i = 0
-    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = 31 * h + cp
+      i += Character.charCount(cp)
+    }
     // finalize (splitmix64) so sequential strings spread
     var z = h + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -417,7 +423,10 @@ object Dedup {
     * array) — no step shuffles text except the final clean_text build. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
+    // null-text docs are excluded (they have no token stream to cut; keeping
+    // them would emit a NULL clean_text row whose semantics differ per engine)
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
       .localCheckpoint() // three consumers below; tokenize once
     val positional = toks

@@ -226,6 +226,10 @@ object TextQuality {
     val ranked = df
       .select(col(groupCol).as("grp"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      // null-text docs have no token length — exclude them from the ranks
+      // (Spark windows sort NULLS FIRST, DuckDB NULLS LAST: admitting nulls
+      // would shift every percentile differently per engine)
+      .filter(col("n_tokens").isNotNull)
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
     val aggs = count(lit(1)).as("n_docs") +:

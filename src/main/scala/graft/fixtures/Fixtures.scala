@@ -80,7 +80,10 @@ object Fixtures {
 
   /** Zipfian entity pick (s≈1.1) — a few entities are hot (skew fixture). */
   private def zipfPick(r: Random, n: Int): Int = {
-    // inverse-CDF over precomputed weights
+    // inverse-CDF over precomputed weights; the table bounds the supported
+    // gazetteer size — fail with a message, not an executor-side AIOOBE
+    require(n <= zipfW.length,
+      s"fixture gazetteer size $n exceeds the ${zipfW.length}-entry zipf table")
     val u = r.nextDouble() * zipfTotal(n)
     var acc = 0.0; var i = 0
     while (i < n - 1 && acc + zipfW(i) < u) { acc += zipfW(i); i += 1 }

@@ -41,10 +41,18 @@ object PolyHash64 {
   /** Static entry point shared by interpreted eval and generated code. */
   def hash(s: UTF8String): Long = hashString(s.toString)
 
+  /** Folds over Unicode CODE POINTS (not UTF-16 code units): the DuckDB
+    * replay iterates `unicode(c)` per regex '.' match, which is one code
+    * point — surrogate-pair folding would diverge on any astral character.
+    * Identical to the old char fold for BMP text. */
   def hashString(s: String): Long = {
     var h = 1125899906842597L
     var i = 0
-    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = 31 * h + cp
+      i += Character.charCount(cp)
+    }
     var z = h + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -127,31 +127,27 @@ object ConllFiles {
 
   // ---- Spark-side readers: text → sentence blocks ----
 
-  /** Distributed token-file reader: spark.read.text + running block index.
-    * Blank lines delimit sentences; a monotonically increasing sentence id is
-    * derived per file via a single-pass mapPartitions over (file, lineno)
-    * ordered lines. For engine-internal data this is never used — it exists to
-    * ingest reference-format corpora. */
-  def readTokensFileDf(spark: org.apache.spark.sql.SparkSession, path: String)
+  /** Distributed token-file reader — DELEGATES to [[readFileSents]], so its
+    * sentence ids and label handling are identical to the reference-fidelity
+    * parser by construction (a separate line-based re-implementation assigned
+    * different sent_ids whenever a file had consecutive blank lines or a
+    * comment-only block: raw "\n\n" block indices count those, a
+    * non-empty-sentence counter does not — and a (doc_id, sent_id) join
+    * between the two readers would silently misalign everything after the
+    * irregularity). One task holds one file's content (these are
+    * reference-format corpora ingested for evaluation, not engine tables). */
+  def readTokensFileDf(spark: org.apache.spark.sql.SparkSession, path: String,
+                       fixMultiTag: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // single text file → one partition preserves line order
     val lines = spark.read.textFile(path).coalesce(1)
     lines.mapPartitions { it =>
-      var sentId = 0L
-      var buf = new ArrayBuffer[(String, String)]()
-      val out = new ArrayBuffer[(Long, Seq[(String, String)])]()
-      for (line <- it) {
-        if (line.trim.isEmpty) {
-          if (buf.nonEmpty) { out += ((sentId, buf.toSeq)); sentId += 1; buf = new ArrayBuffer() }
-        } else if (!line.startsWith("#")) {
-          val ls = line.split(' ')
-          buf += ((ls.head, ls.last))
-        }
+      val content = it.mkString("\n")
+      readFileSents(content, fixMultiTag = fixMultiTag).iterator.map {
+        case (i, rows) => (i.toLong, rows)
       }
-      if (buf.nonEmpty) out += ((sentId, buf.toSeq))
-      out.iterator
     }.toDF("sent_id", "rows")
       .select(col("sent_id"), col("rows._1").as("forms"), col("rows._2").as("labels"))
   }
