@@ -59,7 +59,11 @@ object Pipeline {
         m3(m.cnnW); v(m.cnnB)
         m2(m.hidden2tag); v(m.hidden2tagB); m2(m.transitions)
       }
-      lexicon.toSeq.sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+      // 0x00 separator per entry: without it {"ab","c"} and {"a","bc"}
+      // would feed identical bytes and collide, defeating the resume guard
+      lexicon.toSeq.sorted.foreach { s =>
+        md.update(s.getBytes("UTF-8")); md.update(0.toByte)
+      }
       md.update(maxSentenceLength.toString.getBytes("UTF-8"))
       md.digest().map(b => f"$b%02x").mkString
     }
@@ -189,7 +193,9 @@ object Pipeline {
         var i = 0
         while (i < toks.length) {
           val t = toks(i)
-          tokens(i) = Token(t, "O", "O", "O", "O", Array(Morpheme(t, t, "NN", "_", 0, "O", "O")))
+          // tokenId is 1-BASED everywhere (C7/C8 grouping, dep heads) —
+          // the unscored fallback must not collapse a sentence onto token 0
+          tokens(i) = Token(t, "O", "O", "O", "O", Array(Morpheme(t, t, "NN", "_", i + 1, "O", "O")))
           i += 1
         }
         sents(idx) = Sentence(idx.toLong, tokens)
@@ -352,6 +358,17 @@ object Pipeline {
       if (dirty || !(resume && TableFormat.isComplete(path) && current)) {
         build; dirty = true
       }
+    // dictionary content fingerprint — linked/entities/triples are functions
+    // of the dict, so resuming with a DIFFERENT dictionary must rebuild them
+    // (same contract as models_fp). Order-independent sum of per-row hashes:
+    // one cheap aggregate regardless of dict size.
+    val dictFp = {
+      val r = dict
+        .select(xxhash64(dict.columns.map(col): _*).as("h"))
+        // decimal sum: a long Σ of 64-bit hashes overflows (ANSI throws)
+        .agg(sum(col("h").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n")).head()
+      s"${r.get(0)}_${r.getLong(1)}"
+    }
 
     // (a) docs_labeled — model-dependent: fingerprint gates the resume
     stage(paths.docsLabeled, manifestField(paths.docsLabeled, "models_fp").contains(fp)) {
@@ -369,16 +386,18 @@ object Pipeline {
     }
     val mentions = TableFormat.load(spark, paths.mentions)
 
-    // (c) linked (broadcast join — shuffle-free)
-    stage(paths.linked) {
-      TableFormat.save(Linker.link(mentions, dict), paths.linked, "doc_id", buckets, "linked")
+    // (c) linked (broadcast join — shuffle-free); dict-fingerprint-gated
+    stage(paths.linked, manifestField(paths.linked, "dict_fp").contains(dictFp)) {
+      TableFormat.save(Linker.link(mentions, dict), paths.linked, "doc_id", buckets,
+        "linked", extra = Map("dict_fp" -> dictFp))
     }
     val linked = TableFormat.load(spark, paths.linked)
 
     // (d) canonical entities (dict-only input, but kept on the linear dirty
     // chain — an unnecessary rebuild is cheap and the invariant stays simple)
-    stage(paths.entities) {
-      TableFormat.save(Canonicalize.canonicalize(spark, dict), paths.entities, "entity_id", buckets, "entities")
+    stage(paths.entities, manifestField(paths.entities, "dict_fp").contains(dictFp)) {
+      TableFormat.save(Canonicalize.canonicalize(spark, dict), paths.entities, "entity_id", buckets,
+        "entities", extra = Map("dict_fp" -> dictFp))
     }
     val entities = TableFormat.load(spark, paths.entities)
 

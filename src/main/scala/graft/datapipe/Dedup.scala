@@ -81,22 +81,9 @@ object Dedup {
     shingleStrings(text, n).map(hash48)
   }
 
-  def polyHash(s: String): Long = {
-    // code-point fold (not UTF-16 units) — matches PolyHash64 and the
-    // oracle's unicode(c) replay on astral characters
-    var h = 1125899906842597L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = 31 * h + cp
-      i += Character.charCount(cp)
-    }
-    // finalize (splitmix64) so sequential strings spread
-    var z = h + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  /** Delegates to the native expression's fold — ONE hash definition, so the
+    * codegen'd PolyHash64 and the dedup operators cannot silently diverge. */
+  def polyHash(s: String): Long = graft.functions.PolyHash64.hashString(s)
 
   /** MinHash signature of a shingle set: m affine permutations
     * h_i(x) = (a_i·x + b_i) mod 2^64 with odd a_i (a bijection on 64-bit

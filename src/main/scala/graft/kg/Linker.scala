@@ -55,8 +55,10 @@ object Linker {
 
   /** Link mentions (needs columns surface, category, doc_id, sent_id, occ,
     * scenario, level) against the dictionary.
-    * Candidate score: exact-normalized-surface match (1.0) + 0.5 category
-    * agreement; best candidate per mention wins (deterministic tie-break on
+    * Candidate score: TOKEN-SET JACCARD of the normalized surface vs the
+    * alias (1.0 = exact token set; partial overlaps score fractionally) plus
+    * 0.5 for category agreement; candidates below `minScore` are discarded
+    * and the best survivor per mention wins (deterministic tie-break on
     * entity_id).
     */
   def link(

@@ -28,10 +28,14 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
+    // null timestamps cannot be matched: a null right._t sorts first/last in
+    // the window and would otherwise surface as a spurious "match"
     val l = left
+      .filter(col(leftTs).isNotNull)
       .withColumn("_t", col(leftTs))
       .withColumn("_tag", lit(1))
     val r = right
+      .filter(col(rightTs).isNotNull)
       .select((key.map(col) :+ col(rightTs).as("_t")) ++ rightPayload.map(col): _*)
       .withColumn("_tag", lit(0))
       .withColumn("_payload", struct(rightPayload.map(col): _*))
@@ -60,10 +64,14 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
+    // null timestamps cannot be matched: a null right._t sorts first/last in
+    // the window and would otherwise surface as a spurious "match"
     val l = left
+      .filter(col(leftTs).isNotNull)
       .withColumn("_t", col(leftTs))
       .withColumn("_tag", lit(1))
     val r = right
+      .filter(col(rightTs).isNotNull)
       .select((key.map(col) :+ col(rightTs).as("_t")) ++ rightPayload.map(col): _*)
       .withColumn("_tag", lit(0))
       .withColumn("_payload", struct(rightPayload.map(col): _*))

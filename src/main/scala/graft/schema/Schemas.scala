@@ -87,16 +87,6 @@ case class Entity(
     aliases: Array[String],
     category: String)
 
-/** A linked mention: mention + winning candidate entity. */
-case class LinkedMention(
-    doc_id: String,
-    sent_id: Long,
-    surface: String,
-    category: String,
-    occ: Int,
-    entity_id: Long,
-    score: Double)
-
 /** Output triple (north rule: subj, pred, obj + provenance). */
 case class Triple(
     subj: String,

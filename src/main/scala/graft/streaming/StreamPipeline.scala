@@ -55,13 +55,19 @@ object StreamPipeline {
       models: Pipeline.Models = Pipeline.fixtureModels()): StreamingQuery = {
     val modelsBc = spark.sparkContext.broadcast(models)
     // Canonicalization is dictionary-side and static for the stream's lifetime:
-    // run it ONCE at stream start, materialize (localCheckpoint — joining the
-    // raw plan would re-run the CC loop every micro-batch), and broadcast-join
-    // it per batch — the streaming path emits the same canonical subjects and
-    // sameAs triples as the batch path for the same input.
-    val entities = graft.kg.Canonicalize.canonicalize(spark, dict)
-      .select(col("entity_id"), col("canonical_id"))
-      .localCheckpoint()
+    // run it ONCE at stream start, hold the (dictionary-sized, broadcastable
+    // by design) result ON THE DRIVER, and rebuild the side frame per batch —
+    // localCheckpoint blocks live on executors, so one lost executor would
+    // kill every later micro-batch of a long-running query ("checkpoint block
+    // not found" with the lineage already truncated). The streaming path
+    // emits the same canonical subjects and sameAs triples as batch.
+    val entityRows: Seq[(Long, Long)] = graft.kg.Canonicalize.canonicalize(spark, dict)
+      .select(col("entity_id").cast("long"), col("canonical_id").cast("long"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val entities = {
+      import spark.implicits._
+      entityRows.toDF("entity_id", "canonical_id")
+    }
     val streamId = graft.io.Compact.streamInstanceId(checkpointDir)
     val annotated = annotateStream(spark, docs, modelsBc)
     annotated.writeStream

@@ -35,6 +35,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!out.contains(4L))  // no right rows for key v
   }
 
+  test("null timestamps never match (neither as left probes nor as right candidates)") {
+    val left = Seq((1L, "u", Some(10L)), (2L, "u", Option.empty[Long]))
+      .toDF("event_id", "user", "t")
+    val right = Seq((100L, "u", Some(5L)), (101L, "u", Option.empty[Long]))
+      .toDF("rid", "user", "rt")
+    val back = AsOfJoin.asofBackward(left, right, Seq("user"), "t", "rt", Seq("rid"))
+      .select("event_id", "asof_rid").as[(Long, Long)].collect().toMap
+    assert(back === Map(1L -> 100L), s"null-ts rows leaked into backward: $back")
+    val fwd = AsOfJoin.asofForward(
+      Seq((1L, "u", Some(1L)), (2L, "u", Option.empty[Long])).toDF("event_id", "user", "t"),
+      right, Seq("user"), "t", "rt", Seq("rid"))
+      .select("event_id", "asof_rid").as[(Long, Long)].collect().toMap
+    assert(fwd === Map(1L -> 100L), s"null-ts rows leaked into forward: $fwd")
+  }
+
   test("property: forward as-of equals brute-force min-later on 200 random rows") {
     val r = new Random(23)
     val lrows = (0 until 200).map(i => (i.toLong, s"k${r.nextInt(6)}", r.nextInt(1000).toLong))

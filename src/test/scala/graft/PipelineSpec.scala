@@ -263,6 +263,18 @@ class PipelineSpec extends AnyFunSuite {
       scenario = "token-single")
     assert(mf("mentions", "scenario") === "token-single")
     assert(mf("triples", "wall_ms") !== t1)
+
+    // different DICTIONARY → linked/entities/triples rebuild (dict_fp gate)
+    val t2 = mf("triples", "wall_ms")
+    val labeledT = mf("docs_labeled", "wall_ms")
+    Thread.sleep(2)
+    val dict2 = dict.limit(dict.count().toInt - 1) // drop one entity
+    Pipeline.runAll(spark, docs, dict2, work, buckets = 2, models = oov,
+      scenario = "token-single")
+    assert(mf("triples", "wall_ms") !== t2,
+      "stale triples served on resume with a different dictionary")
+    assert(mf("docs_labeled", "wall_ms") === labeledT,
+      "annotation does not depend on the dict and must be reused")
     def rm3(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm3); f.delete() }
     rm3(new java.io.File(work))
   }

@@ -157,6 +157,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() === 0, "batch-only sessions")
   }
 
+  test("sessionization handles OUT-OF-ORDER in-watermark events like the batch operator") {
+    // an admissible event EARLIER than the open session must form its own
+    // earlier session (or lower the start) — eagerly folding it into the
+    // running session absorbs it silently and diverges from batch
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamSessionize, StreamSessionize.Event
+    def ev(u: Long, sec: Long) = Event(u, new java.sql.Timestamp(sec * 1000L))
+    val base = 1700000000L
+    val stream = MemoryStream[Event]
+    val out = StreamSessionize.sessions(spark, stream.toDS(), gapSeconds = 1800,
+      watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("sess_ooo").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    stream.addData(ev(1, base + 3600)); q.processAllAvailable()
+    // out of order but inside the 2 h watermark: one event a full hour
+    // EARLIER (own session — gap is 30 min), one extending the open session
+    stream.addData(ev(1, base), ev(1, base + 3620)); q.processAllAvailable()
+    stream.addData(ev(999, base + 100000)); q.processAllAvailable()
+    stream.addData(ev(999, base + 300000)); q.processAllAvailable()
+    q.stop()
+    val events = Seq(ev(1, base + 3600), ev(1, base), ev(1, base + 3620))
+    val got = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM sess_ooo WHERE user_id <> 999")
+    val batch = graft.operators.Sessionize.sessions(
+      spark.createDataset(events).toDF(), "user_id", "ts", gapSeconds = 1800)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(got.count() === 2, "early event must form its own session")
+    assert(got.exceptAll(batch).count() === 0 && batch.exceptAll(got).count() === 0)
+  }
+
   test("sessionization survives an event older than watermark+gap (timeout clamp)") {
     // regression guard: setTimeoutTimestamp throws (killing the query) if
     // handed a timestamp at or before the current watermark. With
