@@ -280,6 +280,38 @@ object SparkEntry {
       // flatMapGroupsWithState sessionizer): 30-minute inactivity gap
       graft.operators.Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)
     }),
+    "q_range_join" -> ((s, dir) => {
+      // point-in-interval range join: each purchase attributed to EVERY
+      // signup of the same user whose 7-day window contains it (bucketized
+      // equi-join — no BroadcastNestedLoopJoin, no per-key cartesian)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("lo"),
+          (unix_micros(col("ts").cast("timestamp")) + lit(604800000000L)).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+        purchases, windows, Seq("user_id"), "t", "lo", "hi", Seq("signup_id"))
+        .select(col("event_id"), col("range_signup_id").as("signup_id"))
+    }),
+    "q_interval_overlap" -> ((s, dir) => {
+      // interval-overlap join: click hours [ts, ts+1h] × signup weeks
+      // [ts, ts+7d] per user — both sides bucketized, pair emitted exactly
+      // once (first-shared-bucket arithmetic, no distinct shuffle)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("lo"),
+          (unix_micros(col("ts").cast("timestamp")) + lit(3600000000L)).as("hi"))
+      val weeks = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("slo"),
+          (unix_micros(col("ts").cast("timestamp")) + lit(604800000000L)).as("shi"))
+      graft.operators.RangeJoin.intervalOverlap(
+        clicks, weeks, Seq("user_id"), "lo", "hi", "slo", "shi", Seq("signup_id"))
+        .select(col("event_id"), col("range_signup_id").as("signup_id"))
+    }),
     "q_json_extract" -> ((s, dir) => {
       // JSON scalar extraction from the props column
       t(s, dir, "events").select(col("event_id"),
@@ -714,6 +746,21 @@ object SparkEntry {
         |  JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |    ON p.user_id = s.user_id AND s.ts >= p.ts)
         |WHERE rk = 1""".stripMargin,
+    // the oracle states range-join semantics as the raw theta join the
+    // bucketized engine plan is replacing — fine at oracle scale
+    "q_range_join" ->
+      """SELECT p.event_id, s.event_id AS signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id
+        | AND epoch_us(p.ts) BETWEEN epoch_us(s.ts) AND epoch_us(s.ts) + 604800000000""".stripMargin,
+    "q_interval_overlap" ->
+      """SELECT c.event_id, s.event_id AS signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id
+        | AND epoch_us(c.ts) <= epoch_us(s.ts) + 604800000000
+        | AND epoch_us(s.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin,
     "d_exact_dedup_keep" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 30)) ORDER BY doc_id) AS rk
