@@ -598,4 +598,41 @@ ${ccClosureCtes}
     }.mkString
     s"$head$iters\nSELECT node, pr FROM r$iterations"
   }
+
+  /** HyperLogLog replay (datapipe.Sketch.hllDistinct, p=8): identical
+    * hash48 → register/rank-window split → max(v & −v) registers →
+    * exact-integer raw estimate in HUGEINT. The α constant is interpolated
+    * from Sketch.alphaScaled, so the two engines share one source of truth. */
+  def hllDistinct: String = {
+    val p = 8
+    val m = 1L << p
+    val sentinel = 1L << (48 - p) // marks the all-zero rank window
+    val contrib = 1L << 44        // 2^(A-1), A = 45
+    val empty = 1L << 45          // 2^A: contribution of an empty register
+    val num = (BigInt(graft.datapipe.Sketch.alphaScaled(p)) * m * m * (BigInt(1) << 45)).toString
+    s"""WITH k AS (SELECT event_type,
+       |  user_id || ':' || (epoch_us(ts) // 86400000000) AS key FROM events),
+       |h AS (SELECT event_type, ${h48("key")} AS h FROM k),
+       |r AS (SELECT event_type, h % $m AS reg, ((h // $m) | $sentinel) AS v FROM h),
+       |l AS (SELECT event_type, reg, MAX(v & (-v)) AS maxl FROM r GROUP BY 1, 2),
+       |s AS (SELECT event_type, SUM($contrib // maxl) AS sp, COUNT(*) AS present FROM l GROUP BY 1)
+       |SELECT event_type,
+       |  CAST(CAST($num AS HUGEINT)
+       |    // (CAST(sp + ($m - present) * $empty AS HUGEINT) * ${graft.datapipe.Sketch.alphaDen}) AS BIGINT) AS hll_est
+       |FROM s""".stripMargin
+  }
+
+  /** Count-Min replay (datapipe.Sketch.cmsTable/cmsLookup, 4×1024):
+    * row-seeded hash48 buckets, counter groupBy, min-over-rows lookup. */
+  def cmsFreq: String =
+    s"""WITH rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+       |hb AS (SELECT r, ${h48("(r || ':' || user_id)")} % 1024 AS bucket FROM events CROSS JOIN rws),
+       |cms AS (SELECT r, bucket, COUNT(*) AS cnt FROM hb GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+       |kb AS (SELECT k.user_id, rws.r,
+       |  ${h48("(rws.r || ':' || k.user_id)")} % 1024 AS bucket FROM keys k CROSS JOIN rws),
+       |est AS (SELECT kb.user_id, MIN(cms.cnt) AS est_cnt
+       |  FROM kb JOIN cms ON kb.r = cms.r AND kb.bucket = cms.bucket GROUP BY 1),
+       |ex AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events WHERE user_id < 50 GROUP BY 1)
+       |SELECT est.user_id, est.est_cnt, ex.exact_cnt FROM est JOIN ex USING (user_id)""".stripMargin
 }

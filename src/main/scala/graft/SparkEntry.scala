@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.datapipe.{Dedup, Mix, Pack, Similarity, TextQuality, Multimodal}
+import graft.datapipe.{Dedup, Mix, Pack, Similarity, Sketch, TextQuality, Multimodal}
 import graft.fixtures.Fixtures
 import graft.kg.{Linker, Canonicalize, Triples}
 
@@ -549,6 +549,29 @@ object SparkEntry {
         Pack.concatChunks(s, t(s, dir, "documents"), "doc_id", "text",
           capacity = 2048L, bucketWidth = 64L), capacity = 2048L)
     }),
+    "d_hll_distinct" -> ((s, dir) => {
+      // mergeable HyperLogLog distinct-count sketch (p=8, trailing-zero
+      // registers, exact-integer estimator — bit-replayable in SQL):
+      // ≈ COUNT(DISTINCT active user-day) per event_type without shuffling
+      // keys; map-side partial agg IS the register merge
+      val ev = t(s, dir, "events").select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS STRING)")).as("uday"))
+      Sketch.hllDistinct(ev, col("uday"), Seq("event_type"), p = 8)
+    }),
+    "d_cms_freq" -> ((s, dir) => {
+      // Count-Min frequency sketch (4×1024 counters): per-user event-count
+      // estimates for user_id < 50 next to the exact counts (est ≥ exact by
+      // construction; counter table broadcast for the lookup)
+      val ev = t(s, dir, "events")
+      val uid = col("user_id").cast("string")
+      val cms = Sketch.cmsTable(ev, uid, depth = 4, width = 1024)
+      val keys = ev.filter(col("user_id") < 50)
+      val exact = keys.groupBy(uid.as("key")).agg(count(lit(1)).as("exact_cnt"))
+      Sketch.cmsLookup(cms, keys, uid, depth = 4, width = 1024)
+        .join(exact, "key")
+        .select(col("key").cast("long").as("user_id"), col("est_cnt"), col("exact_cnt"))
+    }),
 
     // ---- the KG-construction pipeline itself (nemo_*; rows-only) ----
     "nemo_mentions_single" -> ((s, _) => annotatedMentions(s, 300, "token-single")),
@@ -862,6 +885,8 @@ object SparkEntry {
     "d_mix_apply" -> OracleSql.mixApply(20000L, mixWeights),
     "d_pack_chunks" -> OracleSql.packChunks(2048L),
     "d_pack_fill" -> OracleSql.packFill(2048L),
-    "q_pagerank" -> OracleSql.pageRank(5)
+    "q_pagerank" -> OracleSql.pageRank(5),
+    "d_hll_distinct" -> OracleSql.hllDistinct,
+    "d_cms_freq" -> OracleSql.cmsFreq
   )
 }

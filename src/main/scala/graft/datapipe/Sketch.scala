@@ -1,0 +1,131 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, mergeable cardinality / frequency sketches — the
+  * "novel sketch" slot of the beyond-reference operator set (the reference
+  * has no approximate aggregates at all, SURVEY §2 H; its only counting is
+  * exact `len`/`value_counts`). At 100 TB these are the standard substitutes
+  * for exact `COUNT(DISTINCT …)` (a full shuffle of every key) and exact
+  * per-key frequency tables (a groupBy whose result set is itself huge):
+  * both sketches reduce to a FIXED-SIZE register/counter table with an
+  * associative, commutative merge, so Spark's map-side partial aggregation
+  * IS the sketch merge — each task folds its partition into ≤ a few KB of
+  * state and the exchange moves sketch rows, never keys.
+  *
+  * Everything is exact integer arithmetic over the md5-derived
+  * [[Dedup.hash48Col]] hash (the repo-wide SQL-replayable hash): two engines
+  * produce bit-identical registers AND bit-identical estimates, so the
+  * driver's DuckDB oracle hard-verifies the whole pipeline (`d_hll_distinct`,
+  * `d_cms_freq`) — the same randomness-freezing discipline as the
+  * MinHash/SimHash/IVF family.
+  *
+  * HyperLogLog here uses the TRAILING-zero rank ρ(w) = tz(w)+1 (the original
+  * Flajolet–Martin bit-pattern observable; geometric with p=1/2 exactly like
+  * the leading-zero form). Chosen deliberately: the register update becomes
+  * `max(w & −w)` — the isolated lowest set bit is 2^tz, and max over
+  * powers of two is max over ranks — so a register is ONE codegen'd bitwise
+  * expression with a LongType `max` merge, and the estimator's 2^−rank terms
+  * are exact divisions of a power-of-two scale constant. No log2, no
+  * floating point anywhere.
+  */
+object Sketch {
+
+  /** α_m for the raw HLL estimator, scaled to an exact integer in units of
+    * 1e−7 (`alphaDen`). Both the engine and the generated oracle SQL
+    * interpolate THIS value, so the constant cannot drift between engines.
+    * (Standard approximation α_m = 0.7213/(1 + 1.079/m), valid for m ≥ 128.) */
+  def alphaScaled(p: Int): Long = {
+    val m = 1 << p
+    math.round(0.7213 / (1.0 + 1.079 / m) * 1e7)
+  }
+  val alphaDen = 10000000L
+
+  /** HLL register table: one row per (group, non-empty register).
+    * `maxl` = max over keys of the isolated lowest set bit of the 48−p
+    * rank window (a power of two; 2^(48−p) marks the all-zero window, i.e.
+    * rank = 48−p+1). Mergeable: union register tables and re-`max` —
+    * exactly what a second partial-aggregation pass does, so sketches built
+    * per-partition / per-day / per-epoch combine without touching raw keys.
+    *
+    * The key is hashed with [[Dedup.hash48Col]]; register index = low p bits,
+    * rank window = the remaining 48−p bits with a sentinel bit ORed above
+    * them (`w | 2^(48−p)`) so the all-zero window needs no special case. */
+  def hllRegisters(df: DataFrame, key: Column, groupCols: Seq[String], p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val m = 1L << p
+    val sentinel = 1L << (48 - p)
+    val h = Dedup.hash48Col(key)
+    val w = expr(s"CAST(_hll_h div $m AS BIGINT)").bitwiseOR(lit(sentinel))
+    df.select((groupCols.map(col) :+ h.as("_hll_h")): _*)
+      .withColumn("_hll_w", w)
+      .select((groupCols.map(col)
+        :+ pmod(col("_hll_h"), lit(m)).as("reg")
+        :+ col("_hll_w").bitwiseAND(-col("_hll_w")).as("_hll_l")): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max("_hll_l").as("maxl"))
+  }
+
+  /** Raw-HLL estimate from a register table (integer-exact):
+    * est = ⌊α·m²·2^A / Σ_j 2^(A−ρ_j)⌋ with A = 45 — every 2^(A−ρ) term is
+    * the exact integer 2^(A−1)/maxl (maxl ≤ 2^44 divides 2^44), empty
+    * registers contribute 2^A, and the final division runs in DECIMAL(38,0)
+    * (the numerator α·m²·2^45 overflows a long; HUGEINT on the oracle side).
+    * Raw estimator only — valid for n ≳ 2.5·m (callers size p to the
+    * expected cardinality); the small-range linear-counting correction needs
+    * ln() and is deliberately omitted to keep the arithmetic engine-exact. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], p: Int = 8,
+                  estCol: String = "hll_est"): DataFrame = {
+    val m = 1L << p
+    val contrib = 1L << 44 // 2^(A-1), A = 45
+    val empty = 1L << 45
+    val num = (BigInt(alphaScaled(p)) * m * m * (BigInt(1) << 45)).toString
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(expr(s"$contrib div maxl")).as("_hll_sp"), count(lit(1)).as("_hll_present"))
+      .select((groupCols.map(col)
+        :+ expr(s"CAST(CAST($num AS DECIMAL(38,0)) div " +
+          s"(CAST(_hll_sp + ($m - _hll_present) * $empty AS DECIMAL(38,0)) * $alphaDen) AS BIGINT)")
+          .as(estCol)): _*)
+  }
+
+  /** COUNT(DISTINCT key) ≈ per group, in one pass: registers + estimate. */
+  def hllDistinct(df: DataFrame, key: Column, groupCols: Seq[String], p: Int = 8,
+                  estCol: String = "hll_est"): DataFrame =
+    hllEstimate(hllRegisters(df, key, groupCols, p), groupCols, p, estCol)
+
+  /** Count-Min sketch table: `depth` independent hash rows × `width` counter
+    * buckets, as rows (row, bucket, cnt). Row i's hash is
+    * hash48("i:" + key) — independent by md5 prefix-seeding, replayable.
+    * The explode-by-depth happens BEFORE the shuffle but partial aggregation
+    * collapses each partition to ≤ depth·width counter rows, so the exchange
+    * carries sketch-sized state regardless of input size. Mergeable: counter
+    * tables from disjoint inputs merge by (row, bucket) SUM. */
+  def cmsTable(df: DataFrame, key: Column, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    df.select(key.as("_cms_k"))
+      .select(col("_cms_k"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"),
+        pmod(Dedup.hash48Col(concat(col("row").cast("string"), lit(":"), col("_cms_k").cast("string"))), lit(width)).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a set of keys: est(key) = min over rows of
+    * the key's counter — the classic CMS upper bound (est ≥ true count
+    * always; overshoot bounded by collisions). The counter table is
+    * broadcast (≤ depth·width rows by construction), so lookups cost no
+    * shuffle on the key side beyond the final per-key min. */
+  def cmsLookup(cms: DataFrame, keys: DataFrame, key: Column,
+                depth: Int = 4, width: Int = 1024,
+                estCol: String = "est_cnt"): DataFrame = {
+    val k = keys.select(key.as("_cms_k")).distinct()
+      .select(col("_cms_k"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .withColumn("bucket",
+        pmod(Dedup.hash48Col(concat(col("row").cast("string"), lit(":"), col("_cms_k").cast("string"))), lit(width)))
+    k.join(broadcast(cms), Seq("row", "bucket"), "left")
+      .groupBy("_cms_k")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
+      .withColumnRenamed("_cms_k", "key")
+  }
+}
