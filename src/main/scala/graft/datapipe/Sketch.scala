@@ -83,10 +83,16 @@ object Sketch {
     val num = (BigInt(alphaScaled(p)) * m * m * (BigInt(1) << 45)).toString
     registers
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(expr(s"$contrib div maxl")).as("_hll_sp"), count(lit(1)).as("_hll_present"))
+      .agg(sum(expr(s"$contrib div maxl")).as("_hll_sp"),
+        count(lit(1)).as("_hll_present"), max(col("reg")).as("_hll_maxreg"))
       .select((groupCols.map(col)
-        :+ expr(s"CAST(CAST($num AS DECIMAL(38,0)) div " +
-          s"(CAST(_hll_sp + ($m - _hll_present) * $empty AS DECIMAL(38,0)) * $alphaDen) AS BIGINT)")
+        // fail fast if the register table was built with a larger p than the
+        // estimator assumes (reg ≥ m is impossible under matching p; a
+        // mismatch would otherwise yield a silently wrong estimate)
+        :+ expr(s"IF(_hll_maxreg < $m, CAST(CAST($num AS DECIMAL(38,0)) div " +
+          s"(CAST(_hll_sp + ($m - _hll_present) * $empty AS DECIMAL(38,0)) * $alphaDen) AS BIGINT), " +
+          s"raise_error(CONCAT('hllEstimate: register index ', CAST(_hll_maxreg AS STRING), " +
+          s"' >= m=$m — registers were built with a larger p than the estimator was given')))")
           .as(estCol)): _*)
   }
 

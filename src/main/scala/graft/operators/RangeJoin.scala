@@ -30,12 +30,14 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Exact floor-division over the full long domain: (c − pmod(c, w)) is
-    * the largest multiple of w ≤ c (pmod is nonnegative), and the multiple
-    * is divided as DECIMAL — long÷long would promote to double, which
-    * silently rounds above 2⁵³ (quotient of two exact decimals at an
-    * integral value is exact; decimal(38,6) holds any long÷long result). */
+    * the largest multiple of w ≤ c (pmod is nonnegative), computed in
+    * DECIMAL(38,0) so neither the subtraction (which would wrap for c
+    * within pmod of Long.MinValue) nor the division (long÷long promotes to
+    * double, which silently rounds above 2⁵³) can lose bits; the quotient
+    * of two exact decimals at an integral value is exact. */
   private def floorDiv(c: org.apache.spark.sql.Column, w: Long) =
-    (c - pmod(c, lit(w))).cast("decimal(38,0)").divide(lit(w)).cast("long")
+    (c.cast("decimal(38,0)") - pmod(c, lit(w)).cast("decimal(38,0)"))
+      .divide(lit(w)).cast("long")
 
   /** @param points      rows carrying `pointCol` (LongType)
     * @param intervals   rows carrying `loCol`/`hiCol` (LongType, lo ≤ hi;
@@ -58,6 +60,7 @@ object RangeJoin {
       hiCol: String,
       payload: Seq[String],
       bucketWidth: Option[Long] = None): DataFrame = {
+    bucketWidth.foreach(w => require(w > 0, s"bucketWidth must be positive, got $w"))
     val iv = intervals.filter(
       col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
     val w = bucketWidth.getOrElse {
@@ -94,12 +97,18 @@ object RangeJoin {
       rHi: String,
       rightPayload: Seq[String],
       bucketWidth: Option[Long] = None): DataFrame = {
+    bucketWidth.foreach(w => require(w > 0, s"bucketWidth must be positive, got $w"))
     val lf = left.filter(
       col(lLo).isNotNull && col(lHi).isNotNull && col(lLo) <= col(lHi))
     val rf = right.filter(
       col(rLo).isNotNull && col(rHi).isNotNull && col(rLo) <= col(rHi))
     val w = bucketWidth.getOrElse {
-      val m = rf.agg(max(col(rHi) - col(rLo))).head()
+      // auto width = max span across BOTH sides (any positive w is correct;
+      // the max bounds EACH side's replication at ≤ 2 — a one-sided max
+      // would leave the other side's blow-up unbounded)
+      val m = lf.select((col(lHi) - col(lLo)).as("s"))
+        .union(rf.select((col(rHi) - col(rLo)).as("s")))
+        .agg(max(col("s"))).head()
       if (m.isNullAt(0)) 1L else math.max(1L, m.getLong(0))
     }
     val le = lf

@@ -95,6 +95,45 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got === Set((1L, 100L)))
   }
 
+  test("exact bucketing at the Long.MinValue boundary (subtraction must not wrap)") {
+    val points = Seq((1L, "a", Long.MinValue)).toDF("pid", "k", "t")
+    val ivs = Seq((100L, "a", Long.MinValue, Long.MinValue + 10L)).toDF("iid", "k", "lo", "hi")
+    val got = RangeJoin.pointInInterval(
+      points, ivs, Seq("k"), "t", "lo", "hi", Seq("iid"), Some(1000L))
+      .select("pid", "range_iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 100L)))
+  }
+
+  test("non-positive explicit bucket widths are rejected, not silently wrong") {
+    val points = Seq((1L, "a", 10L)).toDF("pid", "k", "t")
+    val ivs = Seq((100L, "a", 5L, 15L)).toDF("iid", "k", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, ivs, Seq("k"), "t", "lo", "hi", Seq("iid"), Some(0L))
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(points.withColumnRenamed("t", "lo").withColumn("hi", col("lo")),
+        ivs, Seq("k"), "lo", "hi", "lo", "hi", Seq("iid"), Some(-5L))
+    }
+  }
+
+  test("overlap auto width covers BOTH sides' spans (long-left / short-right)") {
+    // left spans ~1000, right spans ~2: a right-only max span (w=2) would
+    // explode each left interval into ~500 buckets; both-sides max keeps
+    // replication <= 2 per side. Correctness must hold either way.
+    val left = (0 until 50).map(i => (i.toLong, "k", i * 37L, i * 37L + 1000L))
+      .toDF("lid", "k", "lo", "hi")
+    val right = (0 until 200).map(i => (1000L + i, "k", i * 11L, i * 11L + 2L))
+      .toDF("rid", "k", "rlo", "rhi")
+    val brute = left.join(right, Seq("k"))
+      .filter(col("lo") <= col("rhi") && col("rlo") <= col("hi"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val got = RangeJoin.intervalOverlap(
+      left, right, Seq("k"), "lo", "hi", "rlo", "rhi", Seq("rid"))
+      .select("lid", "range_rid").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === brute)
+  }
+
   test("plan: equi-join on (key, bucket), not BroadcastNestedLoopJoin") {
     val points = Seq((1L, "a", 10L)).toDF("pid", "k", "t")
     val ivs = Seq((100L, "a", 5L, 15L)).toDF("iid", "k", "lo", "hi")

@@ -54,6 +54,17 @@ class SketchSpec extends AnyFunSuite {
     assert(est("big") > est("small") * 2)
   }
 
+  test("HLL: estimator fails fast on registers built with a larger p (no silent wrong answer)") {
+    val df = keysDf(2000, 2, "p")
+    val regs = Sketch.hllRegisters(df, col("k"), Seq("g"), p = 12)
+    val ex = intercept[Exception] {
+      Sketch.hllEstimate(regs, Seq("g"), p = 8).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("register index")), chain(ex).mkString(" | "))
+  }
+
   test("CMS: estimates never undercount; overshoot within the e*N/w bound; heavy hitter found") {
     // 200 light keys x ~10 + one heavy hitter x 500
     val rows = (0 until 200).flatMap(i => Seq.fill(5 + (i % 10))(s"k$i")) ++ Seq.fill(500)("HEAVY")
