@@ -261,4 +261,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchTriples.exceptAll(streamTriples).count() === 0, "batch-only triples")
     assert(batchTriples.filter(col("pred") === "sameAs").count() > 0)
   }
+
+  test("streaming HLL: register state across micro-batches equals the batch sketch") {
+    // ingest-time cardinality tracking: hllRegisters is a plain groupBy-max,
+    // so the SAME operator runs over a stream in complete mode — Spark keeps
+    // the registers as aggregation state and the max-merge across
+    // micro-batches is exactly the sketch's merge operation. Re-ingested
+    // keys (batch overlap below) cannot inflate the registers.
+    import graft.datapipe.Sketch
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val regs = Sketch.hllRegisters(stream.toDF().toDF("g", "k"), col("k"), Seq("g"))
+    val q = regs.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    val b1 = (0 until 1500).map(i => ("a", s"x$i"))
+    val b2 = (1000 until 2500).map(i => ("a", s"x$i")) // 500 keys re-ingested
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT g, reg, maxl FROM hll_stream")
+    val batch = Sketch.hllRegisters((b1 ++ b2).toDF("g", "k"), col("k"), Seq("g"))
+    assert(got.exceptAll(batch).count() === 0, "stream-only registers")
+    assert(batch.exceptAll(got).count() === 0, "batch-only registers")
+    val eS = Sketch.hllEstimate(got, Seq("g")).select("hll_est").as[Long].head()
+    val eB = Sketch.hllEstimate(batch, Seq("g")).select("hll_est").as[Long].head()
+    assert(eS === eB)
+    assert(math.abs(eS - 2500.0) / 2500 < 0.20, s"est=$eS for true 2500")
+  }
 }
