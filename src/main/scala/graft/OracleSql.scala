@@ -129,33 +129,49 @@ ${ccClosureCtes}
     body.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
   }
 
+  /** Shared chain link → star-edge CC closure → per-sentence distinct
+    * canonical entities → pairs → exact integer lift, ending in a `cedges`
+    * CTE — ONE definition of the co-occurrence edge set, consumed by the
+    * cooc oracle and reused as the graph of the salience (PageRank) oracle. */
+  private def coocEdgeCtes: String =
+    s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph")}
+${ccClosureCtes}
+       |,
+       |canon AS (
+       |  SELECT DISTINCT l.doc_id, l.sent_id, COALESCE(c.canonical_id, l.entity_id) AS cid
+       |  FROM linked l LEFT JOIN comp c ON c.node = l.entity_id
+       |),
+       |tot AS (SELECT COUNT(*) AS n_sent FROM (SELECT DISTINCT doc_id, sent_id FROM canon)),
+       |marg AS (SELECT cid, COUNT(*) AS n_ent FROM canon GROUP BY cid),
+       |pairs AS (
+       |  SELECT a.cid AS ent_a, b.cid AS ent_b, COUNT(*) AS n_ab
+       |  FROM canon a JOIN canon b ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.cid < b.cid
+       |  GROUP BY a.cid, b.cid
+       |  HAVING COUNT(*) >= 2
+       |),
+       |cedges AS (
+       |  SELECT * FROM (
+       |    SELECT p.ent_a, p.ent_b, p.n_ab, ma.n_ent AS n_a, mb.n_ent AS n_b, t.n_sent,
+       |      CAST((CAST(p.n_ab AS HUGEINT) * t.n_sent * 10000) // (CAST(ma.n_ent AS HUGEINT) * mb.n_ent) AS BIGINT) AS lift_bp
+       |    FROM pairs p JOIN marg ma ON ma.cid = p.ent_a JOIN marg mb ON mb.cid = p.ent_b, tot t
+       |  ) WHERE lift_bp >= 10000
+       |)""".stripMargin
+
   /** Entity co-occurrence edges (kg.Cooccur.edges): replay link → star-edge
     * CC closure → per-sentence distinct canonical entities → pairs → exact
     * integer lift (HUGEINT intermediates mirror Spark's DECIMAL(38,0)). */
-  def cooc: String = {
-    val body =
-      s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph")}
-${ccClosureCtes}
-         |,
-         |canon AS (
-         |  SELECT DISTINCT l.doc_id, l.sent_id, COALESCE(c.canonical_id, l.entity_id) AS cid
-         |  FROM linked l LEFT JOIN comp c ON c.node = l.entity_id
-         |),
-         |tot AS (SELECT COUNT(*) AS n_sent FROM (SELECT DISTINCT doc_id, sent_id FROM canon)),
-         |marg AS (SELECT cid, COUNT(*) AS n_ent FROM canon GROUP BY cid),
-         |pairs AS (
-         |  SELECT a.cid AS ent_a, b.cid AS ent_b, COUNT(*) AS n_ab
-         |  FROM canon a JOIN canon b ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.cid < b.cid
-         |  GROUP BY a.cid, b.cid
-         |  HAVING COUNT(*) >= 2
-         |)
-         |SELECT * FROM (
-         |  SELECT p.ent_a, p.ent_b, p.n_ab, ma.n_ent AS n_a, mb.n_ent AS n_b, t.n_sent,
-         |    CAST((CAST(p.n_ab AS HUGEINT) * t.n_sent * 10000) // (CAST(ma.n_ent AS HUGEINT) * mb.n_ent) AS BIGINT) AS lift_bp
-         |  FROM pairs p JOIN marg ma ON ma.cid = p.ent_a JOIN marg mb ON mb.cid = p.ent_b, tot t
-         |) WHERE lift_bp >= 10000""".stripMargin
-    body.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
-  }
+  def cooc: String =
+    s"$coocEdgeCtes\nSELECT * FROM cedges"
+      .replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** Entity salience (SparkEntry nemo_salience): fixed-point integer
+    * PageRank over the symmetrized co-occurrence graph — the cooc chain's
+    * `cedges` becomes the `e(src, dst)` input of the shared unrolled-PR
+    * generator. */
+  def salience(iterations: Int = 5): String =
+    (s"$coocEdgeCtes,\npredge AS (SELECT ent_a AS src, ent_b AS dst FROM cedges)" +
+      s"${prIterCtes(iterations, "predge", "pr_")}\nSELECT node AS canonical_id, pr AS salience FROM pr_r$iterations")
+      .replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
   def langId: String =
     """WITH m(lang, marker) AS (VALUES
@@ -579,24 +595,84 @@ ${ccClosureCtes}
     * order–part graph, iterations unrolled as chained CTEs. All-integer
     * (scale 10⁶, truncating //) so both engines agree bit-for-bit; SUM and
     * 85·x arithmetic pass through HUGEINT and are cast back per iteration. */
-  def pageRank(iterations: Int = 5): String = {
+  /** Symmetrize + verts/outdeg + k unrolled integer-PR iterations over a
+    * previously defined CTE `<edgeCte>(src, dst)`. Starts with "," — appends
+    * to the caller's CTE list (the name is a parameter because the cooc
+    * closure chain already owns the name `e`). */
+  private def prIterCtes(iterations: Int, edgeCte: String = "e",
+                         p: String = ""): String = {
+    // `p` prefixes every CTE this generator introduces, so it can be
+    // appended to chains (like the cooc closure) that already use the
+    // unprefixed names sym/verts/e
     val head =
-      s"""WITH e AS (
-         |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, CAST(l_partkey AS BIGINT) + 100000000 AS dst FROM lineitem
-         |), sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
-         |verts AS (SELECT DISTINCT src AS node FROM sym),
-         |outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
-         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM verts)""".stripMargin
+      s""",
+         |${p}sym AS (SELECT src, dst FROM $edgeCte UNION SELECT dst AS src, src AS dst FROM $edgeCte),
+         |${p}verts AS (SELECT DISTINCT src AS node FROM ${p}sym),
+         |${p}outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM ${p}sym GROUP BY src),
+         |${p}r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM ${p}verts)""".stripMargin
     val iters = (1 to iterations).map { k =>
       s""",
-         |r$k AS (
+         |${p}r$k AS (
          |  SELECT v.node, CAST(150000 + (85 * COALESCE(inc.s, 0)) // 100 AS BIGINT) AS pr
-         |  FROM verts v LEFT JOIN (
-         |    SELECT sym.dst AS node, SUM(p.pr // o.deg) AS s
-         |    FROM sym JOIN r${k - 1} p ON p.node = sym.src JOIN outdeg o ON o.node = sym.src
-         |    GROUP BY sym.dst) inc ON inc.node = v.node)""".stripMargin
+         |  FROM ${p}verts v LEFT JOIN (
+         |    SELECT y.dst AS node, SUM(p.pr // o.deg) AS s
+         |    FROM ${p}sym y JOIN ${p}r${k - 1} p ON p.node = y.src JOIN ${p}outdeg o ON o.node = y.src
+         |    GROUP BY y.dst) inc ON inc.node = v.node)""".stripMargin
     }.mkString
-    s"$head$iters\nSELECT node, pr FROM r$iterations"
+    head + iters
+  }
+
+  def pageRank(iterations: Int = 5): String = {
+    val e =
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, CAST(l_partkey AS BIGINT) + 100000000 AS dst FROM lineitem
+        |)""".stripMargin
+    s"$e${prIterCtes(iterations)}\nSELECT node, pr FROM r$iterations"
+  }
+
+  /** Per-node triangle counts (kg.Triangles.perNodeCounts) over the
+    * part–part co-purchase graph: degree-ordered orientation (ties on id) +
+    * wedge closure — the same unique a→b→c enumeration as the engine, so
+    * counts hash-match exactly. */
+  def triangleCount: String =
+    """WITH pp AS (
+      |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS pa, CAST(b.l_partkey AS BIGINT) AS pb
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_partkey < 10000 AND b.l_partkey < 10000
+      |),
+      |deg AS (SELECT node, COUNT(*) AS d FROM (SELECT pa AS node FROM pp UNION ALL SELECT pb FROM pp) GROUP BY node),
+      |oe AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb) THEN pa ELSE pb END AS u,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb) THEN pb ELSE pa END AS v
+      |  FROM pp JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM oe e1 JOIN oe e2 ON e2.u = e1.v
+      |  JOIN oe e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT node, COUNT(*) AS n_tri FROM (
+      |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+      |) GROUP BY node""".stripMargin
+
+  /** Inverted-index tf·idf top-k (datapipe.InvertedIndex.searchTopK): the
+    * probe-query VALUES are generated from InvertedIndex.fixtureQueries —
+    * one source of truth with the engine. Integer idf (N·10⁴ // df), rank
+    * by (score DESC, doc_id). */
+  def invIdxTopK: String = {
+    val vals = graft.datapipe.InvertedIndex.fixtureQueries
+      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term FROM documents),
+       |post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |q(query_id, term) AS (VALUES $vals),
+       |dft AS (SELECT term, COUNT(*) AS df FROM post WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT q.query_id, p.doc_id, CAST(SUM(p.tf * ((n.n_docs * 10000) // d.df)) AS BIGINT) AS score
+       |  FROM q JOIN post p ON p.term = q.term JOIN dft d ON d.term = q.term, n
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score, rk FROM (
+       |  SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM sc)
+       |WHERE rk <= 10""".stripMargin
   }
 
   /** HyperLogLog replay (datapipe.Sketch.hllDistinct, p=8): identical

@@ -132,6 +132,21 @@ object SparkEntry {
       })
     }
 
+  /** Canonical co-occurrence edge set over the fixture corpus — shared by
+    * nemo_cooc (the edges themselves) and nemo_salience (PageRank over
+    * them); the annotate/linking prefix is served by the per-session
+    * caches above, so the second consumer pays only the edge aggregation. */
+  private def coocEdges(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val mentions = annotatedMentions(s, 300, "morph")
+    val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+    val linked = Linker.link(mentions, dict)
+    val withCanon = linked
+      .join(broadcast(fixtureEntities(s)), Seq("entity_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+    kg.Cooccur.edges(withCanon)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full mention-detection pipeline (tokenize → token-multi NER → lattice →
     * prune → MD → morph NER) over 200 fixture docs → morph-level mentions. */
@@ -227,6 +242,20 @@ object SparkEntry {
       // per-iteration teleport-only left join is skipped (identical result)
       kg.PageRank.run(s, sym, iterations = 5, allReceive = true)
         .withColumnRenamed("rank", "pr")
+    }),
+    "q_triangle_count" -> ((s, dir) => {
+      // per-node triangle counts (local clustering) over the part–part
+      // co-purchase graph: parts sharing an order are connected. Bounded to
+      // l_partkey < 10000 to keep the oracle replay tractable; the operator
+      // itself is degree-oriented (hub-proof) and unbounded.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 10000)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      kg.Triangles.perNodeCounts(e)
     }),
     "q_link_blocked" -> ((s, dir) => {
       // C11 blocking-key join: part p_brand tokens as "dictionary", supplier
@@ -465,6 +494,16 @@ object SparkEntry {
       // corpus top-20 vocabulary (map-side partial agg; rank not raw order)
       TextQuality.vocabTopK(t(s, dir, "documents"), "text", k = 20)
     }),
+    "d_invidx_topk" -> ((s, dir) => {
+      // inverted-index retrieval: posting lists + exact-integer tf·idf
+      // top-10 per probe query (the lexical twin of d_ann_topk)
+      import graft.datapipe.InvertedIndex
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val post = InvertedIndex.postings(docs, "doc_id", "text")
+      val qs = InvertedIndex.fixtureQueries.toDF("query_id", "term")
+      InvertedIndex.searchTopK(post, qs, nDocs = docs.count(), k = 10)
+    }),
     "d_len_percentiles" -> ((s, dir) => {
       // exact per-language token-count percentiles via rank arithmetic
       // (percentile_disc semantics — engine-stable integers, no
@@ -613,14 +652,17 @@ object SparkEntry {
       // co-mentioned in a sentence, kept when exact-integer lift ≥ 1.0
       // (candidate edges for relation extraction). Oracle replays the full
       // chain link→CC-closure→pairs→lift in SQL from fixture gold
-      import s.implicits._
-      val mentions = annotatedMentions(s, 300, "morph")
-      val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
-      val linked = Linker.link(mentions, dict)
-      val withCanon = linked
-        .join(broadcast(fixtureEntities(s)), Seq("entity_id"), "left")
-        .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
-      kg.Cooccur.edges(withCanon)
+      coocEdges(s)
+    }),
+    "nemo_salience" -> ((s, _) => {
+      // entity salience: fixed-point integer PageRank over the symmetrized
+      // co-occurrence graph — which canonical entities sit at the center of
+      // the corpus's co-mention structure. Oracle: the cooc chain's edge
+      // CTEs feed the same unrolled-PR replay as q_pagerank.
+      val e = coocEdges(s).select(col("ent_a").as("src"), col("ent_b").as("dst"))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      kg.PageRank.run(s, sym, iterations = 5, allReceive = true)
+        .select(col("node").as("canonical_id"), col("rank").as("salience"))
     }),
     "nemo_media_features" -> ((s, _) => {
       // multimodal plumbing: media spans → GRFT binary payloads → batched
@@ -886,6 +928,9 @@ object SparkEntry {
     "d_pack_chunks" -> OracleSql.packChunks(2048L),
     "d_pack_fill" -> OracleSql.packFill(2048L),
     "q_pagerank" -> OracleSql.pageRank(5),
+    "q_triangle_count" -> OracleSql.triangleCount,
+    "d_invidx_topk" -> OracleSql.invIdxTopK,
+    "nemo_salience" -> OracleSql.salience(5),
     "d_hll_distinct" -> OracleSql.hllDistinct,
     "d_cms_freq" -> OracleSql.cmsFreq
   )

@@ -1,0 +1,76 @@
+package graft
+
+import graft.datapipe.InvertedIndex
+import graft.kg.Triangles
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def triMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Triangles.perNodeCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("triangles: K4 — every node in 3 of the 4 triangles") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(triMap(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: square plus one diagonal — diagonal endpoints in 2") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    assert(triMap(g) === Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("triangles: input normalization — reversed duplicates and self-loops collapse") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 1L))
+    assert(triMap(messy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: triangle-free path graph yields no rows") {
+    assert(triMap(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
+  private val tinyDocs = Seq(
+    (1L, "a a b"), (2L, "a c"), (3L, "b b c c")).toDF("doc_id", "text")
+
+  test("inverted index: postings carry per-doc term frequency") {
+    val post = InvertedIndex.postings(tinyDocs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(post === Set(("a", 1L, 2L), ("a", 2L, 1L), ("b", 1L, 1L),
+      ("b", 3L, 2L), ("c", 2L, 1L), ("c", 3L, 2L)))
+  }
+
+  test("inverted index: integer tf·idf scores, rank by (score desc, doc_id), k bound") {
+    val post = InvertedIndex.postings(tinyDocs, "doc_id", "text")
+    val qs = Seq(("q1", "a"), ("q1", "b")).toDF("query_id", "term")
+    // idf_bp(a)=idf_bp(b)=3*10000 div 2 = 15000:
+    // doc1 = (2+1)*15000 = 45000; doc3 = 2*15000 = 30000; doc2 = 15000
+    val out = InvertedIndex.searchTopK(post, qs, nDocs = 3L, k = 2)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(out === Set(("q1", 1L, 45000L, 1), ("q1", 3L, 30000L, 2)))
+  }
+
+  test("inverted index: score ties break on doc_id; duplicate query terms score double") {
+    val post = InvertedIndex.postings(
+      Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+    val qs = Seq(("t", "x"), ("d", "x"), ("d", "x")).toDF("query_id", "term")
+    val out = InvertedIndex.searchTopK(post, qs, nDocs = 2L, k = 10)
+      .as[(String, Long, Long, Int)].collect().toSet
+    // idf_bp(x) = 2*10000 div 2 = 10000; tie → doc 1 before doc 2
+    assert(out === Set(("t", 1L, 10000L, 1), ("t", 2L, 10000L, 2),
+      ("d", 1L, 20000L, 1), ("d", 2L, 20000L, 2)))
+  }
+
+  test("salience graph shape: PageRank over a symmetrized star concentrates rank at the hub") {
+    // star 0–{1,2,3,4}: hub salience must exceed every leaf, leaves equal
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val pr = kg.PageRank.run(spark, sym, iterations = 5, allReceive = true)
+      .as[(Long, Long)].collect().toMap
+    assert(pr.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    val leaves = (1L to 4L).map(pr)
+    assert(leaves.distinct.size === 1 && pr(0L) > leaves.head)
+  }
+}
