@@ -134,18 +134,30 @@ object SparkEntry {
 
   /** Canonical co-occurrence edge set over the fixture corpus — shared by
     * nemo_cooc (the edges themselves) and nemo_salience (PageRank over
-    * them); the annotate/linking prefix is served by the per-session
-    * caches above, so the second consumer pays only the edge aggregation. */
-  private def coocEdges(s: SparkSession): DataFrame = {
-    import s.implicits._
-    val mentions = annotatedMentions(s, 300, "morph")
-    val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
-    val linked = Linker.link(mentions, dict)
-    val withCanon = linked
-      .join(broadcast(fixtureEntities(s)), Seq("entity_id"), "left")
-      .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
-    kg.Cooccur.edges(withCanon)
-  }
+    * them). Materialized once per session (localCheckpoint) for the same
+    * reason as the annotate cache: the edge set is a stage artifact that
+    * two downstream consumers read — exactly Pipeline.runAll's stage-
+    * checkpoint design at scale. */
+  private val coocCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  private def coocEdges(s: SparkSession): DataFrame =
+    coocCache.synchronized {
+      val cached = coocCache.get(s)
+      if (cached != null) cached
+      else {
+        import s.implicits._
+        val mentions = annotatedMentions(s, 300, "morph")
+        val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+        val linked = Linker.link(mentions, dict)
+        val withCanon = linked
+          .join(broadcast(fixtureEntities(s)), Seq("entity_id"), "left")
+          .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+        val e = kg.Cooccur.edges(withCanon).localCheckpoint()
+        coocCache.put(s, e); evictOnStop(coocCache, s)
+        e
+      }
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full mention-detection pipeline (tokenize → token-multi NER → lattice →

@@ -34,11 +34,16 @@ object Triangles {
     * self-loops are dropped. Returns (node: long, n_tri: long) for every
     * node in ≥1 triangle. */
   def perNodeCounts(edges: DataFrame): DataFrame = {
+    // localCheckpoint: the normalized edge set feeds THREE consumers (the
+    // degree build and both sides of the orientation joins) — without a cut
+    // Catalyst duplicates the whole upstream pair-build subtree per consumer
+    // (verified in the plan: 3 copies of the input join + distinct)
     val e = edges.select(
         least(col("src"), col("dst")).cast("long").as("pa"),
         greatest(col("src"), col("dst")).cast("long").as("pb"))
       .filter(col("pa") =!= col("pb") && col("pa").isNotNull)
       .distinct()
+      .localCheckpoint()
     // degree per endpoint (one explode + map-side-combined groupBy), then
     // orient low→high by (deg, id): ties MUST break on id or an equal-degree
     // edge would orient both ways / neither way

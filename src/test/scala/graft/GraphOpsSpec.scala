@@ -32,6 +32,19 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(triMap(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
   }
 
+  test("triangles: null endpoints are dropped, not propagated") {
+    val g = Seq((Some(1L), Some(2L)), (Some(2L), Some(3L)), (Some(3L), Some(1L)),
+      (Some(7L), None), (None, None)).toDF("src", "dst")
+    val out = Triangles.perNodeCounts(g).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("inverted index: query terms absent from the corpus contribute nothing") {
+    val post = InvertedIndex.postings(tinyDocs, "doc_id", "text")
+    val qs = Seq(("q", "zzz")).toDF("query_id", "term")
+    assert(InvertedIndex.searchTopK(post, qs, nDocs = 3L, k = 5).count() === 0L)
+  }
+
   private val tinyDocs = Seq(
     (1L, "a a b"), (2L, "a c"), (3L, "b b c c")).toDF("doc_id", "text")
 
