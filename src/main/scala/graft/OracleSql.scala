@@ -653,6 +653,28 @@ ${ccClosureCtes}
       |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
       |) GROUP BY node""".stripMargin
 
+  /** Common-neighbor link prediction (kg.LinkPredict.commonNeighbors) over
+    * the part–part co-purchase graph: capped-pivot wedge enumeration,
+    * non-edge anti join, full-degree integer Jaccard — identical pair
+    * algebra to the engine, so the score columns hash-match. */
+  def linkPredict: String =
+    """WITH pp AS (
+      |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS pa, CAST(b.l_partkey AS BIGINT) AS pb
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_partkey < 10000 AND b.l_partkey < 10000
+      |),
+      |deg AS (SELECT node, COUNT(*) AS d FROM (SELECT pa AS node FROM pp UNION ALL SELECT pb AS node FROM pp) GROUP BY node),
+      |adj AS (SELECT pa AS v, pb AS n FROM pp UNION ALL SELECT pb AS v, pa AS n FROM pp),
+      |ok AS (SELECT node FROM deg WHERE d <= 100),
+      |cand AS (
+      |  SELECT a.n AS x, b.n AS y, COUNT(*) AS cn
+      |  FROM adj a JOIN ok ON ok.node = a.v JOIN adj b ON a.v = b.v AND a.n < b.n
+      |  GROUP BY a.n, b.n HAVING COUNT(*) >= 8),
+      |ne AS (SELECT c.x, c.y, c.cn FROM cand c LEFT JOIN pp ON pp.pa = c.x AND pp.pb = c.y WHERE pp.pa IS NULL)
+      |SELECT ne.x, ne.y, ne.cn, dx.d AS d_x, dy.d AS d_y,
+      |  CAST(ne.cn * 10000 // (dx.d + dy.d - ne.cn) AS BIGINT) AS jaccard_bp
+      |FROM ne JOIN deg dx ON dx.node = ne.x JOIN deg dy ON dy.node = ne.y""".stripMargin
+
   /** Inverted-index tf·idf top-k (datapipe.InvertedIndex.searchTopK): the
     * probe-query VALUES are generated from InvertedIndex.fixtureQueries —
     * one source of truth with the engine. Integer idf (N·10⁴ // df), rank

@@ -269,6 +269,20 @@ object SparkEntry {
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       kg.Triangles.perNodeCounts(e)
     }),
+    "q_link_predict" -> ((s, dir) => {
+      // KG densification from second-order structure: non-edges of the
+      // co-purchase graph scored by capped-pivot common-neighbor count +
+      // full-degree integer Jaccard (pivot cap 100 bounds wedge fan-out
+      // at cap·m — hub-mediated wedges carry no link signal)
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 10000)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      kg.LinkPredict.commonNeighbors(e, minCommon = 8L, maxPivotDegree = 100L)
+    }),
     "q_link_blocked" -> ((s, dir) => {
       // C11 blocking-key join: part p_brand tokens as "dictionary", supplier
       // names as "mentions" — shape check of normalize→block→join→best-pick.
@@ -941,6 +955,7 @@ object SparkEntry {
     "d_pack_fill" -> OracleSql.packFill(2048L),
     "q_pagerank" -> OracleSql.pageRank(5),
     "q_triangle_count" -> OracleSql.triangleCount,
+    "q_link_predict" -> OracleSql.linkPredict,
     "d_invidx_topk" -> OracleSql.invIdxTopK,
     "nemo_salience" -> OracleSql.salience(5),
     "d_hll_distinct" -> OracleSql.hllDistinct,

@@ -45,6 +45,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(InvertedIndex.searchTopK(post, qs, nDocs = 3L, k = 5).count() === 0L)
   }
 
+  private def lpSet(edges: Seq[(Long, Long)], minCommon: Long = 2L,
+                    cap: Long = Long.MaxValue): Set[(Long, Long, Long, Long, Long, Long)] =
+    graft.kg.LinkPredict.commonNeighbors(edges.toDF("src", "dst"), minCommon, cap)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+  test("link prediction: square — both diagonals predicted with cn=2, jaccard=1") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    // (1,3) share {2,4}; (2,4) share {1,3}; all degrees 2 → 2·10⁴/(2+2−2)
+    assert(lpSet(square) === Set((1L, 3L, 2L, 2L, 2L, 10000L),
+      (2L, 4L, 2L, 2L, 2L, 10000L)))
+  }
+
+  test("link prediction: existing edges are never proposed") {
+    // triangle: every wedge endpoint pair is already an edge
+    assert(lpSet(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isEmpty)
+  }
+
+  test("link prediction: pivot degree cap suppresses hub-mediated wedges") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val uncapped = lpSet(star, minCommon = 1L)
+    assert(uncapped.map(t => (t._1, t._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(lpSet(star, minCommon = 1L, cap = 2L).isEmpty) // hub deg 3 > cap
+  }
+
   private val tinyDocs = Seq(
     (1L, "a a b"), (2L, "a c"), (3L, "b b c c")).toDF("doc_id", "text")
 
