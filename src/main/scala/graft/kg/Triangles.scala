@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   * (bounded-arboricity) graphs, instead of the Σ deg² of naive adjacency
   * self-joins, which a single celebrity node makes corpus-quadratic.
   *
-  * Scale shape: three shuffles of the oriented edge set (degree window, wedge
-  * join on the pivot, closure join on (u,v)) — all hash joins on keys Spark
+  * Scale shape: the edge set shuffles for the distinct, the degree groupBy,
+  * the wedge join on the pivot, and the closure join on (u,v) — all on keys Spark
   * co-partitions; no per-node adjacency materialization, no driver state.
   * The closure join's probe side is the wedge stream, bounded as above.
   * Exact integer output — every triangle {a,b,c} is found exactly once (as
