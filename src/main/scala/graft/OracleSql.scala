@@ -497,6 +497,40 @@ ${ccClosureCtes}
       |SELECT id_a, id_b FROM pairs p JOIN e a ON a.id = p.id_a JOIN e b ON b.id = p.id_b
       |WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 4) >= 0.3""".stripMargin
 
+  /** SemDeDup replay: assignment from the identical aux centroids (same
+    * CTE chain as [[annIvf]]), within-cell self-join gated by the 4096 cell
+    * cap, smallest-id domination at round-4 cosine ≥ 0.3 — the same double
+    * parity as [[cosineNearDup]]. */
+  def semDedup: String = {
+    def sq(v: String) =
+      s"(CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE)) * (CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE))"
+    s"""WITH cents AS (SELECT cell, cent FROM read_parquet('{{AUX}}/ivf_centroids/*.parquet')),
+       |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 5),
+       |cd AS (SELECT c.id, c.vec, ct.cell,
+       |  list_reduce(list_transform(range(1, len(ct.cent)+1), j -> ${sq("c.vec")}), (a,b) -> a + b) AS d
+       |  FROM c CROSS JOIN cents ct),
+       |assign AS (SELECT id, vec, cell FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cell) AS rk FROM cd) WHERE rk = 1),
+       |sz AS (SELECT cell, COUNT(*) AS csz FROM assign GROUP BY cell),
+       |dom AS (SELECT DISTINCT b.id
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN sz ON sz.cell = a.cell AND sz.csz BETWEEN 2 AND 4096
+       |  WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 4) >= 0.3)
+       |SELECT a.id AS vec_id, a.cell, (dom.id IS NULL) AS kept
+       |FROM assign a LEFT JOIN dom ON dom.id = a.id""".stripMargin
+  }
+
+  /** BPE merge-pair replay: word frequencies over whitespace tokens, then
+    * adjacent char-pair counts weighted by word freq — substr is
+    * character-based in both engines for BMP text. */
+  def bpeMergePairs: String =
+    """WITH w0 AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w FROM documents),
+      |wf AS (SELECT w, COUNT(*) AS freq FROM w0 WHERE length(w) >= 2 GROUP BY w),
+      |p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, freq FROM wf),
+      |pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY pair)
+      |SELECT pair, cnt, rk FROM (
+      |  SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk FROM pc)
+      |WHERE rk <= 20""".stripMargin
+
   /** 64-bit wraparound polynomial hash + splitmix64 finalizer, replayed in SQL
     * via INT128 arithmetic mod 2^64 (products split into 32-bit halves so the
     * INT128 multiply never overflows). Matches graft.functions.PolyHash64. */

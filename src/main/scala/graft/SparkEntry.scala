@@ -487,6 +487,15 @@ object SparkEntry {
         threshold = 0.3, nPlanes = 32, bands = 8, maxBucket = 512)
         .select(col("id_a"), col("id_b"))
     }),
+    "d_semdedup" -> ((s, dir) => {
+      // SemDeDup cluster-then-prune: reuses the session's IVF write-time
+      // artifact (same centroids the d_ann_ivf oracle replays from aux) —
+      // only within-cell pairs are scored, so the pass has no corpus×corpus
+      // stage; smallest-id domination keeps one row per near-dup relation
+      val (_, assigned) = ivfIndex(s, dir)
+      Similarity.semanticDedup(assigned, "id", "vec", threshold = 0.3, maxCell = 4096)
+        .select(col("id").as("vec_id"), col("cell"), col("kept"))
+    }),
 
     "d_rep_topgram" -> ((s, dir) => {
       // Gopher-style repetition signals: top-2gram + duplicate-2gram
@@ -519,6 +528,12 @@ object SparkEntry {
     "d_vocab_topk" -> ((s, dir) => {
       // corpus top-20 vocabulary (map-side partial agg; rank not raw order)
       TextQuality.vocabTopK(t(s, dir, "documents"), "text", k = 20)
+    }),
+    "d_bpe_merge_pairs" -> ((s, dir) => {
+      // one BPE merge-selection iteration: top-20 adjacent char pairs
+      // weighted by word frequency — pair explosion runs over the
+      // vocab-sized aggregate, never the raw token stream
+      TextQuality.bpeMergePairs(t(s, dir, "documents"), "text", k = 20)
     }),
     "d_invidx_topk" -> ((s, dir) => {
       // inverted-index retrieval: posting lists + exact-integer tf·idf
@@ -937,6 +952,8 @@ object SparkEntry {
     "d_minhash_neardup" -> OracleSql.minhashNearDup,
     "d_simhash_neardup" -> OracleSql.simhashNearDup,
     "d_cosine_neardup" -> OracleSql.cosineNearDup,
+    "d_semdedup" -> OracleSql.semDedup,
+    "d_bpe_merge_pairs" -> OracleSql.bpeMergePairs,
     "d_fingerprint_poly" -> OracleSql.fingerprintPoly,
     "d_rep_topgram" -> OracleSql.repetitionSignals,
     "d_c4_filter" -> OracleSql.c4Filter,

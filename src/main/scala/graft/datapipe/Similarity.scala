@@ -164,6 +164,49 @@ object Similarity {
     ivfTopKAssigned(assigned, idCol, vecCol, queries, qidCol, qvecCol, k, cents, nProbe)
   }
 
+  /** SemDeDup-style semantic deduplication (cluster-then-prune, the published
+    * scale recipe for embedding dedup — Abbas et al. 2023, arXiv:2303.09540):
+    * instead of LSH-bucketing all pairs ([[cosineNearDuplicates]]), reuse the
+    * IVF write-time artifact — k-means cells partition the corpus, and only
+    * WITHIN-cell pairs are compared. At 100 TB the number of cells scales
+    * with the corpus, so per-cell work is constant and the whole pass is one
+    * cell-keyed shuffle + a co-partitioned self-join; there is never a
+    * corpus×corpus candidate stage.
+    *
+    * Pruning rule (deterministic, oracle-replayable): a row is DROPPED iff
+    * some same-cell row with a smaller id has cosine ≥ threshold to it —
+    * the "keep the first seen" convention of the exact-dedup ops, applied to
+    * the similarity relation. (The paper keeps one representative per
+    * within-cluster duplicate group; smallest-id domination is the
+    * one-pass distributed variant of that choice.) Cells larger than
+    * `maxCell` are passed through un-pruned — the same oversized-bucket
+    * convention as every LSH band cap in [[Dedup]]; at real scale the cell
+    * count is sized so no cell exceeds it.
+    *
+    * Input `assigned` must carry (idCol, vecCol, "cell") — the persisted
+    * cell-assigned corpus from [[assignCells]]. Returns every input row as
+    * (id, cell, kept). */
+  def semanticDedup(assigned: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.3, maxCell: Int = 4096): DataFrame = {
+    val a0 = assigned.select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
+    // cell sizes via window over the cell partitioning (one shuffle; the
+    // self-join below reuses the same key so rows are already co-located)
+    val sized = a0.withColumn("csz",
+      count(lit(1)).over(Window.partitionBy("cell")))
+    val pairable = sized.filter(col("csz").between(2, maxCell))
+    val l = pairable.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = pairable.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val dominated = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      // round-4 double cosine — the exact parity contract of
+      // cosineNearDuplicates' verify step (both engines fold doubles in
+      // array order, so the rounded value is bit-identical)
+      .filter(round(cosineCol("vec_a", "vec_b"), 4) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    a0.join(dominated.withColumn("dom", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dom").isNull.as("kept"))
+  }
+
   /** Deterministic seeded Gaussian hyperplanes (the LSH projection basis).
     * Exposed so Verify can dump them as an aux parquet — the DuckDB oracle
     * recomputes the exact signatures from the same planes. */

@@ -203,6 +203,31 @@ object TextQuality {
       .withColumn("rk", row_number().over(w))
   }
 
+  /** One BPE merge-selection iteration, distributed: the top-k most frequent
+    * ADJACENT CHARACTER PAIRS across the corpus, weighted by word frequency —
+    * the statistic a BPE tokenizer trainer computes to pick its next merge
+    * (Sennrich et al. 2016 §3.2). The scale trick is aggregating to the
+    * VOCABULARY first: the corpus-sized pass reduces to (word, freq) rows via
+    * one map-side-combined groupBy, and the pair explosion then runs over the
+    * vocab (≈10⁵–10⁷ rows regardless of corpus size), never over raw tokens.
+    * Single-character words carry no pairs and are filtered symmetrically in
+    * the oracle. Character semantics: both engines slice by codepoint for BMP
+    * text (Spark substring = UTF-16 units, DuckDB = characters — identical
+    * off the astral planes, and the corpus is Hebrew+ASCII). */
+  def bpeMergePairs(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val words = df
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .select(explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+        col("freq"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("pair"))
+    pairs.orderBy(col("cnt").desc, col("pair")).limit(k)
+      .withColumn("rk", row_number().over(w))
+  }
+
   // ---------- corpus statistics ----------
 
   /** Exact per-group percentiles of the whitespace token count, computed by

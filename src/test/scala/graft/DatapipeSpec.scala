@@ -473,4 +473,42 @@ class DatapipeSpec extends AnyFunSuite {
     val aKept = kept.count(_._2 == "a")
     assert(aKept > 0 && aKept < 10) // the 40% rate actually sampled
   }
+
+  test("semantic dedup: smallest-id domination within cells, oversized cells pass through") {
+    // cell 0: ids 1,2,3 where 1~2 (cos=1), 3 orthogonal; cell 1: ids 4,5 near-dups
+    val assigned = Seq(
+      (1L, Seq(1f, 0f, 0f), 0), (2L, Seq(2f, 0f, 0f), 0), (3L, Seq(0f, 1f, 0f), 0),
+      (4L, Seq(0f, 0f, 1f), 1), (5L, Seq(0f, 0f, 3f), 1),
+      (6L, Seq(1f, 1f, 0f), 2) // singleton cell: no pairs, kept
+    ).toDF("id", "vec", "cell")
+    val out = Similarity.semanticDedup(assigned, "id", "vec", threshold = 0.9)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> false, 6L -> true))
+    // cap: a 3-row cell with maxCell=2 is skipped entirely — all kept
+    val capped = Similarity.semanticDedup(assigned.filter(col("cell") === 0), "id", "vec",
+      threshold = 0.9, maxCell = 2)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(capped.values.forall(identity) && capped.size === 3)
+    // chain semantics: domination is by ANY smaller-id neighbor, including
+    // one that was itself dropped — 1~2, 2~3, 1!~3 (35° apart each) drops
+    // BOTH 2 and 3 (one-pass rule, more aggressive than sequential greedy)
+    val chain = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.8192f, 0.5736f), 0),  // 35° from 1
+      (3L, Seq(0.342f, 0.9397f), 0)    // 70° from 1, 35° from 2
+    ).toDF("id", "vec", "cell")
+    val chainOut = Similarity.semanticDedup(chain, "id", "vec", threshold = 0.75)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(chainOut(1L) && !chainOut(2L) && !chainOut(3L))
+  }
+
+  test("bpe merge pairs: counts weighted by word frequency, deterministic rank") {
+    val df = Seq(
+      (0L, "ab ab abc"),  // ab:2, abc:1 -> pairs ab:3, bc:1
+      (1L, "ab x")        // ab:1 (x is single-char, no pairs) -> ab total 4
+    ).toDF("doc_id", "text")
+    val out = TextQuality.bpeMergePairs(df, "text", k = 10)
+      .select("pair", "cnt", "rk").as[(String, Long, Int)].collect().toList
+    assert(out === List(("ab", 4L, 1), ("bc", 1L, 2)))
+  }
 }
