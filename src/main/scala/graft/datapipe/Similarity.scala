@@ -189,11 +189,12 @@ object Similarity {
   def semanticDedup(assigned: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.3, maxCell: Int = 4096): DataFrame = {
     val a0 = assigned.select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
-    // cell sizes via window over the cell partitioning (one shuffle; the
-    // self-join below reuses the same key so rows are already co-located)
-    val sized = a0.withColumn("csz",
-      count(lit(1)).over(Window.partitionBy("cell")))
-    val pairable = sized.filter(col("csz").between(2, maxCell))
+    // cell sizes are an nCells-row aggregate — broadcast them onto the corpus
+    // instead of a window over the cell partitioning, which Spark would
+    // re-execute (shuffle and all) on BOTH sides of the self-join below
+    val sizes = a0.groupBy("cell").agg(count(lit(1)).as("csz"))
+    val pairable = a0.join(
+      broadcast(sizes.filter(col("csz").between(2, maxCell))), Seq("cell"))
     val l = pairable.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = pairable.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
     val dominated = l.join(r, Seq("cell"))
