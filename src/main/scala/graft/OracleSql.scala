@@ -754,6 +754,64 @@ ${ccClosureCtes}
        |FROM s""".stripMargin
   }
 
+  /** Quantile-histogram replay (datapipe.Sketch.qhPercentiles, sub=5 over
+    * documents.n_chars by lang): identical log-linear bins via
+    * length(bin(v)) — the minimal binary string both engines print for a
+    * positive integer — window cumsum over bins, ⌈n·q/10⁴⌉ rank pick, and
+    * the bin-lower-bound inverse. Pure integer end-to-end. */
+  def quantileSketch: String = {
+    val sub = 5
+    val m = 1L << sub
+    s"""WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) + 1 AS v1 FROM documents),
+       |b AS (SELECT lang,
+       |  CASE WHEN length(bin(v1)) - 1 < $sub THEN v1
+       |       ELSE (length(bin(v1)) - $sub) * $m + (v1 >> (length(bin(v1)) - 1 - $sub)) - $m END AS bin
+       |  FROM v),
+       |bc AS (SELECT lang, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |cum AS (SELECT lang, bin, SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM bc),
+       |tot AS (SELECT lang, SUM(cnt) AS n FROM bc GROUP BY 1),
+       |qs AS (SELECT unnest([2500, 5000, 7500, 9500, 9900]) AS q_bp),
+       |hit AS (SELECT c.lang, q.q_bp, MIN(c.bin) AS bin, MIN(tot.n) AS n
+       |  FROM cum c JOIN tot USING (lang) CROSS JOIN qs q
+       |  WHERE c.cum * 10000 >= tot.n * q.q_bp
+       |  GROUP BY 1, 2)
+       |SELECT lang, q_bp, CAST(n AS BIGINT) AS n,
+       |  CAST(CASE WHEN bin < $m THEN bin - 1
+       |       ELSE (($m + (bin % $m)) << (CAST(bin // $m AS INT) - 1)) - 1 END AS BIGINT) AS est
+       |FROM hit""".stripMargin
+  }
+
+  /** Deterministic synchronous label propagation (kg.LabelProp.run),
+    * iterations unrolled as chained CTEs over a previously defined CTE
+    * `<edgeCte>(src, dst)`: symmetrize, self-labels, then per round a
+    * (vertex, neighbor-label) count and an argmax by (count DESC, label
+    * ASC) — identical tie-break to the engine's max(struct(c, −lab)). */
+  private def lpIterCtes(iterations: Int, edgeCte: String = "e"): String = {
+    val head =
+      s""",
+         |lsym AS (SELECT src, dst FROM $edgeCte UNION SELECT dst AS src, src AS dst FROM $edgeCte),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM lsym)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s""",
+         |lc$k AS (SELECT y.dst AS node, p.lab, COUNT(*) AS c
+         |  FROM lsym y JOIN l${k - 1} p ON p.node = y.src GROUP BY 1, 2),
+         |l$k AS (SELECT node, lab FROM (
+         |  SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rk FROM lc$k)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString
+    head + iters
+  }
+
+  /** Label-propagation communities over the part–part co-purchase graph
+    * (same bounded edge CTE as triangleCount/linkPredict). */
+  def communities(iterations: Int = 3): String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src, CAST(b.l_partkey AS BIGINT) AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  WHERE a.l_partkey < 10000 AND b.l_partkey < 10000
+       |)${lpIterCtes(iterations)}
+       |SELECT node, lab AS community FROM l$iterations""".stripMargin
+
   /** Count-Min replay (datapipe.Sketch.cmsTable/cmsLookup, 4×1024):
     * row-seeded hash48 buckets, counter groupBy, min-over-rows lookup. */
   def cmsFreq: String =

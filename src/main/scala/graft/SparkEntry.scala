@@ -652,6 +652,30 @@ object SparkEntry {
         .join(exact, "key")
         .select(col("key").cast("long").as("user_id"), col("est_cnt"), col("exact_cnt"))
     }),
+    "d_quantile_sketch" -> ((s, dir) => {
+      // mergeable quantile-histogram sketch (log-linear bins, sub=5 →
+      // ≤3.2% relative bin width): per-language doc-length percentiles
+      // WITHOUT the full per-stratum sort d_len_percentiles pays — the
+      // one data-sized pass is a (lang, bin) groupBy whose map-side
+      // partial agg is the sketch merge; bit-replayable in SQL
+      Sketch.qhPercentiles(t(s, dir, "documents"), col("n_chars"), Seq("lang"),
+        qBp = Seq(2500, 5000, 7500, 9500, 9900), sub = 5)
+    }),
+    "q_communities" -> ((s, dir) => {
+      // deterministic synchronous label-propagation communities over the
+      // part–part co-purchase graph (same bounded edge set as
+      // q_triangle_count) — 3 unrolled rounds, ties to the smallest label,
+      // argmax as a plain max(struct) aggregate (no window sort)
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 10000)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+      kg.LabelProp.run(s, e, iterations = 3)
+    }),
 
     // ---- the KG-construction pipeline itself (nemo_*; rows-only) ----
     "nemo_mentions_single" -> ((s, _) => annotatedMentions(s, 300, "token-single")),
@@ -976,6 +1000,8 @@ object SparkEntry {
     "d_invidx_topk" -> OracleSql.invIdxTopK,
     "nemo_salience" -> OracleSql.salience(5),
     "d_hll_distinct" -> OracleSql.hllDistinct,
-    "d_cms_freq" -> OracleSql.cmsFreq
+    "d_cms_freq" -> OracleSql.cmsFreq,
+    "d_quantile_sketch" -> OracleSql.quantileSketch,
+    "q_communities" -> OracleSql.communities(3)
   )
 }

@@ -134,4 +134,88 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
       .withColumnRenamed("_cms_k", "key")
   }
+
+  // ---------- mergeable quantile histogram (log-linear bins) ----------
+  //
+  // The quantile member of the sketch family (HLL = distinct, CMS =
+  // frequency, this = rank). Exact per-group percentiles
+  // (TextQuality.tokenLenPercentiles) sort every row of a stratum inside one
+  // window partition — at 10^12 rows per stratum that shuffle IS the job.
+  // This sketch replaces it with HDR-histogram-style log-linear bucketing:
+  // a value lands in one of ≤ (64−sub)·2^sub deterministic integer bins
+  // (2^sub linear sub-buckets per power-of-two octave → relative bin width
+  // ≤ 2^−sub), the per-(group, bin) COUNT is the whole sketch, and map-side
+  // partial aggregation IS the merge — the exchange carries sketch rows,
+  // never values. Bin tables from disjoint inputs (partitions, days,
+  // epochs) merge by SUM without touching raw data.
+  //
+  // Everything is integer arithmetic shared verbatim by the DuckDB oracle:
+  // the bit length that picks the octave is `length(bin(v))` — the minimal
+  // binary string both engines print for a positive BIGINT — so bins,
+  // cumulative ranks, and the returned bin lower bounds are bit-identical
+  // cross-engine (`d_quantile_sketch` hash-matches). No log(), no floats.
+
+  /** Log-linear bin index for non-negative long values, as an expression
+    * over a column NAME (the bit-length trick needs the value referenced
+    * twice; callers project the value to a real column first). Bins:
+    * v+1 < 2^sub → exact bin v+1; else octave msb = ⌊log2(v+1)⌋ and linear
+    * sub-bucket = top `sub` bits after the leading one:
+    * bin = (msb−sub+1)·2^sub + ((v+1) >> (msb−sub)) − 2^sub.
+    * Monotone in v, so cumulative bin counts are cumulative value ranks. */
+  private def qhBinExpr(v1: String, sub: Int): String = {
+    val m = 1L << sub
+    s"""CASE WHEN $v1 <= 0 THEN raise_error('qhBins: value must be >= 0')
+       |  WHEN length(bin($v1)) - 1 < $sub THEN $v1
+       |  ELSE (length(bin($v1)) - $sub) * $m + shiftright($v1, length(bin($v1)) - 1 - $sub) - $m
+       |END""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Inverse of [[qhBinExpr]]: smallest ORIGINAL value mapping to `bin`
+    * (the estimate a quantile lookup reports — a true corpus value's bin
+    * lower bound, under-reporting by < 2^−sub relative). */
+  private def qhLowExpr(bin: String, sub: Int): String = {
+    val m = 1L << sub
+    s"""CASE WHEN $bin < $m THEN $bin - 1
+       |  ELSE shiftleft($m + pmod($bin, $m), CAST($bin div $m AS INT) - 1) - 1
+       |END""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Quantile-histogram sketch table: one row per (group, non-empty bin)
+    * with its count — fixed-size, mergeable by (group, bin) SUM. `value`
+    * must be a non-negative integer expression (fails fast otherwise). */
+  def qhBins(df: DataFrame, value: Column, groupCols: Seq[String],
+             sub: Int = 5): DataFrame = {
+    require(sub >= 1 && sub <= 10, "sub in [1,10]")
+    df.select((groupCols.map(col) :+ (value.cast("long") + lit(1L)).as("_qh_v1")): _*)
+      .withColumn("bin", expr(qhBinExpr("_qh_v1", sub)))
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a bin table, percentile_disc semantics on the
+    * binned distribution: for each q (basis points) the reported value is
+    * the lower bound of the first bin whose cumulative count reaches
+    * rank = ⌈n·q/10⁴⌉ — always ≤ the true q-th value, short by < 2^−sub
+    * relative. The cumsum window runs over SKETCH rows (≤ bins per group),
+    * not data rows — the one data-sized pass is the groupBy in qhBins. */
+  def qhQuantiles(bins: DataFrame, groupCols: Seq[String], qBp: Seq[Int],
+                  sub: Int = 5, estCol: String = "est"): DataFrame = {
+    require(qBp.nonEmpty && qBp.forall(q => q >= 0 && q <= 10000), "qBp in [0,10000]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val cum = bins.withColumn("_qh_cum", sum("cnt").over(w))
+    val n = bins.groupBy(groupCols.map(col): _*).agg(sum("cnt").as("n"))
+    cum.join(broadcast(n), groupCols)
+      .withColumn("q_bp", explode(array(qBp.distinct.sorted.map(q => lit(q)): _*)))
+      .filter(col("_qh_cum") * 10000L >= col("n") * col("q_bp"))
+      .groupBy((groupCols :+ "q_bp").map(col): _*)
+      .agg(min("bin").as("_qh_bin"), first("n").as("n"))
+      .withColumn(estCol, expr(qhLowExpr("_qh_bin", sub)))
+      .select((groupCols.map(col) :+ col("q_bp") :+ col("n") :+ col(estCol)): _*)
+  }
+
+  /** Per-group approximate percentiles in one pass: bins + quantiles. */
+  def qhPercentiles(df: DataFrame, value: Column, groupCols: Seq[String],
+                    qBp: Seq[Int], sub: Int = 5, estCol: String = "est"): DataFrame =
+    qhQuantiles(qhBins(df, value, groupCols, sub), groupCols, qBp, sub, estCol)
 }

@@ -110,4 +110,57 @@ class GraphOpsSpec extends AnyFunSuite {
     val leaves = (1L to 4L).map(pr)
     assert(leaves.distinct.size === 1 && pr(0L) > leaves.head)
   }
+
+  // in-memory reference LPA: synchronous, most-frequent neighbor label,
+  // ties to the smallest label — the exact semantics LabelProp.run claims
+  private def lpaRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val adj = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters)
+      lab = adj.map { case (v, ns) =>
+        val best = ns.map(lab).groupBy(identity).view
+          .map { case (l, xs) => (l, xs.size) }.toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }
+    lab
+  }
+
+  private def lpaRun(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    kg.LabelProp.run(spark, edges.toDF("src", "dst"), iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("LPA: two triangles with a bridge resolve to one community per triangle") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val out = lpaRun(g, 3)
+    assert(out.keySet === (1L to 6L).toSet)
+    assert(out === lpaRef(g, 3))
+    // each triangle internally agrees
+    assert(Set(out(1L), out(2L)).size === 1 && Set(out(5L), out(6L)).size === 1)
+  }
+
+  test("LPA: equals the in-memory reference on a seeded random graph, every iteration depth") {
+    val r = new scala.util.Random(13)
+    val edges = Seq.fill(160)((r.nextInt(60).toLong, r.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).distinct
+    for (iters <- Seq(1, 2, 3))
+      assert(lpaRun(edges, iters) === lpaRef(edges, iters), s"iters=$iters")
+  }
+
+  test("LPA: input normalization — reversed duplicates, self-loops, nulls dropped") {
+    val g = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(2L), Some(2L)),
+      (Some(2L), Some(3L)), (Some(9L), None), (None, None)).toDF("src", "dst")
+    val out = kg.LabelProp.run(spark, g, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out === lpaRef(Seq((1L, 2L), (2L, 3L)), 2))
+  }
+
+  test("LPA: deterministic — two runs produce identical labelings") {
+    val r = new scala.util.Random(29)
+    val edges = Seq.fill(120)((r.nextInt(40).toLong, r.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    assert(lpaRun(edges, 3) === lpaRun(edges, 3))
+  }
 }

@@ -101,4 +101,75 @@ class SketchSpec extends AnyFunSuite {
         s"udf boundary in plan:\n$plan")
     }
   }
+
+  // percentile_disc reference: rank ⌈n·q/10⁴⌉, 1-indexed k-th smallest
+  private def discQ(sorted: Seq[Long], qBp: Int): Long = {
+    val rank = math.max(1, ((sorted.size.toLong * qBp + 9999) / 10000).toInt)
+    sorted(rank - 1)
+  }
+
+  test("QH: estimates never overshoot; relative error bounded by 2^-sub") {
+    val r = new scala.util.Random(7)
+    val vals = Seq.fill(4000)(math.abs(r.nextLong()) % 2000000L) ++
+      Seq.fill(500)(r.nextInt(40).toLong) // heavy small-value tail
+    val df = vals.toDF("v").withColumn("g", lit("all"))
+    val qs = Seq(1000, 2500, 5000, 7500, 9500, 9900)
+    val est = Sketch.qhPercentiles(df, col("v"), Seq("g"), qs, sub = 5)
+      .select("q_bp", "est").as[(Int, Long)].collect().toMap
+    val sorted = vals.sorted
+    for (q <- qs) {
+      val exact = discQ(sorted, q)
+      val e = est(q)
+      assert(e <= exact, s"q=$q est=$e > exact=$exact")
+      // est is the exact value's bin lower bound: (exact+1) < (est+1)·(1+2^-5)
+      assert(exact - e <= (exact + 1) / 32 + 1, s"q=$q est=$e exact=$exact")
+    }
+  }
+
+  test("QH: exact below 2^sub — small-value bins are singletons") {
+    val vals = (0 until 1000).map(i => (i % 31).toLong)
+    val df = vals.toDF("v").withColumn("g", lit("all"))
+    val qs = Seq(2500, 5000, 7500, 10000)
+    val est = Sketch.qhPercentiles(df, col("v"), Seq("g"), qs, sub = 5)
+      .select("q_bp", "est").as[(Int, Long)].collect().toMap
+    val sorted = vals.sorted
+    for (q <- qs) assert(est(q) === discQ(sorted, q), s"q=$q")
+  }
+
+  test("QH: bin tables from disjoint inputs merge by sum — quantiles identical") {
+    val r = new scala.util.Random(11)
+    val df = Seq.fill(3000)(r.nextInt(500000).toLong).toDF("v")
+      .withColumn("g", (col("v") % 3).cast("string"))
+    val (a, b) = (df.filter(col("v") % 2 === 0), df.filter(col("v") % 2 === 1))
+    val merged = Sketch.qhBins(a, col("v"), Seq("g")).union(Sketch.qhBins(b, col("v"), Seq("g")))
+      .groupBy("g", "bin").agg(sum("cnt").as("cnt"))
+    val whole = Sketch.qhBins(df, col("v"), Seq("g"))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    val qs = Seq(5000, 9900)
+    val qM = Sketch.qhQuantiles(merged, Seq("g"), qs).orderBy("g", "q_bp").collect().toSeq
+    val qW = Sketch.qhQuantiles(whole, Seq("g"), qs).orderBy("g", "q_bp").collect().toSeq
+    assert(qM === qW)
+  }
+
+  test("QH: per-group independence and negative-value fail-fast") {
+    val df = (Seq.fill(800)(10L).map((_, "small")) ++ Seq.fill(800)(100000L).map((_, "big")))
+      .toDF("v", "g")
+    val est = Sketch.qhPercentiles(df, col("v"), Seq("g"), Seq(5000), sub = 5)
+      .select("g", "est").as[(String, Long)].collect().toMap
+    assert(est("small") === 10L)
+    assert(est("big") <= 100000L && est("big") > 96000L)
+    val ex = intercept[Exception] {
+      Seq(-1L).toDF("v").withColumn("g", lit("x"))
+        .transform(d => Sketch.qhPercentiles(d, col("v"), Seq("g"), Seq(5000))).collect()
+    }
+    assert(ex.getMessage.contains("qhBins") || ex.getCause != null)
+  }
+
+  test("QH: sketch is pure Catalyst — partial agg, no UDF boundary") {
+    val df = (0 until 200).map(_.toLong).toDF("v").withColumn("g", lit("x"))
+    val plan = Sketch.qhBins(df, col("v"), Seq("g")).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"),
+      s"udf boundary in plan:\n$plan")
+  }
 }
