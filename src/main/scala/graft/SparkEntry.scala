@@ -141,6 +141,35 @@ object SparkEntry {
   private val coocCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, DataFrame]())
 
+  /** Part–part co-purchase edge set (parts sharing an order, bounded to
+    * l_partkey < 10000 for oracle tractability) — the shared input of the
+    * three graph-analytics queries (q_triangle_count, q_link_predict,
+    * q_communities). Materialized once per (session, sfDir) for the same
+    * stage-artifact reason as coocEdges: at scale the co-purchase graph is
+    * a write-time table that every downstream analytic reads, not a
+    * self-join each consumer re-runs. */
+  private val ppCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]())
+
+  private def ppEdges(s: SparkSession, dir: String): DataFrame =
+    ppCache.synchronized {
+      val cached = ppCache.get(s)
+      if (cached != null && cached._1 == dir) cached._2
+      else {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_partkey") < 10000)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+          .localCheckpoint()
+        ppCache.put(s, (dir, e)); evictOnStop(ppCache, s)
+        e
+      }
+    }
+
   private def coocEdges(s: SparkSession): DataFrame =
     coocCache.synchronized {
       val cached = coocCache.get(s)
@@ -259,29 +288,16 @@ object SparkEntry {
       // per-node triangle counts (local clustering) over the part–part
       // co-purchase graph: parts sharing an order are connected. Bounded to
       // l_partkey < 10000 to keep the oracle replay tractable; the operator
-      // itself is degree-oriented (hub-proof) and unbounded.
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_partkey") < 10000)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      kg.Triangles.perNodeCounts(e)
+      // itself is degree-oriented (hub-proof) and unbounded. Edge set shared
+      // via ppEdges (stage artifact, one build per session).
+      kg.Triangles.perNodeCounts(ppEdges(s, dir))
     }),
     "q_link_predict" -> ((s, dir) => {
       // KG densification from second-order structure: non-edges of the
       // co-purchase graph scored by capped-pivot common-neighbor count +
       // full-degree integer Jaccard (pivot cap 100 bounds wedge fan-out
       // at cap·m — hub-mediated wedges carry no link signal)
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_partkey") < 10000)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      kg.LinkPredict.commonNeighbors(e, minCommon = 8L, maxPivotDegree = 100L)
+      kg.LinkPredict.commonNeighbors(ppEdges(s, dir), minCommon = 8L, maxPivotDegree = 100L)
     }),
     "q_link_blocked" -> ((s, dir) => {
       // C11 blocking-key join: part p_brand tokens as "dictionary", supplier
@@ -666,15 +682,7 @@ object SparkEntry {
       // part–part co-purchase graph (same bounded edge set as
       // q_triangle_count) — 3 unrolled rounds, ties to the smallest label,
       // argmax as a plain max(struct) aggregate (no window sort)
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_partkey") < 10000)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").cast("long").as("src"),
-          col("b.l_partkey").cast("long").as("dst"))
-      kg.LabelProp.run(s, e, iterations = 3)
+      kg.LabelProp.run(s, ppEdges(s, dir), iterations = 3)
     }),
 
     // ---- the KG-construction pipeline itself (nemo_*; rows-only) ----

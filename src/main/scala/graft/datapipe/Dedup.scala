@@ -162,10 +162,7 @@ object Dedup {
     val buckets = banded.groupBy("band", "slice")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    val pairs = buckets
-      .select(explode(bucketPairs(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val pairs = bucketPairRows(buckets, "ids").distinct()
     pairs
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -175,16 +172,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), expr("inter * 10000 div uni").as("jaccard_bp"))
   }
 
-  /** Within-bucket ordered pairs (id_a < id_b), pure Catalyst: sort the
-    * bucket, then a nested transform enumerates i<j. Type-GENERIC over the
-    * id (long, string, …) and codegen-friendly — no UDF boundary in the
-    * bucket-expansion hot path. Bounded by the maxBucket cap upstream. */
-  private[datapipe] def bucketPairs(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val s = sort_array(ids)
-    flatten(transform(sequence(lit(0), size(s) - 2), i =>
-      transform(sequence(i + 1, size(s) - 1), j =>
-        struct(element_at(s, i + 1).as("id_a"), element_at(s, j + 1).as("id_b")))))
-  }
+  /** Within-bucket ordered pairs (id_a < id_b) as ROWS, pure Catalyst and
+    * type-GENERIC over the id (long, string, …). The sorted bucket is
+    * PROJECTED to a real attribute first, then two Generate stages
+    * enumerate i<j: posexplode picks id_a, a slice-explode emits every
+    * later element as id_b. Peak memory per bucket row is ONE O(k) slice —
+    * never an O(k²) nested pair array — and the sort runs once per bucket.
+    * (The previous single nested-transform expression inlined
+    * `sort_array(ids)` at every element_at site, so Catalyst re-sorted the
+    * bucket per PAIR — the same non-attribute re-evaluation trap
+    * ngramShinglesFromToks documents; at maxBucket=512 that made
+    * d_cosine_neardup 8× slower at sf0.1.) Bounded by the maxBucket cap
+    * upstream. */
+  private[datapipe] def bucketPairRows(buckets: DataFrame, idsCol: String): DataFrame =
+    buckets.select(sort_array(col(idsCol)).as("_bp_sids"))
+      .select(posexplode(col("_bp_sids")).as(Seq("_bp_i", "id_a")), col("_bp_sids"))
+      .select(col("id_a"),
+        explode(slice(col("_bp_sids"), col("_bp_i") + lit(2), size(col("_bp_sids")))).as("id_b"))
 
   /** Exact n-gram Jaccard for ALL pairs of a (small) candidate set — the
     * brute-force baseline the LSH path is validated against in tests. */

@@ -250,10 +250,9 @@ object Similarity {
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     // ordered within-bucket pairs, pure Catalyst and id-type-generic
-    // (Dedup.bucketPairs: sort_array + nested transform — no UDF boundary)
-    val pairs = buckets.select(explode(Dedup.bucketPairs(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    // (Dedup.bucketPairRows: projected sort + two Generates — no UDF
+    // boundary, no per-pair re-sort, O(k) peak memory per bucket)
+    val pairs = Dedup.bucketPairRows(buckets, "ids").distinct()
     pairs
       .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
