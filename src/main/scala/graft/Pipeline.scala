@@ -410,4 +410,93 @@ object Pipeline {
     }
     TableFormat.load(spark, paths.triples)
   }
+
+  // ---------- G7 incremental: snapshot-append delta batches ----------
+
+  /** Incremental KG maintenance: process ONE new batch of documents and
+    * append its outputs to every stage table, without touching (or even
+    * reading) the rows of previous batches. At 10^12 docs this is the only
+    * runnable shape — a full `runAll` re-annotation per ingest is off the
+    * table, so each stage table is a [[graft.io.Snapshots]] log and a batch
+    * is one `append` snapshot per stage.
+    *
+    * Exactness (the invariant IncrementalSpec + the `nemo_triples_incr`
+    * oracle check): every stage is per-doc (annotate, mentions, occ-index)
+    * or per-mention-vs-static-dict (link, canonical join), and every
+    * `distinct()` in [[Triples.fromLinkedMentions]] carries `doc_id` — so for
+    * batches that PARTITION the doc set, the union of per-batch outputs is
+    * row-identical to one full-batch run. The one global structure,
+    * canonicalization, is dict-only: it is committed once (snapshot 1 of
+    * `entities`) and reused; a grown dict goes through
+    * [[graft.kg.Canonicalize.incrementalCanonicalize]] instead.
+    *
+    * Exactly-once per batch: `batchId` names each stage snapshot (its
+    * `stage` field). A re-run with the same batchId skips every stage that
+    * already committed — same idempotent contract as the streaming epochs,
+    * which makes the whole thing checkpoint-resumable mid-batch: crash after
+    * the mentions commit resumes at linking, reading the mentions DELTA back
+    * from the snapshot log ([[graft.io.Snapshots.changes]]), not from memory.
+    *
+    * Returns the FULL triples table (all batches) as of this batch. */
+  def runIncremental(
+      spark: SparkSession,
+      deltaDocs: Dataset[InputDoc],
+      dict: DataFrame,
+      workDir: String,
+      batchId: String,
+      scenario: String = "morph",
+      buckets: Int = 32,
+      models: Models = fixtureModels()): DataFrame = {
+    import graft.io.Snapshots
+    import spark.implicits._
+    val paths = StagePaths(workDir)
+    val modelsBc = spark.sparkContext.broadcast(models)
+
+    def committed(table: String): Boolean =
+      Snapshots.snapshots(table).exists(_.stage == batchId)
+    // this batch's rows of a stage table: the incremental scan from the
+    // batch snapshot's parent — resumable (re-readable after a crash) and
+    // never touching other batches' data dirs
+    def deltaOf(table: String): DataFrame = {
+      val snap = Snapshots.snapshots(table).find(_.stage == batchId)
+        .getOrElse(throw new IllegalStateException(s"batch $batchId not committed in $table"))
+      if (snap.parentId == 0L) Snapshots.load(spark, table, asOf = Some(snap.id))
+      else Snapshots.changes(spark, table, snap.parentId, Some(snap.id))
+    }
+
+    // (0) entities — dict-only, committed once (the static-dict contract;
+    // a different dict is a different workDir or an incrementalCanonicalize)
+    if (Snapshots.current(paths.entities).isEmpty)
+      Snapshots.commit(Canonicalize.canonicalize(spark, dict),
+        paths.entities, "entity_id", buckets, stage = "dict")
+    val entities = Snapshots.load(spark, paths.entities)
+
+    // (a) annotate ONLY the delta docs
+    if (!committed(paths.docsLabeled))
+      Snapshots.commit(annotate(spark, deltaDocs, modelsBc).toDF(),
+        paths.docsLabeled, "doc_id", buckets, stage = batchId)
+    val labeledDelta = deltaOf(paths.docsLabeled).as[Doc]
+
+    // (b) mentions of the delta
+    if (!committed(paths.mentions))
+      Snapshots.commit(extractMentions(labeledDelta, scenario),
+        paths.mentions, "doc_id", buckets, stage = batchId)
+    val mentionsDelta = deltaOf(paths.mentions)
+
+    // (c) link the delta (dict broadcast — shuffle-free)
+    if (!committed(paths.linked))
+      Snapshots.commit(Linker.link(mentionsDelta, dict),
+        paths.linked, "doc_id", buckets, stage = batchId)
+    val linkedDelta = deltaOf(paths.linked)
+
+    // (d) delta triples
+    if (!committed(paths.triples)) {
+      val withCanon = linkedDelta.join(
+        broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"), "left")
+        .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+      Snapshots.commit(Triples.fromLinkedMentions(withCanon),
+        paths.triples, "doc_id", buckets, stage = batchId)
+    }
+    Snapshots.load(spark, paths.triples)
+  }
 }

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.datapipe.{Dedup, Mix, Pack, Similarity, Sketch, TextQuality, Multimodal}
 import graft.fixtures.Fixtures
+import graft.io.Snapshots
 import graft.kg.{Linker, Canonicalize, Triples}
+import graft.operators.BloomJoin
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -170,6 +172,53 @@ object SparkEntry {
       }
     }
 
+  /** Snapshot-table ingest artifact: the documents table committed as TWO
+    * append snapshots (doc_id < 250, then the rest) into a per-session temp
+    * dir — the write-once table that d_snapshot_scan (time travel) and
+    * d_incr_scan (incremental scan) read. At real scale this is the ingest
+    * log itself; here it is built once per (session, sfDir). */
+  private val snapCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  private def snapshotTable(s: SparkSession, dir: String): String =
+    snapCache.synchronized {
+      val cached = snapCache.get(s)
+      if (cached != null && cached._1 == dir) cached._2
+      else {
+        val tbl = java.nio.file.Files.createTempDirectory("graft-snaptbl").toString + "/documents"
+        val docs = t(s, dir, "documents")
+        Snapshots.commit(docs.filter(col("doc_id") < 250), tbl, "doc_id", buckets = 8, stage = "batch-1")
+        Snapshots.commit(docs.filter(col("doc_id") >= 250), tbl, "doc_id", buckets = 8, stage = "batch-2")
+        snapCache.put(s, (dir, tbl)); evictOnStop(snapCache, s)
+        tbl
+      }
+    }
+
+  /** Incremental-pipeline triples artifact: the fixture corpus ingested as
+    * two delta batches through Pipeline.runIncremental (snapshot-append
+    * stage tables) — the resulting FULL triples table must hash-equal the
+    * same gold-derived oracle as the one-shot nemo_triples run. */
+  private val incrCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  private def incrTriples(s: SparkSession): DataFrame =
+    incrCache.synchronized {
+      val cached = incrCache.get(s)
+      if (cached != null) cached
+      else {
+        import s.implicits._
+        val work = java.nio.file.Files.createTempDirectory("graft-incr-kg").toString
+        val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+        val docs = fixtureDocsDf(s, 300)
+        Pipeline.runIncremental(s, docs.filter(col("doc_id") < "doc-000150"),
+          dict, work, batchId = "b1", buckets = 8)
+        val full = Pipeline.runIncremental(s, docs.filter(col("doc_id") >= "doc-000150"),
+          dict, work, batchId = "b2", buckets = 8)
+        incrCache.put(s, full); evictOnStop(incrCache, s)
+        full
+      }
+    }
+
   private def coocEdges(s: SparkSession): DataFrame =
     coocCache.synchronized {
       val cached = coocCache.get(s)
@@ -312,6 +361,39 @@ object SparkEntry {
         .withColumn("block", Linker.blockKeyCol(col("mention")))
       m.join(broadcast(dict), Seq("block")).select(col("p_partkey"), col("p_brand"))
     }),
+
+    "q_bloom_join" -> ((s, dir) => {
+      // bloom-pruned exact join: urgent orders' keys as a bloom pre-filter on
+      // the lineitem scan BEFORE its shuffle, exact join after (false
+      // positives removed) — the runtime-filter strategy for a dim whose
+      // keys fit in a bit array but whose rows don't fit a broadcast
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val items = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      BloomJoin.prunedJoin(items, "l_orderkey", urgent, "o_orderkey",
+          expectedItems = urgent.count())
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_quantity") * 100).cast("long")).cast("long").as("sum_qty_c"))
+    }),
+    "d_snapshot_scan" -> ((s, dir) => {
+      // Iceberg-style time travel over the snapshot log: per-snapshot
+      // aggregates read the table AS OF each snapshot (metadata resolution —
+      // the asOf-1 read touches only batch-1's data dir)
+      val tbl = snapshotTable(s, dir)
+      def agg(df: DataFrame, id: Long): DataFrame = df
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("snap_id", lit(id))
+      agg(Snapshots.load(s, tbl, asOf = Some(1L)), 1L)
+        .unionByName(agg(Snapshots.load(s, tbl), 2L))
+        .select(col("snap_id"), col("n_docs"), col("sum_chars"))
+    }),
+    "d_incr_scan" -> ((s, dir) =>
+      // incremental (changes-between-snapshots) scan: exactly the rows batch
+      // 2 appended, read from its data dir alone — the CDC feed the
+      // incremental pipeline (Pipeline.runIncremental) consumes per batch
+      Snapshots.changes(s, snapshotTable(s, dir), fromId = 1L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
 
     "q_event_window" -> ((s, dir) => {
       // tumbling time-window aggregation over the events stream table — the
@@ -720,6 +802,12 @@ object SparkEntry {
         .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
       Triples.fromLinkedMentions(withCanon)
     }),
+    "nemo_triples_incr" -> ((s, _) =>
+      // the incremental-maintenance twin of nemo_triples: the SAME fixture
+      // corpus ingested as two delta batches via Pipeline.runIncremental
+      // (snapshot-append stage tables, exactly-once batch commits); the full
+      // triples table must hash-equal the one-shot run's gold-derived oracle
+      incrTriples(s)),
     "nemo_cooc" -> ((s, _) => {
       // KG densification after linking+canonicalization: canonical entities
       // co-mentioned in a sentence, kept when exact-integer lift ≥ 1.0
@@ -960,7 +1048,22 @@ object SparkEntry {
     "nemo_mentions_morph_align_token" -> OracleSql.mentions("tok_forms", "tok_single", "token", "morph-align-token"),
     "nemo_linked" -> OracleSql.linked,
     "nemo_triples" -> OracleSql.triples,
+    // incremental two-batch ingest must land on the SAME full-corpus oracle
+    "nemo_triples_incr" -> OracleSql.triples,
     "nemo_cooc" -> OracleSql.cooc,
+    "q_bloom_join" ->
+      """SELECT l.l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_orderkey""".stripMargin,
+    "d_snapshot_scan" ->
+      """SELECT CAST(1 AS BIGINT) AS snap_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents WHERE doc_id < 250
+        |UNION ALL SELECT CAST(2 AS BIGINT), count(*),
+        |  CAST(sum(n_chars) AS BIGINT) FROM documents""".stripMargin,
+    "d_incr_scan" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 250",
     // Replays the GRFT header fields from the media_ref tail-hex rule
     // (Multimodal.syntheticMedia): code = hv1 % 3 → modality; video frames =
     // 1 + hv2 (framePlan of (1+hv2)·1000 ms); image/video dims = 64 + 4·hv3/4.

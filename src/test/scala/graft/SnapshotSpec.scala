@@ -1,0 +1,156 @@
+package graft
+
+import graft.io.{Snapshots, TableFormat}
+import graft.kg.Canonicalize
+import graft.operators.BloomJoin
+import graft.fixtures.Fixtures
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Snapshot log (time travel / incremental scan / expire), bloom-pruned
+  * joins, incremental CC, and the incremental pipeline's full==delta-union
+  * invariant. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+  }
+
+  test("snapshot append: time travel and incremental scan are exact") {
+    val dir = tmp("graft-snap")
+    val t = s"$dir/tbl"
+    val s1 = Snapshots.commit((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"),
+      t, "id", buckets = 2, stage = "batch-1")
+    val s2 = Snapshots.commit((10L until 25L).map(i => (i, s"b$i")).toDF("id", "v"),
+      t, "id", buckets = 2, stage = "batch-2")
+    assert(s1.id === 1L && s2.id === 2L && s2.parentId === 1L)
+    assert(s1.rows === 10L && s2.rows === 15L)
+    // current = union of both batches
+    assert(Snapshots.load(spark, t).count() === 25L)
+    // time travel to snapshot 1 = first batch only
+    assert(Snapshots.load(spark, t, asOf = Some(1L)).as[(Long, String)]
+      .collect().toSet === (0L until 10L).map(i => (i, s"a$i")).toSet)
+    // incremental scan (1 -> current] = exactly the appended rows
+    assert(Snapshots.changes(spark, t, fromId = 1L).as[(Long, String)]
+      .collect().toSet === (10L until 25L).map(i => (i, s"b$i")).toSet)
+    rm(new java.io.File(dir))
+  }
+
+  test("snapshot overwrite resets lineage; incremental scan across it refuses") {
+    val dir = tmp("graft-snap-ow")
+    val t = s"$dir/tbl"
+    Snapshots.commit(Seq((1L, "x")).toDF("id", "v"), t, "id", 2, "b1")
+    Snapshots.commit(Seq((2L, "y")).toDF("id", "v"), t, "id", 2, "rewrite", op = "overwrite")
+    assert(Snapshots.load(spark, t).as[(Long, String)].collect().toSeq === Seq((2L, "y")))
+    // snapshot 1 still resolves (time travel across the overwrite)
+    assert(Snapshots.load(spark, t, asOf = Some(1L)).as[(Long, String)]
+      .collect().toSeq === Seq((1L, "x")))
+    val e = intercept[IllegalStateException](Snapshots.changes(spark, t, 1L))
+    assert(e.getMessage.contains("overwrite"))
+    rm(new java.io.File(dir))
+  }
+
+  test("expire drops only unreferenced data dirs and keeps current reads intact") {
+    val dir = tmp("graft-snap-exp")
+    val t = s"$dir/tbl"
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), t, "id", 2, "b1")
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), t, "id", 2, "rewrite", op = "overwrite")
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), t, "id", 2, "b3")
+    val removed = Snapshots.expire(t, keepLast = 2)
+    // snapshots 2 and 3 survive; snapshot 1's dir is referenced by NEITHER
+    // (the overwrite dropped it) so it is the single orphan
+    assert(removed === Vector("snap-000001"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, "snap-000001")))
+    assert(Snapshots.load(spark, t).count() === 2L)
+    assert(Snapshots.snapshots(t).map(_.id) === Vector(2L, 3L))
+    intercept[IllegalArgumentException](Snapshots.load(spark, t, asOf = Some(1L)))
+    rm(new java.io.File(dir))
+  }
+
+  test("bloom-pruned join is row-identical to the plain join (long and string keys)") {
+    val r = new Random(7)
+    val big = (0 until 5000).map(_ => (r.nextInt(1000).toLong, r.nextInt(100)))
+      .toDF("k", "payload")
+    val dim = (0 until 200).map(i => (i.toLong * 5, s"d$i")).toDF("dk", "name")
+    val pruned = BloomJoin.prunedJoin(big, "k", dim, "dk", expectedItems = 200)
+    val plain = big.join(dim, col("k") === col("dk"))
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(pruned).count() === 0L)
+    // string keys take the binary probe path
+    val bigS = (0 until 2000).map(i => (s"e${i % 300}", i)).toDF("k", "n")
+    val dimS = (0 until 100).map(i => (s"e${i * 3}", i)).toDF("dk", "m")
+    val prunedS = BloomJoin.prunedJoin(bigS, "k", dimS, "dk", expectedItems = 100)
+    val plainS = bigS.join(dimS, col("k") === col("dk"))
+    assert(prunedS.exceptAll(plainS).count() === 0L)
+    assert(plainS.exceptAll(prunedS).count() === 0L)
+  }
+
+  test("bloom might_contain has no false negatives and prunes most non-keys") {
+    val dim = (0L until 500L).map(i => i * 7).toDF("k")
+    val bloom = BloomJoin.keyBloom(dim, "k", expectedItems = 500, fpp = 0.01)
+    val probe = (0L until 10000L).toDF("k")
+      .withColumn("hit", BloomJoin.mightContain(col("k"), bloom))
+    val hits = probe.filter(col("hit")).select("k").as[Long].collect().toSet
+    // every true key passes
+    assert((0L until 500L).map(_ * 7).forall(hits.contains))
+    // false-positive rate stays near the configured 1%
+    val fp = hits.size - 500
+    assert(fp < 10000 * 0.03, s"false positives too high: $fp")
+  }
+
+  test("property: incremental CC equals full recompute on 8 random edge splits") {
+    val r = new Random(17)
+    for (_ <- 0 until 8) {
+      val n = 8 + r.nextInt(25)
+      val edges = (0 until 10 + r.nextInt(40))
+        .map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.size >= 2) {
+        val cut = 1 + r.nextInt(edges.size - 1)
+        val (oldE, newE) = edges.splitAt(cut)
+        val prev = Canonicalize.connectedComponents(spark, oldE.toDF("src", "dst"))
+        val got = Canonicalize
+          .incrementalComponents(spark, prev, newE.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        val full = Canonicalize.connectedComponents(spark, edges.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === full, s"old=$oldE new=$newE")
+      }
+    }
+  }
+
+  test("runIncremental over a doc split equals runAll over the union, and is idempotent") {
+    val work = tmp("graft-incr")
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    val docs = spark.createDataset(Fixtures.inputDocs(24))
+    val full = Pipeline.runAll(spark, docs, dict, s"$work/full", buckets = 2)
+
+    val firstHalf = docs.filter(d => d.doc_id < "doc-000012")
+    val secondHalf = docs.filter(d => d.doc_id >= "doc-000012")
+    val after1 = Pipeline.runIncremental(spark, firstHalf, dict,
+      s"$work/incr", batchId = "b1", buckets = 2)
+    val n1 = after1.count()
+    assert(n1 > 0)
+    val after2 = Pipeline.runIncremental(spark, secondHalf, dict,
+      s"$work/incr", batchId = "b2", buckets = 2)
+    assert(after2.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(after2).count() === 0L)
+    // exactly-once: re-running batch b2 commits nothing new
+    val snapsBefore = Snapshots.snapshots(s"$work/incr/triples").map(_.id)
+    val again = Pipeline.runIncremental(spark, secondHalf, dict,
+      s"$work/incr", batchId = "b2", buckets = 2)
+    assert(Snapshots.snapshots(s"$work/incr/triples").map(_.id) === snapsBefore)
+    assert(again.count() === after2.count())
+    // per-stage snapshot logs carry one append per batch, entities one dict commit
+    for (st <- Seq("docs_labeled", "mentions", "linked", "triples"))
+      assert(Snapshots.snapshots(s"$work/incr/$st").map(_.stage) === Vector("b1", "b2"), st)
+    assert(Snapshots.snapshots(s"$work/incr/entities").map(_.stage) === Vector("dict"))
+    rm(new java.io.File(work))
+  }
+}
