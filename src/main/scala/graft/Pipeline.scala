@@ -360,15 +360,8 @@ object Pipeline {
       }
     // dictionary content fingerprint — linked/entities/triples are functions
     // of the dict, so resuming with a DIFFERENT dictionary must rebuild them
-    // (same contract as models_fp). Order-independent sum of per-row hashes:
-    // one cheap aggregate regardless of dict size.
-    val dictFp = {
-      val r = dict
-        .select(xxhash64(dict.columns.map(col): _*).as("h"))
-        // decimal sum: a long Σ of 64-bit hashes overflows (ANSI throws)
-        .agg(sum(col("h").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n")).head()
-      s"${r.get(0)}_${r.getLong(1)}"
-    }
+    // (same contract as models_fp).
+    val dictFp = dictFingerprint(dict)
 
     // (a) docs_labeled — model-dependent: fingerprint gates the resume
     stage(paths.docsLabeled, manifestField(paths.docsLabeled, "models_fp").contains(fp)) {
@@ -412,6 +405,16 @@ object Pipeline {
   }
 
   // ---------- G7 incremental: snapshot-append delta batches ----------
+
+  /** Order-independent dictionary content fingerprint: one cheap aggregate
+    * regardless of dict size (sum of per-row xxhash64 in DECIMAL — a long Σ
+    * of 64-bit hashes overflows, and ANSI mode would throw mid-job). */
+  private def dictFingerprint(dict: DataFrame): String = {
+    val r = dict
+      .select(xxhash64(dict.columns.map(col): _*).as("h"))
+      .agg(sum(col("h").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n")).head()
+    s"${r.get(0)}_${r.getLong(1)}"
+  }
 
   /** Incremental KG maintenance: process ONE new batch of documents and
     * append its outputs to every stage table, without touching (or even
@@ -464,11 +467,25 @@ object Pipeline {
       else Snapshots.changes(spark, table, snap.parentId, Some(snap.id))
     }
 
-    // (0) entities — dict-only, committed once (the static-dict contract;
-    // a different dict is a different workDir or an incrementalCanonicalize)
-    if (Snapshots.current(paths.entities).isEmpty)
-      Snapshots.commit(Canonicalize.canonicalize(spark, dict),
-        paths.entities, "entity_id", buckets, stage = "dict")
+    // (0) entities — dict-only, committed once under the dict's content
+    // fingerprint. The static-dict contract is ENFORCED, not assumed: a later
+    // batch arriving with a different dictionary would silently link against
+    // stale canonical ids (and the already-emitted triples of prior batches
+    // would be stale too — append-only cannot express that rewrite), so it
+    // fails loudly with the recovery options instead.
+    val dictFp = dictFingerprint(dict)
+    Snapshots.current(paths.entities) match {
+      case None =>
+        Snapshots.commit(Canonicalize.canonicalize(spark, dict),
+          paths.entities, "entity_id", buckets, stage = s"dict:$dictFp")
+      case Some(snap) if snap.stage != s"dict:$dictFp" =>
+        throw new IllegalStateException(
+          s"dictionary changed since ${paths.entities} was built (${snap.stage} != dict:$dictFp); " +
+          "a grown dict changes canonicalization RETROACTIVELY — rebuild via runAll " +
+          "into a fresh workDir, or fold the delta with Canonicalize.incrementalComponents " +
+          "and recompute the affected components' triples")
+      case _ => ()
+    }
     val entities = Snapshots.load(spark, paths.entities)
 
     // (a) annotate ONLY the delta docs

@@ -141,11 +141,15 @@ object Snapshots {
 
   /** Union-read a snapshot's data dirs. An empty dir list (fresh overwrite of
     * nothing — impossible today but cheap to guard) and the empty-stage case
-    * both fall back to the schema snapshot via TableFormat.load. */
+    * both fall back to the schema snapshot via TableFormat.load.
+    * `allowMissingColumns`: schema evolution by ADDED column — an old data
+    * dir written before the column existed reads as null for it (Iceberg's
+    * add-column semantics); renames/drops stay breaking, as they should. */
   private def readDirs(spark: SparkSession, tableDir: String,
                        dirs: Seq[String]): DataFrame = {
     require(dirs.nonEmpty, s"snapshot of $tableDir references no data dirs")
-    dirs.map(d => TableFormat.load(spark, s"$tableDir/$d")).reduce(_ unionByName _)
+    dirs.map(d => TableFormat.load(spark, s"$tableDir/$d"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ---- log serialization (writer-controlled: stage is the only free-text

@@ -72,6 +72,33 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(dir))
   }
 
+  test("schema evolution: a column added in a later snapshot reads as null for old rows") {
+    val dir = tmp("graft-snap-evo")
+    val t = s"$dir/tbl"
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), t, "id", 2, "b1")
+    Snapshots.commit(Seq((2L, "b", 9L)).toDF("id", "v", "extra"), t, "id", 2, "b2")
+    val rows = Snapshots.load(spark, t)
+      .select("id", "v", "extra").as[(Long, String, Option[Long])].collect().toSet
+    assert(rows === Set((1L, "a", None), (2L, "b", Some(9L))))
+    // time travel to the pre-evolution snapshot shows the old schema
+    assert(Snapshots.load(spark, t, asOf = Some(1L)).columns.toSeq === Seq("id", "v"))
+    rm(new java.io.File(dir))
+  }
+
+  test("runIncremental refuses a changed dictionary (stale-canonicalization guard)") {
+    val work = tmp("graft-incr-dict")
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    val docs = spark.createDataset(Fixtures.inputDocs(6))
+    Pipeline.runIncremental(spark, docs, dict, work, batchId = "b1", buckets = 2)
+    val grown = dict.unionByName(dict.limit(1)
+      .withColumn("entity_id", lit(999999L))
+      .withColumn("canonical", lit("brand new entity")))
+    val e = intercept[IllegalStateException](
+      Pipeline.runIncremental(spark, docs, grown, work, batchId = "b2", buckets = 2))
+    assert(e.getMessage.contains("dictionary changed"))
+    rm(new java.io.File(work))
+  }
+
   test("bloom-pruned join is row-identical to the plain join (long and string keys)") {
     val r = new Random(7)
     val big = (0 until 5000).map(_ => (r.nextInt(1000).toLong, r.nextInt(100)))
@@ -150,7 +177,8 @@ class SnapshotSpec extends AnyFunSuite {
     // per-stage snapshot logs carry one append per batch, entities one dict commit
     for (st <- Seq("docs_labeled", "mentions", "linked", "triples"))
       assert(Snapshots.snapshots(s"$work/incr/$st").map(_.stage) === Vector("b1", "b2"), st)
-    assert(Snapshots.snapshots(s"$work/incr/entities").map(_.stage) === Vector("dict"))
+    val entStages = Snapshots.snapshots(s"$work/incr/entities").map(_.stage)
+    assert(entStages.size === 1 && entStages.head.startsWith("dict:"), entStages)
     rm(new java.io.File(work))
   }
 }
