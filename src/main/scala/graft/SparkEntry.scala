@@ -394,6 +394,24 @@ object SparkEntry {
       // incremental pipeline (Pipeline.runIncremental) consumes per batch
       Snapshots.changes(s, snapshotTable(s, dir), fromId = 1L)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    "d_snapshot_rewrite" -> ((s, dir) => {
+      // compaction (rewrite_data_files): two append batches merged into ONE
+      // data dir by an overwrite snapshot — its OWN table (never the shared
+      // snapshotTable: d_incr_scan's incremental scan must keep an
+      // append-only history). n_dirs comes from the ENGINE's snapshot log;
+      // the oracle pins it to 1, so the hash check verifies the compaction
+      // actually compacted AND preserved every row.
+      val tbl = java.nio.file.Files.createTempDirectory("graft-snaprw").toString + "/documents"
+      val docs = t(s, dir, "documents")
+      Snapshots.commit(docs.filter(col("doc_id") < 100), tbl, "doc_id", buckets = 8, stage = "b1")
+      Snapshots.commit(docs.filter(col("doc_id") >= 100), tbl, "doc_id", buckets = 8, stage = "b2")
+      val snap = Snapshots.rewrite(s, tbl, "doc_id", buckets = 8)
+      Snapshots.load(s, tbl)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("op", lit(snap.op))
+        .withColumn("n_dirs", lit(snap.dirs.size.toLong))
+        .select(col("op"), col("n_dirs"), col("n_docs"), col("sum_chars"))
+    }),
 
     "q_event_window" -> ((s, dir) => {
       // tumbling time-window aggregation over the events stream table — the
@@ -1064,6 +1082,9 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) FROM documents""".stripMargin,
     "d_incr_scan" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 250",
+    "d_snapshot_rewrite" ->
+      """SELECT 'overwrite' AS op, CAST(1 AS BIGINT) AS n_dirs, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents""".stripMargin,
     // Replays the GRFT header fields from the media_ref tail-hex rule
     // (Multimodal.syntheticMedia): code = hv1 % 3 → modality; video frames =
     // 1 + hv2 (framePlan of (1+hv2)·1000 ms); image/video dims = 64 + 4·hv3/4.

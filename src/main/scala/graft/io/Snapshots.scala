@@ -105,6 +105,23 @@ object Snapshots {
     readDirs(spark, tableDir, newDirs)
   }
 
+  /** Compaction (Iceberg's rewrite_data_files): merge the current snapshot's
+    * data dirs into ONE fresh dir, committed as an `overwrite` snapshot with
+    * identical rows. Bounds the per-read dir count an append-only ingest
+    * grows without losing history: older snapshots stay time-travelable
+    * until [[expire]] reclaims their dirs. Readers of the pre-rewrite
+    * snapshots are unaffected (their dirs are immutable); incremental scans
+    * cannot span the rewrite (op=overwrite — callers checkpoint their last
+    * consumed snapshot BEFORE compaction windows, the same contract as
+    * Iceberg's incremental append scan). */
+  def rewrite(spark: SparkSession, tableDir: String, keyCol: String,
+              buckets: Int = 32, stage: String = "rewrite"): Snapshot = {
+    val cur = current(tableDir)
+      .getOrElse(throw new IllegalStateException(s"$tableDir has no snapshots to rewrite"))
+    if (cur.dirs.size == 1) cur // already compact — no-op, no empty commit
+    else commit(load(spark, tableDir), tableDir, keyCol, buckets, stage, op = "overwrite")
+  }
+
   /** Expire snapshots older than the last `keepLast`, deleting data dirs no
     * surviving snapshot references (Iceberg's expire_snapshots + orphan file
     * cleanup collapsed into one step — safe here because the log atomically

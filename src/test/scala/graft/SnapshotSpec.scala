@@ -72,6 +72,27 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(dir))
   }
 
+  test("rewrite compacts to one dir with identical rows; history survives until expire") {
+    val dir = tmp("graft-snap-rw")
+    val t = s"$dir/tbl"
+    Snapshots.commit((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"), t, "id", 2, "b1")
+    Snapshots.commit((10L until 25L).map(i => (i, s"b$i")).toDF("id", "v"), t, "id", 2, "b2")
+    val before = Snapshots.load(spark, t).as[(Long, String)].collect().toSet
+    val rw = Snapshots.rewrite(spark, t, "id", buckets = 2)
+    assert(rw.id === 3L && rw.op === "overwrite" && rw.dirs.size === 1)
+    assert(Snapshots.load(spark, t).as[(Long, String)].collect().toSet === before)
+    // pre-rewrite snapshots still time-travel; incremental across it refuses
+    assert(Snapshots.load(spark, t, asOf = Some(1L)).count() === 10L)
+    intercept[IllegalStateException](Snapshots.changes(spark, t, 1L))
+    // a second rewrite is a no-op (no empty commit)
+    assert(Snapshots.rewrite(spark, t, "id", buckets = 2).id === 3L)
+    // expire reclaims the two pre-rewrite dirs, reads stay intact
+    val removed = Snapshots.expire(t, keepLast = 1)
+    assert(removed.toSet === Set("snap-000001", "snap-000002"))
+    assert(Snapshots.load(spark, t).as[(Long, String)].collect().toSet === before)
+    rm(new java.io.File(dir))
+  }
+
   test("schema evolution: a column added in a later snapshot reads as null for old rows") {
     val dir = tmp("graft-snap-evo")
     val t = s"$dir/tbl"
