@@ -194,6 +194,33 @@ object SparkEntry {
       }
     }
 
+  /** Stats-snapshot ingest artifact: the documents table committed as FOUR
+    * append snapshots split by contiguous doc_id ranges, each dir carrying
+    * min/max column stats (`statsCols`) — the key-ordered-ingest shape under
+    * which Iceberg-style bounds pruning skips whole batch dirs. Built once
+    * per (session, sfDir), like snapshotTable. */
+  private val statsSnapCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  private def statsSnapshotTable(s: SparkSession, dir: String): String =
+    statsSnapCache.synchronized {
+      val cached = statsSnapCache.get(s)
+      if (cached != null && cached._1 == dir) cached._2
+      else {
+        val tbl = java.nio.file.Files.createTempDirectory("graft-statstbl").toString + "/documents"
+        val docs = t(s, dir, "documents")
+        val cuts = Seq((0L, 125L, "b1"), (125L, 250L, "b2"), (250L, 375L, "b3"))
+        cuts.foreach { case (lo, hi, st) =>
+          Snapshots.commit(docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            tbl, "doc_id", buckets = 8, stage = st, statsCols = Seq("doc_id"))
+        }
+        Snapshots.commit(docs.filter(col("doc_id") >= 375L), tbl, "doc_id",
+          buckets = 8, stage = "b4", statsCols = Seq("doc_id"))
+        statsSnapCache.put(s, (dir, tbl)); evictOnStop(statsSnapCache, s)
+        tbl
+      }
+    }
+
   /** Incremental-pipeline triples artifact: the fixture corpus ingested as
     * two delta batches through Pipeline.runIncremental (snapshot-append
     * stage tables) — the resulting FULL triples table must hash-equal the
@@ -411,6 +438,20 @@ object SparkEntry {
         .withColumn("op", lit(snap.op))
         .withColumn("n_dirs", lit(snap.dirs.size.toLong))
         .select(col("op"), col("n_dirs"), col("n_docs"), col("sum_chars"))
+    }),
+
+    "d_stats_prune" -> ((s, dir) => {
+      // column-stats data skipping (Iceberg manifest bounds): doc_id ∈
+      // [130, 240] over a 4-batch key-range-ingested snapshot table must plan
+      // a read of exactly ONE data dir — n_dirs_read comes from the ENGINE's
+      // pruneDirs plan and the oracle pins it to 1, so the hash check
+      // verifies the skipping actually skipped AND the survivors' exact
+      // filter returned precisely the full-scan answer
+      val tbl = statsSnapshotTable(s, dir)
+      val kept = Snapshots.pruneDirs(tbl, "doc_id", 130L, 240L)._1
+      Snapshots.loadPruned(s, tbl, "doc_id", 130L, 240L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("n_dirs_read", lit(kept.size.toLong))
     }),
 
     "q_event_window" -> ((s, dir) => {
@@ -1085,6 +1126,9 @@ object SparkEntry {
     "d_snapshot_rewrite" ->
       """SELECT 'overwrite' AS op, CAST(1 AS BIGINT) AS n_dirs, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents""".stripMargin,
+    "d_stats_prune" ->
+      """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS n_dirs_read
+        |FROM documents WHERE doc_id BETWEEN 130 AND 240""".stripMargin,
     // Replays the GRFT header fields from the media_ref tail-hex rule
     // (Multimodal.syntheticMedia): code = hv1 % 3 → modality; video frames =
     // 1 + hv2 (framePlan of (1+hv2)·1000 ms); image/video dims = 64 + 4·hv3/4.

@@ -34,20 +34,39 @@ object Snapshots {
                             dirs: Vector[String], stage: String,
                             rows: Long, tsMs: Long)
 
+  /** Per-data-dir column bounds (Iceberg's manifest `lower_bounds` /
+    * `upper_bounds`, per data dir instead of per data file). `typ` is
+    * "long" or "string"; min/max are the rendered values (longs in decimal).
+    * Nulls in the column are counted separately and never fold into the
+    * bounds, so a pruned scan with a range predicate (which no null row can
+    * satisfy) stays exact. */
+  final case class ColumnStats(col: String, typ: String,
+                               min: String, max: String, nulls: Long)
+
   private val Log = "_snapshots.jsonl"
+  private val StatsFile = "_stats.jsonl"
 
   /** Append-only ingest commit: the new rows land in their own data dir; the
     * new snapshot references parent dirs + the new one. Returns the snapshot.
-    * `op = "overwrite"` starts a fresh dir list (full rewrite semantics). */
+    * `op = "overwrite"` starts a fresh dir list (full rewrite semantics).
+    * `statsCols`: record per-dir min/max bounds for these columns in the
+    * dir's `_stats.jsonl` sidecar — the metadata [[loadPruned]] consults to
+    * skip whole dirs at scan-planning time (Iceberg's data-skipping stats).
+    * Bounds come from the WRITTEN dir (one column-pruned agg over the new
+    * dir only — with parquet aggregate pushdown this is footer-priced; it is
+    * never a re-read of the whole table), so they are ground truth even when
+    * `df` is nondeterministic. */
   def commit(df: DataFrame, tableDir: String, keyCol: String,
              buckets: Int = 32, stage: String = "",
-             op: String = "append"): Snapshot = {
+             op: String = "append", statsCols: Seq[String] = Nil): Snapshot = {
     require(op == "append" || op == "overwrite", s"unknown snapshot op: $op")
     val prior = snapshots(tableDir)
     val id = prior.lastOption.map(_.id + 1).getOrElse(1L)
     val dirName = f"snap-$id%06d"
     TableFormat.save(df, s"$tableDir/$dirName", keyCol, buckets,
       stage = if (stage.isEmpty) s"snapshot-$id" else stage)
+    if (statsCols.nonEmpty)
+      writeStats(df.sparkSession, s"$tableDir/$dirName", statsCols)
     val rows = dirRows(s"$tableDir/$dirName")
     val parentDirs =
       if (op == "overwrite") Vector.empty
@@ -105,6 +124,110 @@ object Snapshots {
     readDirs(spark, tableDir, newDirs)
   }
 
+  // ---- column-stats data skipping (Iceberg manifest bounds, per dir) ----
+
+  /** Compute and write the `_stats.jsonl` sidecar for one data dir: one
+    * min/max/null-count line per stats column, from a single column-pruned
+    * aggregate over that dir alone. Long (any integral) and string columns
+    * only — fail loudly on anything else rather than record bounds whose
+    * comparison semantics differ between engines (floats, timestamps). */
+  private def writeStats(spark: SparkSession, dataDir: String,
+                         cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType, StringType}
+    val df = TableFormat.load(spark, dataDir)
+    val typs = cols.map { c =>
+      df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"stats column $c not in ${df.columns.mkString(",")}")
+      ).dataType match {
+        case IntegerType | LongType | ShortType | ByteType => "long"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"stats column $c has unsupported type $other (long/string only)")
+      }
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"),
+          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"nulls_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("n"), aggs: _*).collect()(0)
+    val empty = row.getAs[Long]("n") == 0L
+    val body = cols.zip(typs).map { case (c, t) =>
+      val nulls = if (empty) 0L else row.getAs[Long](s"nulls_$c")
+      val (mn, mx) =
+        if (empty || row.getAs[String](s"min_$c") == null) ("", "") // all-null or empty dir
+        else (row.getAs[String](s"min_$c"), row.getAs[String](s"max_$c"))
+      s"""{"col": "${esc(c)}", "type": "$t", "min": "${esc(mn)}", """ +
+        s""""max": "${esc(mx)}", "nulls": $nulls}"""
+    }.mkString("", "\n", "\n")
+    Files.writeString(Paths.get(dataDir, StatsFile), body)
+  }
+
+  /** The stats sidecar of one data dir, or None if it was committed without
+    * stats (pre-stats dirs are never prunable — [[pruneDirs]] keeps them). */
+  def stats(tableDir: String, dirName: String): Option[Vector[ColumnStats]] = {
+    val p = Paths.get(tableDir, dirName, StatsFile)
+    if (!Files.exists(p)) None
+    else Some(Files.readAllLines(p).asScala.iterator
+      .filter(_.nonEmpty).map(parseStatsLine).toVector)
+  }
+
+  /** Scan planning with data skipping: of the snapshot's dirs, which can
+    * contain a row with `col` in [lo, hi] (inclusive)? Returns (kept, all).
+    * A dir is SKIPPED only when its recorded bounds prove `[min, max]` and
+    * `[lo, hi]` are disjoint; an empty or all-null dir records empty bounds
+    * and is also skipped (no null row satisfies a range predicate). Missing
+    * sidecar or missing column ⇒ kept (never a wrong answer, only a wasted
+    * read). Type mismatch between the bound and the recorded stats fails
+    * loudly — a miswired predicate must not silently degrade every scan to
+    * full. */
+  def pruneDirs(tableDir: String, colName: String, lo: Any, hi: Any,
+                asOf: Option[Long] = None): (Vector[String], Vector[String]) = {
+    val snap = resolve(tableDir, asOf)
+    val (boundTyp, loS, hiS) = (lo, hi) match {
+      case (a: Long, b: Long)     => ("long", a.toString, b.toString)
+      case (a: Int, b: Int)       => ("long", a.toString, b.toString)
+      case (a: String, b: String) => ("string", a, b)
+      case other => throw new IllegalArgumentException(
+        s"pruneDirs bounds must be both Long/Int or both String, got $other")
+    }
+    val kept = snap.dirs.filter { d =>
+      stats(tableDir, d).flatMap(_.find(_.col == colName)) match {
+        case None => true // no stats recorded — cannot prune, must read
+        case Some(cs) =>
+          require(cs.typ == boundTyp,
+            s"stats for $colName in $d are ${cs.typ}, bounds are $boundTyp")
+          if (cs.min.isEmpty && cs.max.isEmpty) false // empty or all-null dir
+          else if (boundTyp == "long")
+            !(cs.max.toLong < loS.toLong || cs.min.toLong > hiS.toLong)
+          else !(cs.max < loS || cs.min > hiS)
+      }
+    }
+    (kept, snap.dirs)
+  }
+
+  /** Range scan with dir-level data skipping: resolve the snapshot, drop
+    * every dir whose recorded bounds cannot intersect [lo, hi], union-read
+    * the survivors, and apply the EXACT predicate (stats pruning is a
+    * superset guarantee, not a filter). At 10^12 docs with ingest batches
+    * arriving roughly key-ordered this is the difference between reading one
+    * batch dir and reading the table — the same lever as Iceberg's
+    * min/max-based file skipping, and it composes with the per-dir bucket
+    * pruning TableFormat.lookup already does. */
+  def loadPruned(spark: SparkSession, tableDir: String, colName: String,
+                 lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, all) = pruneDirs(tableDir, colName, lo, hi, asOf)
+    val exact = (df: DataFrame) =>
+      df.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    if (kept.isEmpty)
+      // nothing can match: keep the schema (read one dir's metadata, emit 0
+      // rows — the lit(false) filter prunes at the source)
+      exact(readDirs(spark, tableDir, all.take(1)).filter(lit(false)))
+    else exact(readDirs(spark, tableDir, kept))
+  }
+
   /** Compaction (Iceberg's rewrite_data_files): merge the current snapshot's
     * data dirs into ONE fresh dir, committed as an `overwrite` snapshot with
     * identical rows. Bounds the per-read dir count an append-only ingest
@@ -115,11 +238,13 @@ object Snapshots {
     * consumed snapshot BEFORE compaction windows, the same contract as
     * Iceberg's incremental append scan). */
   def rewrite(spark: SparkSession, tableDir: String, keyCol: String,
-              buckets: Int = 32, stage: String = "rewrite"): Snapshot = {
+              buckets: Int = 32, stage: String = "rewrite",
+              statsCols: Seq[String] = Nil): Snapshot = {
     val cur = current(tableDir)
       .getOrElse(throw new IllegalStateException(s"$tableDir has no snapshots to rewrite"))
     if (cur.dirs.size == 1) cur // already compact — no-op, no empty commit
-    else commit(load(spark, tableDir), tableDir, keyCol, buckets, stage, op = "overwrite")
+    else commit(load(spark, tableDir), tableDir, keyCol, buckets, stage,
+      op = "overwrite", statsCols = statsCols)
   }
 
   /** Expire snapshots older than the last `keepLast`, deleting data dirs no
@@ -195,6 +320,20 @@ object Snapshots {
   private val LineRe =
     ("""\{"id": (\d+), "parent": (\d+), "op": "(\w+)", "dirs": \[([^\]]*)\], """ +
      """"stage": "((?:[^"\\]|\\.)*)", "rows": (\d+), "ts_ms": (\d+)\}""").r
+
+  private val StatsRe =
+    ("""\{"col": "((?:[^"\\]|\\.)*)", "type": "(\w+)", "min": "((?:[^"\\]|\\.)*)", """ +
+     """"max": "((?:[^"\\]|\\.)*)", "nulls": (\d+)\}""").r
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def parseStatsLine(line: String): ColumnStats = line match {
+    case StatsRe(c, t, mn, mx, n) =>
+      ColumnStats(unesc(c), t, unesc(mn), unesc(mx), n.toLong)
+    case other =>
+      throw new IllegalStateException(s"malformed stats line: $other")
+  }
 
   private def parseLine(line: String): Snapshot = line match {
     case LineRe(id, parent, op, dirs, stage, rows, ts) =>

@@ -202,4 +202,83 @@ class SnapshotSpec extends AnyFunSuite {
     assert(entStages.size === 1 && entStages.head.startsWith("dict:"), entStages)
     rm(new java.io.File(work))
   }
+
+  test("column stats sidecar: bounds, null count, and string columns round-trip") {
+    val dir = tmp("graft-stats")
+    val t = s"$dir/tbl"
+    val rows = Seq((5L, "mm"), (17L, "aa"), (9L, null)).toDF("id", "v")
+    Snapshots.commit(rows, t, "id", buckets = 2, stage = "b1",
+      statsCols = Seq("id", "v"))
+    val st = Snapshots.stats(t, "snap-000001").get
+    val idS = st.find(_.col == "id").get
+    assert(idS.typ === "long" && idS.min === "5" && idS.max === "17" && idS.nulls === 0L)
+    val vS = st.find(_.col == "v").get
+    assert(vS.typ === "string" && vS.min === "aa" && vS.max === "mm" && vS.nulls === 1L)
+    // a dir committed WITHOUT stats has no sidecar and is never prunable
+    Snapshots.commit(Seq((100L, "z")).toDF("id", "v"), t, "id", 2, "b2")
+    assert(Snapshots.stats(t, "snap-000002").isEmpty)
+    val (kept, all) = Snapshots.pruneDirs(t, "id", 0L, 1L)
+    assert(all.size === 2 && kept === Vector("snap-000002"), kept)
+    rm(new java.io.File(dir))
+  }
+
+  test("stats-pruned scan: equals the full-scan filter, skips disjoint dirs") {
+    val dir = tmp("graft-stats-prune")
+    val t = s"$dir/tbl"
+    // key-range-ordered ingest: four batches over [0,40), plus an all-null dir
+    val batches = Seq(0L until 10L, 10L until 20L, 20L until 30L, 30L until 40L)
+    batches.foreach { r =>
+      Snapshots.commit(r.map(i => (i, s"v$i")).toDF("id", "v"), t, "id",
+        buckets = 2, stage = s"b${r.head / 10}", statsCols = Seq("id"))
+    }
+    Snapshots.commit(Seq((null.asInstanceOf[java.lang.Long], "orphan"))
+        .toDF("id", "v"), t, "id", buckets = 2, stage = "nulls",
+      statsCols = Seq("id"))
+    // [12, 27] overlaps exactly batches 2 and 3; the null dir is skippable
+    // (no null row satisfies a range predicate)
+    val (kept, all) = Snapshots.pruneDirs(t, "id", 12L, 27L)
+    assert(all.size === 5 && kept === Vector("snap-000002", "snap-000003"), kept)
+    val pruned = Snapshots.loadPruned(spark, t, "id", 12L, 27L)
+      .as[(Long, String)].collect().toSet
+    assert(pruned === (12L to 27L).map(i => (i, s"v$i")).toSet)
+    // inclusive-bound edges: lo == a dir max and hi == a dir min both keep
+    assert(Snapshots.pruneDirs(t, "id", 9L, 10L)._1 ===
+      Vector("snap-000001", "snap-000002"))
+    // disjoint range: zero dirs kept, scan returns zero rows with the schema
+    val (none, _) = Snapshots.pruneDirs(t, "id", 100L, 200L)
+    assert(none.isEmpty)
+    val empty = Snapshots.loadPruned(spark, t, "id", 100L, 200L)
+    assert(empty.columns.toSeq === Seq("id", "v") && empty.count() === 0L)
+    // string-bound pruning over string stats
+    val (sKept, _) = Snapshots.pruneDirs(t, "v", "v12", "v27")
+    assert(sKept.nonEmpty) // v-stats absent → every dir kept, never pruned wrong
+    // type mismatch between bounds and recorded stats fails loudly
+    val e = intercept[IllegalArgumentException](
+      Snapshots.pruneDirs(t, "id", "a", "b"))
+    assert(e.getMessage.contains("long"))
+    rm(new java.io.File(dir))
+  }
+
+  test("stats survive rewrite; pruned scan equals filter on a random split") {
+    val dir = tmp("graft-stats-rw")
+    val t = s"$dir/tbl"
+    val rnd = new Random(7)
+    val ids = rnd.shuffle((0L until 60L).toVector)
+    // UNORDERED ingest: each batch holds a random id subset, so batch bound
+    // ranges overlap — pruning keeps several dirs and must still be exact
+    ids.grouped(15).zipWithIndex.foreach { case (g, i) =>
+      Snapshots.commit(g.map(x => (x, s"v$x")).toDF("id", "v"), t, "id",
+        buckets = 2, stage = s"b$i", statsCols = Seq("id"))
+    }
+    val expect = (10L to 35L).map(i => (i, s"v$i")).toSet
+    assert(Snapshots.loadPruned(spark, t, "id", 10L, 35L)
+      .as[(Long, String)].collect().toSet === expect)
+    // compaction re-derives stats for the merged dir when asked
+    val rw = Snapshots.rewrite(spark, t, "id", buckets = 2, statsCols = Seq("id"))
+    val rwStats = Snapshots.stats(t, rw.dirs.head).get.find(_.col == "id").get
+    assert(rwStats.min === "0" && rwStats.max === "59")
+    assert(Snapshots.loadPruned(spark, t, "id", 10L, 35L)
+      .as[(Long, String)].collect().toSet === expect)
+    rm(new java.io.File(dir))
+  }
 }
