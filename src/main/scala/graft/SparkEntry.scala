@@ -221,6 +221,33 @@ object SparkEntry {
       }
     }
 
+  /** Clustered-rewrite artifact: the documents table ingested in TWO
+    * doc_id-ordered batches, then sort-order-compacted on n_chars (fixed
+    * splits 150/300/450 → 4 range slices) — the Iceberg rewrite-with-sort
+    * shape that makes a SECOND column prunable after a primary-key-ordered
+    * ingest. Its own table (never the shared statsSnapshotTable — the
+    * overwrite would change d_stats_prune's pinned dir count). */
+  private val clusterSnapCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  private def clusterSnapshotTable(s: SparkSession, dir: String): String =
+    clusterSnapCache.synchronized {
+      val cached = clusterSnapCache.get(s)
+      if (cached != null && cached._1 == dir) cached._2
+      else {
+        val tbl = java.nio.file.Files.createTempDirectory("graft-clustbl").toString + "/documents"
+        val docs = t(s, dir, "documents")
+        Snapshots.commit(docs.filter(col("doc_id") < 250), tbl, "doc_id",
+          buckets = 8, stage = "b1", statsCols = Seq("doc_id"))
+        Snapshots.commit(docs.filter(col("doc_id") >= 250), tbl, "doc_id",
+          buckets = 8, stage = "b2", statsCols = Seq("doc_id"))
+        Snapshots.rewriteClustered(s, tbl, "doc_id", "n_chars",
+          splits = Seq(150L, 300L, 450L), buckets = 8)
+        clusterSnapCache.put(s, (dir, tbl)); evictOnStop(clusterSnapCache, s)
+        tbl
+      }
+    }
+
   /** Incremental-pipeline triples artifact: the fixture corpus ingested as
     * two delta batches through Pipeline.runIncremental (snapshot-append
     * stage tables) — the resulting FULL triples table must hash-equal the
@@ -450,6 +477,20 @@ object SparkEntry {
       val tbl = statsSnapshotTable(s, dir)
       val kept = Snapshots.pruneDirs(tbl, "doc_id", 130L, 240L)._1
       Snapshots.loadPruned(s, tbl, "doc_id", 130L, 240L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("n_dirs_read", lit(kept.size.toLong))
+    }),
+
+    "d_cluster_prune" -> ((s, dir) => {
+      // sort-order compaction (Iceberg rewrite with sort order): after a
+      // doc_id-ordered ingest is re-clustered into n_chars range slices, a
+      // RANGE PREDICATE ON THE SECOND COLUMN must plan a one-dir read —
+      // n_chars ∈ [180, 280] ⊂ slice (150, 300]. The oracle pins
+      // n_dirs_read=1, so the hash verifies both the re-clustering and the
+      // exactness of the pruned answer
+      val tbl = clusterSnapshotTable(s, dir)
+      val kept = Snapshots.pruneDirs(tbl, "n_chars", 180L, 280L)._1
+      Snapshots.loadPruned(s, tbl, "n_chars", 180L, 280L)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("n_dirs_read", lit(kept.size.toLong))
     }),
@@ -1129,6 +1170,9 @@ object SparkEntry {
     "d_stats_prune" ->
       """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS n_dirs_read
         |FROM documents WHERE doc_id BETWEEN 130 AND 240""".stripMargin,
+    "d_cluster_prune" ->
+      """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS n_dirs_read
+        |FROM documents WHERE n_chars BETWEEN 180 AND 280""".stripMargin,
     // Replays the GRFT header fields from the media_ref tail-hex rule
     // (Multimodal.syntheticMedia): code = hv1 % 3 → modality; video frames =
     // 1 + hv2 (framePlan of (1+hv2)·1000 ms); image/video dims = 64 + 4·hv3/4.

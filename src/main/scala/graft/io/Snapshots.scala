@@ -247,6 +247,59 @@ object Snapshots {
       op = "overwrite", statsCols = statsCols)
   }
 
+  /** Sort-order compaction (Iceberg's rewrite_data_files WITH a sort order):
+    * re-shard the current snapshot into one data dir per `clusterCol` range
+    * — boundaries are caller-given (deterministic; no sampling, unlike
+    * repartitionByRange) — each dir carrying bounds stats, committed as ONE
+    * overwrite snapshot whose dir list is the slice set. After a clustered
+    * rewrite, [[loadPruned]] on `clusterCol` reads only the slices whose
+    * range intersects the predicate: data skipping on a SECOND column even
+    * when ingest order followed the primary key, which is exactly why
+    * Iceberg re-sorts files. `splits = Seq(s0, s1, …)` yields slices
+    * (−∞, s0], (s0, s1], …, (sLast, ∞); rows with a NULL cluster value ride
+    * in slice 0 (nulls-first), where they are invisible to range pruning
+    * (no null satisfies a range predicate) but preserved for full scans.
+    * Empty slices still commit (their empty bounds make them free to skip),
+    * keeping the dir count deterministic. */
+  def rewriteClustered(spark: SparkSession, tableDir: String, keyCol: String,
+                       clusterCol: String, splits: Seq[Long],
+                       buckets: Int = 32, stage: String = "cluster",
+                       statsCols: Seq[String] = Nil): Snapshot = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(splits.nonEmpty, "rewriteClustered needs at least one split point")
+    require(splits == splits.sorted && splits.distinct == splits,
+      s"splits must be strictly increasing: $splits")
+    val prior = snapshots(tableDir)
+    require(prior.nonEmpty, s"$tableDir has no snapshots to rewrite")
+    val df = load(spark, tableDir)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val clusterTyp = df.schema.find(_.name == clusterCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cluster column $clusterCol not in ${df.columns.mkString(",")}"))
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(clusterTyp),
+      s"cluster column $clusterCol must be integral (Long splits), got $clusterTyp")
+    val id = prior.last.id + 1
+    val c = col(clusterCol)
+    val mids = splits.sliding(2).collect {
+      case Seq(lo, hi) => c > lit(lo) && c <= lit(hi)
+    }.toSeq
+    val slices: Seq[org.apache.spark.sql.Column] =
+      (c.isNull || c <= lit(splits.head)) +: mids :+ (c > lit(splits.last))
+    val wantStats = (clusterCol +: statsCols).distinct
+    val dirs = slices.zipWithIndex.map { case (pred, i) =>
+      val dirName = f"snap-$id%06d-c$i"
+      TableFormat.save(df.filter(pred), s"$tableDir/$dirName", keyCol, buckets,
+        stage = s"$stage-slice$i")
+      writeStats(spark, s"$tableDir/$dirName", wantStats)
+      dirName
+    }.toVector
+    val rows = dirs.map(d => dirRows(s"$tableDir/$d")).sum
+    val snap = Snapshot(id, prior.last.id, "overwrite", dirs, stage, rows,
+      System.currentTimeMillis())
+    writeLog(tableDir, prior :+ snap)
+    snap
+  }
+
   /** Expire snapshots older than the last `keepLast`, deleting data dirs no
     * surviving snapshot references (Iceberg's expire_snapshots + orphan file
     * cleanup collapsed into one step — safe here because the log atomically

@@ -259,6 +259,44 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(dir))
   }
 
+  test("clustered rewrite: second-column pruning, null routing, history intact") {
+    val dir = tmp("graft-clus")
+    val t = s"$dir/tbl"
+    // ingest ordered by id; the SECOND column w is id*7 mod 100 — scattered,
+    // so pre-rewrite every dir's w-bounds overlap and nothing prunes on w
+    def w(i: Long): java.lang.Long = if (i == 13L) null else (i * 7) % 100
+    Snapshots.commit((0L until 20L).map(i => (i, w(i), s"v$i")).toDF("id", "w", "v"),
+      t, "id", buckets = 2, stage = "b1", statsCols = Seq("id", "w"))
+    Snapshots.commit((20L until 40L).map(i => (i, w(i), s"v$i")).toDF("id", "w", "v"),
+      t, "id", buckets = 2, stage = "b2", statsCols = Seq("id", "w"))
+    assert(Snapshots.pruneDirs(t, "w", 10L, 30L)._1.size === 2) // no skipping yet
+    val rw = Snapshots.rewriteClustered(spark, t, "id", "w",
+      splits = Seq(25L, 50L, 75L), buckets = 2, statsCols = Seq("id"))
+    assert(rw.op === "overwrite" && rw.dirs.size === 4 && rw.rows === 40L)
+    // every slice dir carries stats for BOTH the cluster col and id
+    rw.dirs.foreach { d =>
+      val cols = Snapshots.stats(t, d).get.map(_.col).toSet
+      assert(cols === Set("w", "id"), d)
+    }
+    // full read preserves every row including the null-w one (slice 0)
+    val all = Snapshots.load(spark, t).select("id").as[Long].collect().toSet
+    assert(all === (0L until 40L).toSet)
+    assert(Snapshots.stats(t, rw.dirs.head).get.find(_.col == "w").get.nulls === 1L)
+    // a w-range inside one slice now reads ONE dir, exactly
+    val (kept, _) = Snapshots.pruneDirs(t, "w", 30L, 45L)
+    assert(kept === Vector(rw.dirs(1)), kept)
+    val expect = (0L until 40L).filter(i => w(i) != null && w(i) >= 30 && w(i) <= 45)
+      .map(i => (i, s"v$i")).toSet
+    assert(Snapshots.loadPruned(spark, t, "w", 30L, 45L)
+      .select($"id", $"v").as[(Long, String)].collect().toSet === expect)
+    // pre-rewrite snapshots still time-travel
+    assert(Snapshots.load(spark, t, asOf = Some(1L)).count() === 20L)
+    // slice bounds respect the slice predicate (slice 3 = (75, ∞))
+    val s3 = Snapshots.stats(t, rw.dirs(3)).get.find(_.col == "w").get
+    assert(s3.min.toLong > 75L)
+    rm(new java.io.File(dir))
+  }
+
   test("stats survive rewrite; pruned scan equals filter on a random split") {
     val dir = tmp("graft-stats-rw")
     val t = s"$dir/tbl"
