@@ -504,6 +504,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).cast("long").as("sum_value_c"))
     }),
+    "q_attrib_join" -> ((s, dir) =>
+      // event attribution: clicks ⋈ same-user views within 12 h before the
+      // click — the BATCH side of the watermarked stream-stream interval
+      // join (StreamJoin.attributeViews serves both; StreamingSpec asserts
+      // STREAM == BATCH on micro-batched input). Equi-join on user_id with
+      // a residual time-range predicate — never a theta join
+      graft.streaming.StreamJoin.attributeViews(t(s, dir, "events"),
+        lagMaxS = 12 * 3600L)),
     "q_asof_forward" -> ((s, dir) => {
       // forward as-of: each purchase matched to the user's NEXT signup at or
       // after it (same union+window technique, reversed order)
@@ -1052,6 +1060,13 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) AS n
         |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+    "q_attrib_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  date_diff('second', v.ts, c.ts) AS lag_s
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id AND c.event_type = 'click'
+        |  AND v.event_type = 'view'
+        |  AND v.ts BETWEEN c.ts - INTERVAL 12 HOUR AND c.ts""".stripMargin,
     // deterministic window replay instead of DuckDB's native ASOF JOIN: at
     // equal candidate timestamps ASOF picks an UNSPECIFIED row, while the
     // engine deterministically takes the max payload — the replay encodes

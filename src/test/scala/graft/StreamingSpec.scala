@@ -127,6 +127,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(!ids.contains(900L), "junk doc admitted at ingest")
   }
 
+  test("stream-stream interval join (attribution) equals the batch join on micro-batched input") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoin
+    val base = 1700000000L
+    def ev(id: Long, sec: Long, u: Long, typ: String) =
+      (id, new java.sql.Timestamp((base + sec) * 1000L), u, typ)
+    // views before/inside/outside the 600 s window, cross-user decoys, and a
+    // view arriving in a LATER micro-batch than its click (out-of-order)
+    val events = Seq(
+      ev(1, 0, 7, "view"), ev(2, 300, 7, "click"),    // in-window pair
+      ev(3, 1000, 7, "view"), ev(4, 1450, 7, "click"), // in-window pair
+      ev(5, 2200, 7, "click"),                         // view 3 too old (1200 s)
+      ev(6, 100, 8, "view"), ev(7, 150, 9, "click"),   // user mismatch
+      ev(8, 5000, 8, "click"), ev(9, 4800, 8, "view")) // view arrives later
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val joined = StreamJoin.attributeViews(
+      stream.toDS().toDF("event_id", "ts", "user_id", "event_type"),
+      lagMaxS = 600L, watermarkDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    events.grouped(3).foreach { g => stream.addData(g: _*); q.processAllAvailable() }
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attrib")
+      .select("click_id", "view_id", "lag_s").as[(Long, Long, Long)].collect().toSet
+    val batch = StreamJoin.attributeViews(
+      events.toDF("event_id", "ts", "user_id", "event_type"), lagMaxS = 600L)
+      .select("click_id", "view_id", "lag_s").as[(Long, Long, Long)].collect().toSet
+    assert(batch === Set((2L, 1L, 300L), (4L, 3L, 450L), (8L, 9L, 200L)))
+    assert(got === batch, "stream output diverged from the batch join")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals batch gap-and-island on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamSessionize, StreamSessionize.Event
