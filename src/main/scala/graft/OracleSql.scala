@@ -231,6 +231,30 @@ ${ccClosureCtes}
        |SELECT qid, id, rk FROM (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk FROM scored) WHERE rk <= 3""".stripMargin
   }
 
+  /** PQ ANN replay: re-derive each corpus row's codes (per-subspace argmin
+    * over the aux-dumped codebooks, ties to the smallest code — the engine's
+    * strict-< convention), then rank by the SAME exact-integer ADC the
+    * engine computes: Σ_sub floor(‖q_sub − cent‖² × 2^24) as BIGINT. Both
+    * engines fold the per-subspace double distance in array order and sum
+    * LONGS across subspaces, so the hash check is bit-stable. Subspace
+    * geometry (8 × 8 dims) mirrors pqIndex. */
+  def annPq: String = {
+    def sq(v: String) =
+      s"(CAST(bk.cent[j] AS DOUBLE) - CAST($v[bk.sub*8 + j] AS DOUBLE)) * (CAST(bk.cent[j] AS DOUBLE) - CAST($v[bk.sub*8 + j] AS DOUBLE))"
+    s"""WITH bks AS (SELECT sub, code, cent FROM read_parquet('{{AUX}}/pq_codebooks/*.parquet')),
+       |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 5),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |enc0 AS (SELECT c.id, bk.sub, bk.code,
+       |  list_reduce(list_transform(range(1, len(bk.cent)+1), j -> ${sq("c.vec")}), (a,b) -> a + b) AS d
+       |  FROM c CROSS JOIN bks bk),
+       |enc AS (SELECT id, sub, code FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY d, code) AS rk FROM enc0) WHERE rk = 1),
+       |ad0 AS (SELECT q.qid, e.id,
+       |  CAST(floor(list_reduce(list_transform(range(1, len(bk.cent)+1), j -> ${sq("q.qvec")}), (a,b) -> a + b) * 16777216) AS BIGINT) AS df
+       |  FROM q CROSS JOIN enc e JOIN bks bk ON bk.sub = e.sub AND bk.code = e.code),
+       |adc AS (SELECT qid, id, CAST(SUM(df) AS BIGINT) AS adc FROM ad0 GROUP BY qid, id)
+       |SELECT qid, id, adc, rk FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS rk FROM adc) WHERE rk <= 3""".stripMargin
+  }
+
   def minhashNearDup: String =
     s"""WITH coefs AS (SELECT i, a, b FROM read_parquet('{{AUX}}/minhash_coefs/*.parquet')),
        |toks0 AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),

@@ -134,6 +134,33 @@ object SparkEntry {
       })
     }
 
+  /** PQ write-time artifact, built once per session: per-subspace codebooks
+    * (bit-deterministic fixed-point Lloyd per subspace) + the persisted
+    * encoded corpus — at real scale the codes column is written at ingest
+    * next to the IVF cell, and ADC queries never touch raw vectors. */
+  private val pqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (Array[(Int, Int, Array[Float])], DataFrame)]]())
+
+  private def pqIndex(s: SparkSession, dir: String): (Array[(Int, Int, Array[Float])], DataFrame) =
+    pqCache.synchronized {
+      val perSession = {
+        val m = pqCache.get(s)
+        if (m != null) m else {
+          val m2 = scala.collection.mutable.Map.empty[String, (Array[(Int, Int, Array[Float])], DataFrame)]
+          pqCache.put(s, m2); evictOnStop(pqCache, s); m2
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        val corpus = t(s, dir, "embeddings").filter(col("vec_id") >= 5)
+        val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, kSub = 16)
+        val encoded = Similarity.pqEncode(
+          corpus.select(col("vec_id"), col("embedding")), "embedding", books)
+          .select(col("vec_id"), col("codes")).persist()
+        (books, encoded)
+      })
+    }
+
   /** Canonical co-occurrence edge set over the fixture corpus — shared by
     * nemo_cooc (the edges themselves) and nemo_salience (PageRank over
     * them). Materialized once per session (localCheckpoint) for the same
@@ -667,6 +694,17 @@ object SparkEntry {
       Similarity.ivfTopKAssigned(assigned, "id", "vec", q, "qid", "qvec", 3, cents, nProbe = 4)
         .select(col("qid"), col("id"), col("rk"))
     }),
+    "d_ann_pq" -> ((s, dir) => {
+      // product-quantization ANN: codebooks + encoded corpus are the
+      // write-time artifact (like the IVF index); queries rank by asymmetric
+      // distance — Σ per-subspace floor(‖q_s − book[code_s]‖²·2^24), an
+      // exact long, so the oracle replays encode AND ranking bit-stably
+      // from the aux-dumped codebooks
+      val (books, encoded) = pqIndex(s, dir)
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopKEncoded(encoded, "vec_id", q, "qid", "qvec", 3, books)
+    }),
     "d_minhash_neardup" -> ((s, dir) => {
       // MinHash+LSH near-dup pairs at Jaccard ≥ 0.25; the DuckDB oracle
       // replays the identical md5-48bit shingles + (a·x+b) mod 2^64
@@ -994,6 +1032,15 @@ object SparkEntry {
       val corpus = t(s, dir, "embeddings").filter(col("vec_id") >= 5)
       Similarity.centroids(corpus, "vec_id", "embedding", nCells = 16)
         .map { case (c, v) => (c, v.toSeq) }.toSeq.toDF("cell", "cent")
+    }),
+    "pq_codebooks" -> ((s, dir) => {
+      import s.implicits._
+      // identical call shape to d_ann_pq's pqIndex — per-subspace Lloyd is
+      // bit-deterministic, so dumped books equal the engine's
+      val corpus = t(s, dir, "embeddings").filter(col("vec_id") >= 5)
+      Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, kSub = 16)
+        .map { case (sub, code, cent) => (sub, code, cent.toSeq) }
+        .toSeq.toDF("sub", "code", "cent")
     })
   )
 
@@ -1208,6 +1255,7 @@ object SparkEntry {
     "d_lang_id" -> OracleSql.langId,
     "d_ngram_jaccard" -> OracleSql.ngramJaccard,
     "d_ann_ivf" -> OracleSql.annIvf,
+    "d_ann_pq" -> OracleSql.annPq,
     "d_minhash_neardup" -> OracleSql.minhashNearDup,
     "d_simhash_neardup" -> OracleSql.simhashNearDup,
     "d_cosine_neardup" -> OracleSql.cosineNearDup,

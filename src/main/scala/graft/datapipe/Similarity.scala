@@ -208,6 +208,110 @@ object Similarity {
       .select(col("id"), col("cell"), col("dom").isNull.as("kept"))
   }
 
+  // ---- product quantization (Jégou, Douze, Schmid 2011: "Product
+  // Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)) ----
+
+  /** Fixed-point scale for ADC distances: per-subspace squared distances are
+    * floored to integers BEFORE summing, so the total is an exact long —
+    * order-independent across engines and partitions (same trick as the
+    * Lloyd partial sums). */
+  val AdcFixedPoint: Long = 1L << 24
+
+  /** Per-subspace PQ codebooks: the vector is split into `m` contiguous
+    * subspaces of dim/m dimensions; each subspace gets `kSub` centroids from
+    * the SAME bit-deterministic fixed-point Lloyd as the IVF coarse
+    * quantizer ([[centroids]] on the sliced corpus). Returns
+    * (subspace, code, subCentroid) rows — small (m × kSub), broadcast-sized
+    * by construction, and dumpable as an aux parquet for the DuckDB oracle.
+    *
+    * Scale: training touches the corpus m × iters times but shuffles only
+    * fixed-point partial sums (never vectors); at 100 TB you train on a
+    * deterministic hash-sample and encode the full corpus once at write
+    * time, exactly like the IVF cell assignment. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, kSub: Int = 16,
+                  iters: Int = 2): Array[(Int, Int, Array[Float])] = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    (0 until m).flatMap { s =>
+      val sliced = corpus.select(col(idCol),
+        expr(s"slice($vecCol, ${s * subDim + 1}, $subDim)").as(vecCol))
+      centroids(sliced, idCol, vecCol, kSub, iters)
+        .map { case (code, cent) => (s, code, cent) }
+    }.toArray
+  }
+
+  /** Write-time PQ encoding: corpus + `codes` column (array<int>, length m)
+    * — each vector compressed to m small codes (m bytes at kSub ≤ 256
+    * against 4·dim bytes raw: the memory-compression half of PQ). Nearest
+    * sub-centroid per subspace, ties to the smallest code (the [[nearestCell]]
+    * strict-< convention, which the oracle replays as ORDER BY d, code). */
+  def pqEncode(corpus: DataFrame, vecCol: String,
+               books: Array[(Int, Int, Array[Float])]): DataFrame = {
+    val bySub = books.groupBy(_._1).map { case (s, rows) =>
+      (s, rows.sortBy(_._2).map(_._3))
+    }
+    val m = bySub.size
+    val subDim = books.head._3.length
+    val bc = corpus.sparkSession.sparkContext.broadcast(bySub)
+    val encodeUdf = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      (0 until m).map { s =>
+        val sub = java.util.Arrays.copyOfRange(arr, s * subDim, (s + 1) * subDim)
+        val cents = bc.value(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val d = sqDist(cents(c), sub)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }.toArray
+    }
+    corpus.withColumn("codes", encodeUdf(col(vecCol)))
+  }
+
+  /** PQ approximate top-k by asymmetric distance (ADC): the query keeps its
+    * full-precision vector; each encoded corpus row is scored as
+    * Σ_s floor(‖q_s − book_s[code_s]‖² × 2^24) — an exact long, so ranking
+    * is bit-stable across engines. Smaller is nearer; ties to the smaller
+    * id. `encoded` is the write-time [[pqEncode]] artifact — compose with
+    * the IVF cell column to probe-prune BEFORE scoring (IVF-PQ): the scan
+    * reads only probed cells' codes, m bytes per row, never the raw
+    * vectors. */
+  def pqTopKEncoded(encoded: DataFrame, idCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String,
+                    k: Int, books: Array[(Int, Int, Array[Float])]): DataFrame = {
+    val bySub = books.groupBy(_._1).map { case (s, rows) =>
+      (s, rows.sortBy(_._2).map(_._3))
+    }
+    val m = bySub.size
+    val subDim = books.head._3.length
+    val bc = encoded.sparkSession.sparkContext.broadcast(bySub)
+    val adcUdf = udf { (q: Seq[Float], codes: Seq[Int]) =>
+      val arr = q.toArray
+      var total = 0L
+      var s = 0
+      while (s < m) {
+        val sub = java.util.Arrays.copyOfRange(arr, s * subDim, (s + 1) * subDim)
+        val d = sqDist(bc.value(s)(codes(s)), sub)
+        total += math.floor(d * AdcFixedPoint).toLong
+        s += 1
+      }
+      total
+    }
+    val c = encoded.select(col(idCol).as("id"), col("codes"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("adc", adcUdf(col("qvec"), col("codes")))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("adc"), col("rk"))
+  }
+
   /** Deterministic seeded Gaussian hyperplanes (the LSH projection basis).
     * Exposed so Verify can dump them as an aux parquet — the DuckDB oracle
     * recomputes the exact signatures from the same planes. */

@@ -141,6 +141,41 @@ class DatapipeSpec extends AnyFunSuite {
     rm(new java.io.File(store))
   }
 
+  test("PQ: codes replay a scalar argmin; ADC top-k recalls exact L2 neighbors") {
+    val r = new Random(13)
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(16)(r.nextFloat() * 2 - 1)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(5).toDF("qid", "qvec")
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, kSub = 8)
+    assert(books.length === 32 && books.forall(_._3.length === 4))
+    val enc = Similarity.pqEncode(corpus, "embedding", books)
+    val codes = enc.select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // engine codes equal a scalar argmin with the same (dist, code) tie-break
+    def sqd(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val bySub = books.groupBy(_._1).map { case (s, rows) => (s, rows.sortBy(_._2).map(_._3)) }
+    for ((id, v) <- vecs.take(30)) {
+      val expect = (0 until 4).map { s =>
+        val sub = v.slice(s * 4, s * 4 + 4)
+        bySub(s).zipWithIndex.map { case (c, i) => (i, sqd(c, sub)) }
+          .minBy { case (i, d) => (d, i) }._1
+      }
+      assert(codes(id) === expect, s"id=$id")
+    }
+    // ADC ranking is deterministic and finds most true L2 neighbors
+    def run() = Similarity.pqTopKEncoded(enc, "vec_id", queries, "qid", "qvec", 10, books)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val pq = run()
+    assert(pq === run(), "ADC ranking not deterministic")
+    val exact = vecs.take(5).flatMap { case (qid, qv) =>
+      vecs.map { case (id, v) => (qid, id, sqd(qv, v)) }
+        .sortBy { case (_, id, d) => (d, id) }.take(10).map(t => (t._1, t._2))
+    }.toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall vs exact L2")
+  }
+
   test("quality features and langId") {
     val df = Seq(
       (1L, "the quick brown fox is on the hill with the dog"),
