@@ -275,6 +275,40 @@ object SparkEntry {
       }
     }
 
+  /** Merge-upsert artifact: documents ingested as two doc_id-range batches
+    * (with key-bounds stats), then a copy-on-write MERGE of a deterministic
+    * delta — updates to docs 130–150 (lang/n_chars changed) plus 5 inserts
+    * at doc_id+1 000 000. The delta's key range OVERLAPS both batch dirs'
+    * bounds, but only batch 1 holds actual delta keys — so the semi-join
+    * probe gate must rewrite exactly ONE dir and carry batch 2 by
+    * reference. */
+  private val mergeSnapCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, (String, Snapshots.Snapshot))]())
+
+  private def mergeSnapshotTable(s: SparkSession, dir: String): (String, Snapshots.Snapshot) =
+    mergeSnapCache.synchronized {
+      val cached = mergeSnapCache.get(s)
+      if (cached != null && cached._1 == dir) cached._2
+      else {
+        val tbl = java.nio.file.Files.createTempDirectory("graft-mergetbl").toString + "/documents"
+        val docs = t(s, dir, "documents")
+        Snapshots.commit(docs.filter(col("doc_id") < 250), tbl, "doc_id",
+          buckets = 8, stage = "b1", statsCols = Seq("doc_id"))
+        Snapshots.commit(docs.filter(col("doc_id") >= 250), tbl, "doc_id",
+          buckets = 8, stage = "b2", statsCols = Seq("doc_id"))
+        val updates = docs.filter(col("doc_id").between(130, 150))
+          .withColumn("lang", lit("xx"))
+          .withColumn("n_chars", col("n_chars") + 100000L)
+        val inserts = docs.filter(col("doc_id").between(300, 304))
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val snap = Snapshots.merge(updates.unionByName(inserts), tbl, "doc_id",
+          buckets = 8, statsCols = Seq("doc_id"))
+        val v = (tbl, snap)
+        mergeSnapCache.put(s, (dir, v)); evictOnStop(mergeSnapCache, s)
+        v
+      }
+    }
+
   /** Incremental-pipeline triples artifact: the fixture corpus ingested as
     * two delta batches through Pipeline.runIncremental (snapshot-append
     * stage tables) — the resulting FULL triples table must hash-equal the
@@ -520,6 +554,20 @@ object SparkEntry {
       Snapshots.loadPruned(s, tbl, "n_chars", 180L, 280L)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("n_dirs_read", lit(kept.size.toLong))
+    }),
+
+    "d_merge_upsert" -> ((s, dir) => {
+      // copy-on-write MERGE INTO: the oracle replays the upsert relationally
+      // (CASE WHEN for updates, UNION ALL for inserts) and pins n_dirs=3 /
+      // n_rewritten=1 — proving the whole upsert landed AND that only the
+      // one dir actually holding delta keys was rewritten (batch 2 carried
+      // by reference despite its bounds overlapping the delta's key range)
+      val (tbl, snap) = mergeSnapshotTable(s, dir)
+      Snapshots.load(s, tbl)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("n_dirs", lit(snap.dirs.size.toLong))
+        .withColumn("n_rewritten",
+          lit(snap.dirs.count(_.contains("-m")).toLong))
     }),
 
     "q_event_window" -> ((s, dir) => {
@@ -1235,6 +1283,15 @@ object SparkEntry {
     "d_cluster_prune" ->
       """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS n_dirs_read
         |FROM documents WHERE n_chars BETWEEN 180 AND 280""".stripMargin,
+    "d_merge_upsert" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id BETWEEN 130 AND 150 THEN 'xx' ELSE lang END AS lang,
+        |  CASE WHEN doc_id BETWEEN 130 AND 150 THEN n_chars + 100000 ELSE n_chars END AS n_chars,
+        |  CAST(3 AS BIGINT) AS n_dirs, CAST(1 AS BIGINT) AS n_rewritten
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, lang, n_chars, CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM documents WHERE doc_id BETWEEN 300 AND 304""".stripMargin,
     // Replays the GRFT header fields from the media_ref tail-hex rule
     // (Multimodal.syntheticMedia): code = hv1 % 3 → modality; video frames =
     // 1 + hv2 (framePlan of (1+hv2)·1000 ms); image/video dims = 64 + 4·hv3/4.

@@ -247,6 +247,78 @@ object Snapshots {
       op = "overwrite", statsCols = statsCols)
   }
 
+  /** Row-level MERGE (Iceberg's copy-on-write MERGE INTO, at dir
+    * granularity): every `delta` row REPLACES the current row with the same
+    * key, or inserts if the key is new. Only AFFECTED dirs are rewritten:
+    * candidates come from the key-bounds stats ([[pruneDirs]] against the
+    * delta's key range — dirs without stats are always candidates), then a
+    * cheap semi-join probe drops candidates holding no delta key; each hit
+    * dir is rewritten WITHOUT its stale rows, every untouched dir carries
+    * forward BY REFERENCE (zero data copied — the same file-reuse economics
+    * that make Iceberg CoW viable), and the delta lands in one new dir. One
+    * `op = "merge"` snapshot commits the whole set atomically; incremental
+    * scans refuse to span it (like overwrite — a replace is not expressible
+    * as "new dirs only"), time travel to pre-merge snapshots still works.
+    *
+    * At 10^12 docs the lever is the stats gate: a key-clustered delta batch
+    * (the normal ingest-correction shape) rewrites one or two batch dirs,
+    * never the table. Delta keys must be unique — a delta that disagrees
+    * with itself fails loudly rather than committing either version. */
+  def merge(delta: DataFrame, tableDir: String, keyCol: String,
+            buckets: Int = 32, stage: String = "merge",
+            statsCols: Seq[String] = Nil): Snapshot = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val spark = delta.sparkSession
+    val prior = snapshots(tableDir)
+    require(prior.nonEmpty, s"$tableDir has no snapshots to merge into")
+    val cur = prior.last
+    val id = cur.id + 1
+    val head = delta.agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d"),
+      min(col(keyCol)).cast("string").as("lo"), max(col(keyCol)).cast("string").as("hi"))
+      .collect()(0)
+    require(head.getAs[Long]("n") > 0L, "merge delta is empty")
+    require(head.getAs[Long]("n") == head.getAs[Long]("d"),
+      s"merge delta has duplicate or null $keyCol values — ambiguous upsert " +
+        "(countDistinct excludes nulls, so a null key also trips this)")
+    val (loS, hiS) = (head.getAs[String]("lo"), head.getAs[String]("hi"))
+    val keyTyp = delta.schema.find(_.name == keyCol).get.dataType
+    val candidates = keyTyp match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        pruneDirs(tableDir, keyCol, loS.toLong, hiS.toLong)._1
+      case StringType => pruneDirs(tableDir, keyCol, loS, hiS)._1
+      case other => throw new IllegalArgumentException(
+        s"merge key $keyCol must be integral or string, got $other")
+    }
+    val deltaKeys = delta.select(col(keyCol)).localCheckpoint()
+    var slice = 0
+    val newDirs = cur.dirs.map { d =>
+      if (!candidates.contains(d)) d // untouched: carried by reference
+      else {
+        val dirDf = TableFormat.load(spark, s"$tableDir/$d")
+        val hit = !dirDf.join(deltaKeys, Seq(keyCol), "left_semi").isEmpty
+        if (!hit) d // bounds overlapped but no actual key — keep as-is
+        else {
+          val nd = f"snap-$id%06d-m$slice"; slice += 1
+          TableFormat.save(dirDf.join(deltaKeys, Seq(keyCol), "left_anti"),
+            s"$tableDir/$nd", keyCol, buckets, stage = s"$stage-rewrite")
+          if (statsCols.nonEmpty) writeStats(spark, s"$tableDir/$nd", statsCols)
+          nd
+        }
+      }
+    } :+ {
+      val dd = f"snap-$id%06d-d"
+      TableFormat.save(delta, s"$tableDir/$dd", keyCol, buckets, stage = s"$stage-delta")
+      if (statsCols.nonEmpty) writeStats(spark, s"$tableDir/$dd", statsCols)
+      dd
+    }
+    val rows = newDirs.map(d => dirRows(s"$tableDir/$d")).sum
+    val snap = Snapshot(id, cur.id, "merge", newDirs, stage, rows,
+      System.currentTimeMillis())
+    writeLog(tableDir, prior :+ snap)
+    snap
+  }
+
   /** Sort-order compaction (Iceberg's rewrite_data_files WITH a sort order):
     * re-shard the current snapshot into one data dir per `clusterCol` range
     * — boundaries are caller-given (deterministic; no sampling, unlike

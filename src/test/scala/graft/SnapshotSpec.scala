@@ -297,6 +297,41 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(dir))
   }
 
+  test("merge: CoW upsert rewrites only dirs holding delta keys; others ride by reference") {
+    val dir = tmp("graft-merge")
+    val t = s"$dir/tbl"
+    for ((r, st) <- Seq((0L until 10L, "b1"), (10L until 20L, "b2"), (20L until 30L, "b3")))
+      Snapshots.commit(r.map(i => (i, s"old$i")).toDF("id", "v"), t, "id",
+        buckets = 2, stage = st, statsCols = Seq("id"))
+    // delta: update id 12, insert id 100. Bounds [12, 100] overlap b2 AND b3
+    // — but only b2 holds an actual delta key, so the semi-join probe must
+    // leave b3 (and the stats-pruned b1) carried by reference
+    val snap = Snapshots.merge(Seq((12L, "NEW"), (100L, "ins")).toDF("id", "v"),
+      t, "id", buckets = 2, statsCols = Seq("id"))
+    assert(snap.op === "merge" && snap.rows === 31L)
+    assert(snap.dirs.count(_ == "snap-000001") === 1, "b1 not carried by reference")
+    assert(snap.dirs.count(_ == "snap-000003") === 1, "b3 not carried by reference")
+    assert(snap.dirs.count(_.contains("-m")) === 1, snap.dirs)  // only b2 rewritten
+    assert(snap.dirs.count(_.contains("-d")) === 1, snap.dirs)
+    val got = Snapshots.load(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size === 31 && got(12L) === "NEW" && got(100L) === "ins" && got(11L) === "old11")
+    // rewritten + delta dirs carry key stats, so pruning still engages
+    assert(Snapshots.pruneDirs(t, "id", 0L, 5L)._1 === Vector("snap-000001"))
+    // pre-merge time travel intact; incremental scan across the merge refuses
+    assert(Snapshots.load(spark, t, asOf = Some(3L)).as[(Long, String)]
+      .collect().toMap.get(12L) === Some("old12"))
+    val e = intercept[IllegalStateException](Snapshots.changes(spark, t, 1L))
+    assert(e.getMessage.contains("merge"))
+    // ambiguous delta (duplicate key) fails loudly
+    intercept[IllegalArgumentException](Snapshots.merge(
+      Seq((5L, "a"), (5L, "b")).toDF("id", "v"), t, "id", buckets = 2))
+    // append AFTER a merge keeps building on the merged dir set
+    val s5 = Snapshots.commit(Seq((200L, "later")).toDF("id", "v"), t, "id", 2, "b4")
+    assert(s5.dirs.toSet.intersect(snap.dirs.toSet) === snap.dirs.toSet)
+    assert(Snapshots.load(spark, t).count() === 32L)
+    rm(new java.io.File(dir))
+  }
+
   test("stats survive rewrite; pruned scan equals filter on a random split") {
     val dir = tmp("graft-stats-rw")
     val t = s"$dir/tbl"
