@@ -309,6 +309,37 @@ object SparkEntry {
       }
     }
 
+  /** Merge-on-read delete artifact: documents in two range batches, an
+    * equality-delete of docs 200–220 ∪ 300–305 (one small delete-key dir —
+    * no data dir rewritten), then a RE-INSERT of doc 210 with lang='yy'.
+    * The read must mask deleted rows from the old dirs while the newer
+    * re-insert dir escapes the mask (sequence-number rule). */
+  private val morSnapCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, (String, Snapshots.Snapshot))]())
+
+  private def morSnapshotTable(s: SparkSession, dir: String): (String, Snapshots.Snapshot) =
+    morSnapCache.synchronized {
+      val cached = morSnapCache.get(s)
+      if (cached != null && cached._1 == dir) cached._2
+      else {
+        val tbl = java.nio.file.Files.createTempDirectory("graft-mortbl").toString + "/documents"
+        val docs = t(s, dir, "documents")
+        Snapshots.commit(docs.filter(col("doc_id") < 250), tbl, "doc_id",
+          buckets = 8, stage = "b1", statsCols = Seq("doc_id"))
+        Snapshots.commit(docs.filter(col("doc_id") >= 250), tbl, "doc_id",
+          buckets = 8, stage = "b2", statsCols = Seq("doc_id"))
+        Snapshots.deleteWhere(docs.filter(
+          col("doc_id").between(200, 220) || col("doc_id").between(300, 305))
+          .select(col("doc_id")), tbl)
+        val snap = Snapshots.commit(docs.filter(col("doc_id") === 210)
+          .withColumn("lang", lit("yy")), tbl, "doc_id", buckets = 8,
+          stage = "reinsert")
+        val v = (tbl, snap)
+        morSnapCache.put(s, (dir, v)); evictOnStop(morSnapCache, s)
+        v
+      }
+    }
+
   /** Incremental-pipeline triples artifact: the fixture corpus ingested as
     * two delta batches through Pipeline.runIncremental (snapshot-append
     * stage tables) — the resulting FULL triples table must hash-equal the
@@ -568,6 +599,17 @@ object SparkEntry {
         .withColumn("n_dirs", lit(snap.dirs.size.toLong))
         .withColumn("n_rewritten",
           lit(snap.dirs.count(_.contains("-m")).toLong))
+    }),
+
+    "d_mor_delete" -> ((s, dir) => {
+      // merge-on-read equality delete: deleted keys masked from OLD dirs at
+      // read time (no data rewritten — n_dels pins the single delete-key
+      // dir), while the LATER re-insert of doc 210 escapes the mask
+      // (sequence-number rule) and surfaces with its new lang
+      val (tbl, snap) = morSnapshotTable(s, dir)
+      Snapshots.load(s, tbl)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("n_dels", lit(snap.dels.size.toLong))
     }),
 
     "q_event_window" -> ((s, dir) => {
@@ -1283,6 +1325,13 @@ object SparkEntry {
     "d_cluster_prune" ->
       """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS n_dirs_read
         |FROM documents WHERE n_chars BETWEEN 180 AND 280""".stripMargin,
+    "d_mor_delete" ->
+      """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS n_dels
+        |FROM documents
+        |WHERE doc_id NOT BETWEEN 200 AND 220 AND doc_id NOT BETWEEN 300 AND 305
+        |UNION ALL
+        |SELECT doc_id, 'yy', n_chars, CAST(1 AS BIGINT)
+        |FROM documents WHERE doc_id = 210""".stripMargin,
     "d_merge_upsert" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id BETWEEN 130 AND 150 THEN 'xx' ELSE lang END AS lang,

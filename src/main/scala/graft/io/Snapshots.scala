@@ -30,9 +30,16 @@ import scala.jdk.CollectionConverters._
   * avoiding S3 LIST storms. */
 object Snapshots {
 
+  /** `dirs` are data dirs; `dels` are merge-on-read equality-delete dirs
+    * (each a one-column key table). A delete dir masks only data dirs whose
+    * snapshot id (parsed from the dir name) is OLDER than its own —
+    * Iceberg's sequence-number rule, which is what lets a later insert of a
+    * previously-deleted key survive. `rows` is the raw data-dir row count;
+    * a MoR read can return fewer. */
   final case class Snapshot(id: Long, parentId: Long, op: String,
                             dirs: Vector[String], stage: String,
-                            rows: Long, tsMs: Long)
+                            rows: Long, tsMs: Long,
+                            dels: Vector[String] = Vector.empty)
 
   /** Per-data-dir column bounds (Iceberg's manifest `lower_bounds` /
     * `upper_bounds`, per data dir instead of per data file). `typ` is
@@ -71,8 +78,13 @@ object Snapshots {
     val parentDirs =
       if (op == "overwrite") Vector.empty
       else prior.lastOption.map(_.dirs).getOrElse(Vector.empty)
+    // an overwrite rewrites CURRENT content (deletes already applied by
+    // load), so it also clears the delete list; appends carry it forward
+    val parentDels =
+      if (op == "overwrite") Vector.empty[String]
+      else prior.lastOption.map(_.dels).getOrElse(Vector.empty)
     val snap = Snapshot(id, prior.lastOption.map(_.id).getOrElse(0L), op,
-      parentDirs :+ dirName, stage, rows, System.currentTimeMillis())
+      parentDirs :+ dirName, stage, rows, System.currentTimeMillis(), parentDels)
     writeLog(tableDir, prior :+ snap)
     snap
   }
@@ -100,7 +112,7 @@ object Snapshots {
   def load(spark: SparkSession, tableDir: String,
            asOf: Option[Long] = None): DataFrame = {
     val snap = resolve(tableDir, asOf)
-    readDirs(spark, tableDir, snap.dirs)
+    readDirs(spark, tableDir, snap.dirs, snap.dels)
   }
 
   /** Incremental scan: rows ADDED after `fromId` up to and including `toId`
@@ -219,13 +231,14 @@ object Snapshots {
                  lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, all) = pruneDirs(tableDir, colName, lo, hi, asOf)
+    val dels = resolve(tableDir, asOf).dels
     val exact = (df: DataFrame) =>
       df.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
     if (kept.isEmpty)
       // nothing can match: keep the schema (read one dir's metadata, emit 0
       // rows — the lit(false) filter prunes at the source)
       exact(readDirs(spark, tableDir, all.take(1)).filter(lit(false)))
-    else exact(readDirs(spark, tableDir, kept))
+    else exact(readDirs(spark, tableDir, kept, dels))
   }
 
   /** Compaction (Iceberg's rewrite_data_files): merge the current snapshot's
@@ -242,9 +255,47 @@ object Snapshots {
               statsCols: Seq[String] = Nil): Snapshot = {
     val cur = current(tableDir)
       .getOrElse(throw new IllegalStateException(s"$tableDir has no snapshots to rewrite"))
-    if (cur.dirs.size == 1) cur // already compact — no-op, no empty commit
+    // no-op only when there is nothing to fold: one dir AND no pending
+    // merge-on-read deletes (rewriting applies + clears the delete masks)
+    if (cur.dirs.size == 1 && cur.dels.isEmpty) cur
     else commit(load(spark, tableDir), tableDir, keyCol, buckets, stage,
       op = "overwrite", statsCols = statsCols)
+  }
+
+  /** Merge-on-read DELETE (Iceberg v2 equality deletes): instead of
+    * rewriting any data dir, the keys to delete are written as ONE small
+    * one-column table and the snapshot records it in `dels`. Reads apply the
+    * mask lazily — each data dir anti-joins the delete-key sets whose
+    * snapshot id is NEWER than its own (the sequence-number rule: a later
+    * re-insert of a deleted key is NOT masked). Deletion is O(delete set),
+    * the write path of choice when deletes are frequent and small (GDPR
+    * erasure, retractions) — reads pay a broadcast anti-join per masked dir
+    * until [[rewrite]] folds the deletes in (an overwrite clears `dels`).
+    * `keys` must be a ONE-column DataFrame named exactly like the data
+    * key column; null keys fail loudly (an equality delete can never match
+    * null — silently dropping nothing would be a lie). */
+  def deleteWhere(keys: DataFrame, tableDir: String,
+                  stage: String = "delete", buckets: Int = 8): Snapshot = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    require(keys.columns.length == 1,
+      s"delete keys must be one column (the key), got ${keys.columns.mkString(",")}")
+    val keyCol = keys.columns.head
+    val prior = snapshots(tableDir)
+    require(prior.nonEmpty, s"$tableDir has no snapshots to delete from")
+    val cur = prior.last
+    val id = cur.id + 1
+    val head = keys.agg(count(lit(1)).as("n"),
+      sum(when(col(keyCol).isNull, lit(1L)).otherwise(lit(0L))).as("nulls")).collect()(0)
+    require(head.getAs[Long]("n") > 0L, "delete key set is empty")
+    require(head.getAs[Long]("nulls") == 0L,
+      s"delete keys contain null $keyCol values — equality deletes cannot match null")
+    val dd = f"snap-$id%06d-del"
+    TableFormat.save(keys.distinct(), s"$tableDir/$dd", keyCol, buckets,
+      stage = s"$stage-keys")
+    val snap = Snapshot(id, cur.id, "delete", cur.dirs, stage, cur.rows,
+      System.currentTimeMillis(), cur.dels :+ dd)
+    writeLog(tableDir, prior :+ snap)
+    snap
   }
 
   /** Row-level MERGE (Iceberg's copy-on-write MERGE INTO, at dir
@@ -273,6 +324,9 @@ object Snapshots {
     val prior = snapshots(tableDir)
     require(prior.nonEmpty, s"$tableDir has no snapshots to merge into")
     val cur = prior.last
+    require(cur.dels.isEmpty,
+      "pending merge-on-read deletes — rewrite() first: a CoW-rewritten dir " +
+        "gets a NEW snapshot id and would escape the delete masks")
     val id = cur.id + 1
     val head = delta.agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d"),
       min(col(keyCol)).cast("string").as("lo"), max(col(keyCol)).cast("string").as("hi"))
@@ -381,8 +435,8 @@ object Snapshots {
     val all = snapshots(tableDir)
     if (all.size <= keepLast) return Vector.empty
     val (dead, live) = all.splitAt(all.size - keepLast)
-    val liveDirs = live.flatMap(_.dirs).toSet
-    val orphans = dead.flatMap(_.dirs).distinct.filterNot(liveDirs)
+    val liveDirs = live.flatMap(s => s.dirs ++ s.dels).toSet
+    val orphans = dead.flatMap(s => s.dirs ++ s.dels).distinct.filterNot(liveDirs)
     writeLog(tableDir, live)
     orphans.foreach { d =>
       val root = Paths.get(tableDir, d)
@@ -413,11 +467,29 @@ object Snapshots {
     * dir written before the column existed reads as null for it (Iceberg's
     * add-column semantics); renames/drops stay breaking, as they should. */
   private def readDirs(spark: SparkSession, tableDir: String,
-                       dirs: Seq[String]): DataFrame = {
+                       dirs: Seq[String], dels: Seq[String] = Nil): DataFrame = {
     require(dirs.nonEmpty, s"snapshot of $tableDir references no data dirs")
-    dirs.map(d => TableFormat.load(spark, s"$tableDir/$d"))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    // merge-on-read: each delete-key set masks only data dirs OLDER than the
+    // delete snapshot (sequence-number rule). Delete sets are small by
+    // design — broadcast the anti-join so no data-side shuffle is added.
+    val delKeys = dels.map { dd =>
+      val df = TableFormat.load(spark, s"$tableDir/$dd")
+      (dirSnapId(dd), df, df.columns.head)
+    }
+    dirs.map { d =>
+      val base = TableFormat.load(spark, s"$tableDir/$d")
+      delKeys.filter(_._1 > dirSnapId(d)).foldLeft(base) {
+        case (df, (_, kdf, kc)) =>
+          df.join(org.apache.spark.sql.functions.broadcast(kdf), Seq(kc), "left_anti")
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Snapshot id encoded in a data/delete dir name (`snap-NNNNNN[-suffix]`)
+    * — the sequence number that orders delete masks against data dirs. */
+  private def dirSnapId(d: String): Long =
+    "snap-(\\d+)".r.findFirstMatchIn(d).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"unparseable dir name: $d"))
 
   // ---- log serialization (writer-controlled: stage is the only free-text
   // field and it is escaped; everything else is numeric or enum) ----
@@ -430,6 +502,7 @@ object Snapshots {
     val body = snaps.map { s =>
       s"""{"id": ${s.id}, "parent": ${s.parentId}, "op": "${s.op}", """ +
         s""""dirs": [${s.dirs.map(d => "\"" + d + "\"").mkString(", ")}], """ +
+        s""""dels": [${s.dels.map(d => "\"" + d + "\"").mkString(", ")}], """ +
         s""""stage": "${esc(s.stage)}", "rows": ${s.rows}, "ts_ms": ${s.tsMs}}"""
     }.mkString("", "\n", "\n")
     Files.createDirectories(Paths.get(tableDir))
@@ -444,6 +517,7 @@ object Snapshots {
 
   private val LineRe =
     ("""\{"id": (\d+), "parent": (\d+), "op": "(\w+)", "dirs": \[([^\]]*)\], """ +
+     """(?:"dels": \[([^\]]*)\], )?""" + // absent in pre-MoR logs
      """"stage": "((?:[^"\\]|\\.)*)", "rows": (\d+), "ts_ms": (\d+)\}""").r
 
   private val StatsRe =
@@ -461,10 +535,13 @@ object Snapshots {
   }
 
   private def parseLine(line: String): Snapshot = line match {
-    case LineRe(id, parent, op, dirs, stage, rows, ts) =>
-      val dirList = "\"([^\"]+)\"".r.findAllMatchIn(dirs).map(_.group(1)).toVector
-      Snapshot(id.toLong, parent.toLong, op, dirList,
-        stage.replace("\\\"", "\"").replace("\\\\", "\\"), rows.toLong, ts.toLong)
+    case LineRe(id, parent, op, dirs, dels, stage, rows, ts) =>
+      def names(s: String): Vector[String] =
+        if (s == null) Vector.empty
+        else "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toVector
+      Snapshot(id.toLong, parent.toLong, op, names(dirs),
+        stage.replace("\\\"", "\"").replace("\\\\", "\\"), rows.toLong, ts.toLong,
+        names(dels))
     case other =>
       throw new IllegalStateException(s"malformed snapshot log line: $other")
   }

@@ -332,6 +332,53 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(dir))
   }
 
+  test("merge-on-read delete: sequence-number masking, fold on rewrite, expire") {
+    val dir = tmp("graft-mor")
+    val t = s"$dir/tbl"
+    for ((r, st) <- Seq((0L until 10L, "b1"), (10L until 20L, "b2"), (20L until 30L, "b3")))
+      Snapshots.commit(r.map(i => (i, s"v$i")).toDF("id", "v"), t, "id",
+        buckets = 2, stage = st, statsCols = Seq("id"))
+    val del = Snapshots.deleteWhere(Seq(5L, 12L, 25L).toDF("id"), t)
+    assert(del.op === "delete" && del.dels.size === 1 && del.dirs.size === 3)
+    val afterDel = Snapshots.load(spark, t).as[(Long, String)].collect().toMap
+    assert(afterDel.size === 27 && !afterDel.contains(5L) && !afterDel.contains(12L))
+    // a LATER re-insert of a deleted key is not masked (sequence-number rule)
+    Snapshots.commit(Seq((12L, "re")).toDF("id", "v"), t, "id", 2, "reinsert")
+    val afterRe = Snapshots.load(spark, t).as[(Long, String)].collect().toMap
+    assert(afterRe.size === 28 && afterRe(12L) === "re" && !afterRe.contains(5L))
+    // pruned scans apply the same mask
+    assert(Snapshots.loadPruned(spark, t, "id", 0L, 9L)
+      .as[(Long, String)].collect().map(_._1).toSet === (0L to 9L).toSet - 5L)
+    // a SECOND delete of key 12 masks the re-insert dir too (it is older now)
+    Snapshots.deleteWhere(Seq(12L).toDF("id"), t)
+    assert(!Snapshots.load(spark, t).as[(Long, String)].collect().toMap.contains(12L))
+    // pre-delete time travel unaffected; incremental scan refuses to span it
+    assert(Snapshots.load(spark, t, asOf = Some(3L)).count() === 30L)
+    val e = intercept[IllegalStateException](Snapshots.changes(spark, t, 3L))
+    assert(e.getMessage.contains("delete"))
+    // CoW merge refuses while deletes are pending
+    val e2 = intercept[IllegalArgumentException](Snapshots.merge(
+      Seq((1L, "x")).toDF("id", "v"), t, "id", buckets = 2))
+    assert(e2.getMessage.contains("rewrite"))
+    // rewrite folds the masks: one dir, no dels, same MoR content
+    val before = Snapshots.load(spark, t).as[(Long, String)].collect().toSet
+    val rw = Snapshots.rewrite(spark, t, "id", buckets = 2)
+    assert(rw.op === "overwrite" && rw.dels.isEmpty && rw.rows === 27L)
+    assert(Snapshots.load(spark, t).as[(Long, String)].collect().toSet === before)
+    // and a merge is allowed again now
+    Snapshots.merge(Seq((1L, "x")).toDF("id", "v"), t, "id", buckets = 2)
+    assert(Snapshots.load(spark, t).as[(Long, String)].collect().toMap.apply(1L) === "x")
+    // expire reclaims dead delete dirs along with dead data dirs
+    val removed = Snapshots.expire(t, keepLast = 1)
+    assert(removed.exists(_.endsWith("-del")), removed)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, "snap-000004-del")))
+    assert(Snapshots.load(spark, t).count() === 27L) // key 1 was an update
+    // null delete keys fail loudly
+    intercept[IllegalArgumentException](Snapshots.deleteWhere(
+      Seq(Tuple1(3L: java.lang.Long), Tuple1(null: java.lang.Long)).toDF("id"), t))
+    rm(new java.io.File(dir))
+  }
+
   test("stats survive rewrite; pruned scan equals filter on a random split") {
     val dir = tmp("graft-stats-rw")
     val t = s"$dir/tbl"
