@@ -759,6 +759,38 @@ ${ccClosureCtes}
     * hash48 → register/rank-window split → max(v & −v) registers →
     * exact-integer raw estimate in HUGEINT. The α constant is interpolated
     * from Sketch.alphaScaled, so the two engines share one source of truth. */
+  /** KMV overlap replay: the engine's bounded-state custom aggregate equals
+    * `ORDER BY hash LIMIT k` over distinct hashes (a pure function of the
+    * input set), and the union/intersection estimators are exact integer
+    * arithmetic — 2^48·(k−1) // h_(k), shared·union_est // k′ — identical
+    * floor divisions in both engines. Tokenization mirrors the minhash
+    * oracle (lower + split on \\s+ + drop empties). */
+  def kmvOverlap: String = {
+    val k = 128
+    val twoP48 = 1L << 48
+    s"""WITH w AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS wd
+       |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+       |h AS (SELECT DISTINCT source, ${h48("wd")} AS h FROM w),
+       |r AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM h),
+       |kmv AS (SELECT source, array_agg(h ORDER BY h) AS kmv FROM r WHERE rk <= $k GROUP BY source),
+       |p AS (SELECT a.source AS grp_a, b.source AS grp_b, a.kmv AS ka, b.kmv AS kb
+       |      FROM kmv a JOIN kmv b ON a.source < b.source),
+       |u0 AS (SELECT grp_a, grp_b, ka, kb,
+       |        list_sort(list_distinct(list_concat(ka, kb)))[1:$k] AS u FROM p),
+       |c AS (SELECT grp_a, grp_b, ka, kb, u,
+       |        CAST(len(u) AS BIGINT) AS k2,
+       |        CAST(len(list_intersect(list_intersect(u, ka), kb)) AS BIGINT) AS shared
+       |      FROM u0),
+       |e AS (SELECT grp_a, grp_b, k2, shared,
+       |        CASE WHEN k2 < $k THEN k2
+       |             ELSE CAST($twoP48 AS BIGINT) * ${k - 1} // u[CAST(k2 AS INT)] END AS union_est
+       |      FROM c)
+       |SELECT grp_a, grp_b, union_est, shared,
+       |  shared * union_est // k2 AS inter_est,
+       |  shared * 10000 // k2 AS jaccard_bp
+       |FROM e""".stripMargin
+  }
+
   def hllDistinct: String = {
     val p = 8
     val m = 1L << p

@@ -963,6 +963,20 @@ object SparkEntry {
         Pack.concatChunks(s, t(s, dir, "documents"), "doc_id", "text",
           capacity = 2048L, bucketWidth = 64L), capacity = 2048L)
     }),
+    "d_kmv_overlap" -> ((s, dir) => {
+      // KMV bottom-k sketch (custom TypedImperativeAggregate) + pairwise
+      // corpus-overlap estimation: distinct-vocabulary overlap between four
+      // source strata from 128-long sketches alone — the sketch-space form
+      // of decontamination/mixture overlap auditing. The oracle replays the
+      // sketches (ORDER BY hash LIMIT k over distinct hash48 words) and the
+      // exact-integer union/intersection estimators
+      val words = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("wd"))
+        .filter(col("wd") =!= "")
+      val sk = Sketch.kmvSketch(words, col("wd"), Seq("source"), k = 128)
+      Sketch.kmvOverlap(sk, "source", k = 128)
+    }),
     "d_hll_distinct" -> ((s, dir) => {
       // mergeable HyperLogLog distinct-count sketch (p=8, trailing-zero
       // registers, exact-integer estimator — bit-replayable in SQL):
@@ -1389,6 +1403,7 @@ object SparkEntry {
     "d_invidx_topk" -> OracleSql.invIdxTopK,
     "nemo_salience" -> OracleSql.salience(5),
     "d_hll_distinct" -> OracleSql.hllDistinct,
+    "d_kmv_overlap" -> OracleSql.kmvOverlap,
     "d_cms_freq" -> OracleSql.cmsFreq,
     "d_quantile_sketch" -> OracleSql.quantileSketch,
     "q_communities" -> OracleSql.communities(3)

@@ -218,4 +218,57 @@ object Sketch {
   def qhPercentiles(df: DataFrame, value: Column, groupCols: Seq[String],
                     qBp: Seq[Int], sub: Int = 5, estCol: String = "est"): DataFrame =
     qhQuantiles(qhBins(df, value, groupCols, sub), groupCols, qBp, sub, estCol)
+
+  // ---- KMV (k-minimum-values / bottom-k) sketch — distinct counts AND set
+  // overlap (Bar-Yossef et al. 2002; intersection protocol Beyer et al.,
+  // SIGMOD 2007). HLL cannot estimate |A∩B|; KMV can, because the k
+  // smallest hashes of A∪B are computable from the two sketches alone and
+  // form a uniform sample of the union. ----
+
+  /** KMV sketch per group: the sorted array of the k smallest DISTINCT
+    * [[Dedup.hash48Col]] hashes of `key` — via the custom
+    * [[graft.functions.KMinValues]] TypedImperativeAggregate, so each task
+    * folds its partition into ≤ k longs per group and the exchange carries
+    * serialized sketch buffers, never keys (the same contract as the
+    * HLL/CMS register tables; this one needs a custom aggregate because
+    * bounded top-k state is not a built-in `max`/`sum` register). */
+  def kmvSketch(df: DataFrame, key: Column, groupCols: Seq[String],
+                k: Int = 128): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KMinValues.column(Dedup.hash48Col(key), k).as("kmv"))
+
+  /** Distinct-count estimate from a KMV array: EXACT when the sketch is
+    * unsaturated (size < k ⇒ it holds every distinct hash), else the
+    * classic (k−1)·2^48 / h_(k) — exact integer division over the 48-bit
+    * hash space, bit-stable across engines. */
+  def kmvDistinctCol(kmv: String, k: Int): Column =
+    expr(s"IF(size($kmv) < $k, CAST(size($kmv) AS BIGINT), " +
+      s"CAST(${1L << 48} AS BIGINT) * ${k - 1} div element_at($kmv, $k))")
+
+  /** Pairwise set-overlap estimates between per-group KMV sketches
+    * (`sketches` = [[kmvSketch]] output): for each group pair, the k
+    * smallest hashes of the UNION are reconstructed from the two arrays
+    * alone (merge + sort + cap — pure Catalyst array ops on ≤ 2k elements),
+    * `shared` counts union-sketch members present in BOTH sides, and
+    *   |A∩B| ≈ shared · union_est / k′,  J ≈ shared / k′
+    * — all exact-integer. The pair join is sketch×sketch (group-count
+    * sized), never data-sized: estimating overlap between two 10^11-doc
+    * corpora costs two sketch scans + a |groups|² join of k-long arrays —
+    * the sketch-space form of benchmark decontamination / corpus-mixture
+    * overlap auditing. */
+  def kmvOverlap(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val a = sketches.select(col(groupCol).as("grp_a"), col("kmv").as("kmv_a"))
+    val b = sketches.select(col(groupCol).as("grp_b"), col("kmv").as("kmv_b"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(kmv_a, kmv_b)), 1, $k)"))
+      .withColumn("k2", size(col("u")).cast("long"))
+      .withColumn("union_est", expr(s"IF(k2 < $k, k2, " +
+        s"CAST(${1L << 48} AS BIGINT) * ${k - 1} div element_at(u, $k))"))
+      .withColumn("shared",
+        expr("CAST(size(array_intersect(array_intersect(u, kmv_a), kmv_b)) AS BIGINT)"))
+      .withColumn("inter_est", expr("shared * union_est div k2"))
+      .withColumn("jaccard_bp", expr("shared * 10000 div k2"))
+      .select(col("grp_a"), col("grp_b"), col("union_est"), col("shared"),
+        col("inter_est"), col("jaccard_bp"))
+  }
 }

@@ -172,4 +172,48 @@ class SketchSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"),
       s"udf boundary in plan:\n$plan")
   }
+
+  test("KMV: custom aggregate equals ORDER-BY-hash-LIMIT-k; estimators replay exactly") {
+    import graft.datapipe.Dedup
+    val k = 64
+    val aWords = (0 until 400).map(i => s"a$i") ++ (0 until 100).map(i => s"s$i")
+    val bWords = (0 until 200).map(i => s"b$i") ++ (0 until 100).map(i => s"s$i")
+    val cWords = (0 until 10).map(i => s"c$i") // unsaturated: 10 < k
+    val rows = aWords.map(("A", _)) ++ bWords.map(("B", _)) ++ cWords.map(("C", _)) ++
+      aWords.take(250).map(("A", _)) // duplicates must not change the sketch
+    val df = rows.toDF("grp", "w")
+    val sk = Sketch.kmvSketch(df, col("w"), Seq("grp"), k)
+    val got = sk.as[(String, Seq[Long])].collect().toMap
+    def bottomK(ws: Seq[String]) = ws.distinct.map(Dedup.hash48).distinct.sorted.take(k)
+    assert(got("A") === bottomK(aWords))
+    assert(got("B") === bottomK(bWords))
+    assert(got("C") === bottomK(cWords) && got("C").size === 10)
+    // partial/merge path independence: a different partitioning, same sketch
+    val got7 = Sketch.kmvSketch(df.repartition(7), col("w"), Seq("grp"), k)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got7 === got)
+    // null keys contribute nothing
+    val withNull = df.union(Seq(("A", null.asInstanceOf[String])).toDF("grp", "w"))
+    assert(Sketch.kmvSketch(withNull, col("w"), Seq("grp"), k)
+      .as[(String, Seq[Long])].collect().toMap === got)
+    // distinct estimator: exact when unsaturated, (k−1)·2^48/h_k when not
+    val ests = sk.withColumn("est", Sketch.kmvDistinctCol("kmv", k))
+      .select("grp", "est").as[(String, Long)].collect().toMap
+    assert(ests("C") === 10L)
+    val expEstA = (1L << 48) * (k - 1) / bottomK(aWords).last
+    assert(ests("A") === expEstA)
+    val errA = math.abs(expEstA.toDouble - 500) / 500
+    assert(errA < 0.35, s"KMV estimate err $errA at k=$k") // σ ≈ 1/√(k−2) ≈ 0.13
+    // overlap protocol replay (A vs B share the 100 s-words)
+    val ov = Sketch.kmvOverlap(sk.filter(col("grp").isin("A", "B")), "grp", k)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(ov.length === 1 && ov.head._1 === "A" && ov.head._2 === "B")
+    val hA = bottomK(aWords).toSet; val hB = bottomK(bWords).toSet
+    val u = (hA ++ hB).toSeq.sorted.take(k)
+    val k2 = u.size.toLong
+    val shared = u.count(h => hA(h) && hB(h)).toLong
+    val unionEst = if (k2 < k) k2 else (1L << 48) * (k - 1) / u.last
+    assert(ov.head === (("A", "B", unionEst, shared,
+      shared * unionEst / k2, shared * 10000L / k2)))
+  }
 }
