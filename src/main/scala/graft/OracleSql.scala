@@ -692,6 +692,29 @@ ${ccClosureCtes}
     * part–part co-purchase graph: degree-ordered orientation (ties on id) +
     * wedge closure — the same unique a→b→c enumeration as the engine, so
     * counts hash-match exactly. */
+  /** k-core replay: the engine's fixed 3 peel rounds unrolled as CTEs (the
+    * PageRank/LPA convention). Round 1's alive set is all vertices, so d1
+    * runs over the raw symmetrized graph; each later round recomputes
+    * degrees over the previous alive set's induced subgraph; the output is
+    * the round-3 survivors' induced degrees. */
+  def kcore: String =
+    """WITH pp AS (
+      |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS pa, CAST(b.l_partkey AS BIGINT) AS pb
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_partkey < 10000 AND b.l_partkey < 10000
+      |),
+      |sym AS (SELECT pa AS u, pb AS v FROM pp UNION ALL SELECT pb, pa FROM pp),
+      |d1 AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+      |a1 AS (SELECT u FROM d1 WHERE d >= 3),
+      |e2 AS (SELECT s.u, s.v FROM sym s JOIN a1 x ON s.u = x.u JOIN a1 y ON s.v = y.u),
+      |d2 AS (SELECT u, COUNT(*) AS d FROM e2 GROUP BY u),
+      |a2 AS (SELECT u FROM d2 WHERE d >= 3),
+      |e3 AS (SELECT s.u, s.v FROM sym s JOIN a2 x ON s.u = x.u JOIN a2 y ON s.v = y.u),
+      |d3 AS (SELECT u, COUNT(*) AS d FROM e3 GROUP BY u),
+      |a3 AS (SELECT u FROM d3 WHERE d >= 3),
+      |e4 AS (SELECT s.u, s.v FROM sym s JOIN a3 x ON s.u = x.u JOIN a3 y ON s.v = y.u)
+      |SELECT u AS node, COUNT(*) AS core_deg FROM e4 GROUP BY u""".stripMargin
+
   def triangleCount: String =
     """WITH pp AS (
       |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS pa, CAST(b.l_partkey AS BIGINT) AS pb

@@ -487,6 +487,12 @@ object SparkEntry {
       // via ppEdges (stage artifact, one build per session).
       kg.Triangles.perNodeCounts(ppEdges(s, dir))
     }),
+    "q_kcore" -> ((s, dir) =>
+      // 3-core of the co-purchase graph after 3 synchronous peel rounds —
+      // density filtering that drops the sparse fringe before the heavier
+      // graph analytics; fixed-iteration contract, oracle unrolls the same
+      // 3 rounds as CTEs. Shares the ppEdges stage artifact.
+      kg.KCore.run(s, ppEdges(s, dir), k = 3, rounds = 3)),
     "q_link_predict" -> ((s, dir) => {
       // KG densification from second-order structure: non-edges of the
       // co-purchase graph scored by capped-pivot common-neighbor count +
@@ -1399,6 +1405,7 @@ object SparkEntry {
     "d_pack_fill" -> OracleSql.packFill(2048L),
     "q_pagerank" -> OracleSql.pageRank(5),
     "q_triangle_count" -> OracleSql.triangleCount,
+    "q_kcore" -> OracleSql.kcore,
     "q_link_predict" -> OracleSql.linkPredict,
     "d_invidx_topk" -> OracleSql.invIdxTopK,
     "nemo_salience" -> OracleSql.salience(5),

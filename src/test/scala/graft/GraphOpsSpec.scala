@@ -163,4 +163,48 @@ class GraphOpsSpec extends AnyFunSuite {
       .filter(e => e._1 != e._2)
     assert(lpaRun(edges, 3) === lpaRun(edges, 3))
   }
+
+  private def kcoreRun(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+    graft.kg.KCore.run(spark, edges.toDF("src", "dst"), k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  /** In-memory reference peeling with the same fixed-round contract. */
+  private def kcoreRef(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    var alive = sym.map(_._1).toSet
+    for (_ <- 1 to rounds) {
+      val deg = sym.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      alive = deg.filter(_._2 >= k).keySet
+    }
+    sym.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("k-core: clique survives, pendant tail peels away round by round") {
+    // K4 (a 3-core) with a tail 4–5–6: 6 peels in round 1, 5 in round 2,
+    // and by round 3 only the clique remains with degree 3 each
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    assert(kcoreRun(g, 3, 3) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one round already peels 5 and 6 (degree < 3 in the full graph), and
+    // the reported degrees are INDUCED degrees — node 4 drops to 3
+    assert(kcoreRun(g, 3, 1) === kcoreRef(g, 3, 1))
+    assert(kcoreRef(g, 3, 1)(4L) === 3L)
+  }
+
+  test("k-core: equals the in-memory reference on a seeded random graph, every depth") {
+    val r = new scala.util.Random(31)
+    val edges = Seq.fill(260)((r.nextInt(40).toLong, r.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    for (rounds <- 1 to 4; k <- Seq(2, 4, 6))
+      assert(kcoreRun(edges, k, rounds) === kcoreRef(edges, k, rounds),
+        s"k=$k rounds=$rounds")
+  }
+
+  test("k-core: everything below k everywhere yields an empty result") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)) // max degree 2
+    assert(kcoreRun(path, 3, 2) === Map.empty)
+  }
 }
