@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.CosineSim(children(0), children(1))))
+    // automatic bucket pruning for key-equality scans of TableFormat tables
+    // (reads the bucket layout from the table manifest — see plans.BucketPrune)
+    ext.injectOptimizerRule(_ => graft.plans.BucketPrune)
   }
 }

@@ -275,6 +275,24 @@ object SparkEntry {
       }
     }
 
+  /** TableFormat-written documents table (bucketed by doc_id, manifest
+    * carrying the bucket layout) — the scan target for the BucketPrune
+    * optimizer rule's q_bucket_prune. */
+  private val tfDocCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  private def tfDocumentsTable(s: SparkSession, dir: String): String =
+    tfDocCache.synchronized {
+      val cached = tfDocCache.get(s)
+      if (cached != null && cached._1 == dir) cached._2
+      else {
+        val tbl = java.nio.file.Files.createTempDirectory("graft-tfdocs").toString + "/documents"
+        io.TableFormat.save(t(s, dir, "documents"), tbl, "doc_id", buckets = 16)
+        tfDocCache.put(s, (dir, tbl)); evictOnStop(tfDocCache, s)
+        tbl
+      }
+    }
+
   /** Merge-upsert artifact: documents ingested as two doc_id-range batches
     * (with key-bounds stats), then a copy-on-write MERGE of a deterministic
     * delta — updates to docs 130–150 (lang/n_chars changed) plus 5 inserts
@@ -607,6 +625,15 @@ object SparkEntry {
           lit(snap.dirs.count(_.contains("-m")).toLong))
     }),
 
+    "q_bucket_prune" -> ((s, dir) =>
+      // NO hand-written bucket predicate: the BucketPrune optimizer rule
+      // (injected via GraftExtensions in the Verify/Bench sessions) reads
+      // the manifest's bucket layout and conjoins part_bucket =
+      // xxhash64(137) % 16, so the scan reads one bucket dir of 16 —
+      // plan-level evidence in PipelineSpec; the oracle pins the answer
+      io.TableFormat.load(s, tfDocumentsTable(s, dir))
+        .filter(col("doc_id") === 137L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
     "d_mor_delete" -> ((s, dir) => {
       // merge-on-read equality delete: deleted keys masked from OLD dirs at
       // read time (no data rewritten — n_dels pins the single delete-key
@@ -1345,6 +1372,8 @@ object SparkEntry {
     "d_cluster_prune" ->
       """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS n_dirs_read
         |FROM documents WHERE n_chars BETWEEN 180 AND 280""".stripMargin,
+    "q_bucket_prune" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 137",
     "d_mor_delete" ->
       """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS n_dels
         |FROM documents

@@ -42,7 +42,12 @@ object TableFormat {
     // infer the schema from data. Iceberg carries the schema in table
     // metadata; this is our facade's equivalent.
     Files.writeString(Paths.get(path, "_schema.json"), df.schema.json)
-    writeManifest(df.sparkSession, path, stage, extra,
+    // bucket layout metadata (key column + modulus) recorded in the manifest:
+    // what plans.BucketPrune needs to conjoin the partition predicate for
+    // key-equality scans automatically (Iceberg keeps the same facts in its
+    // partition spec)
+    writeManifest(df.sparkSession, path, stage,
+      extra + ("bucket_key" -> keyCol, "buckets" -> buckets.toString),
       writeMs = System.currentTimeMillis() - t0)
   }
 

@@ -340,6 +340,49 @@ class PipelineSpec extends AnyFunSuite {
     rm(new java.io.File(work))
   }
 
+  test("BucketPrune rule: plain key-equality filters prune to one bucket automatically") {
+    import graft.plans.BucketPrune
+    if (!spark.experimental.extraOptimizations.contains(BucketPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BucketPrune
+    val work = java.nio.file.Files.createTempDirectory("graft-bprune").toString
+    val docs = spark.createDataset(Fixtures.inputDocs(40)).toDF()
+    TableFormat.save(docs, work, "doc_id", buckets = 8)
+    // NO hand-written bucket predicate — the rule reads the manifest's
+    // (bucket_key, buckets) and conjoins part_bucket = xxhash64(lit) % 8
+    val q = TableFormat.load(spark, work).filter(col("doc_id") === "doc-000007")
+    val plan = q.queryExecution.executedPlan.toString
+    // the scan's PartitionFilters must actually CARRY the bucket predicate
+    // (an unpruned partitioned scan still prints "PartitionFilters: []")
+    assert(s"PartitionFilters: \\[[^\\]]*${TableFormat.BucketCol}".r
+      .findFirstIn(plan).isDefined, plan.take(600))
+    assert(q.count() === 1)
+    assert(q.select("doc_id").as[String].head() === "doc-000007")
+    // parity with the hand-pruned lookup path
+    assert(TableFormat.lookup(spark, work, "doc_id", "doc-000007", buckets = 8)
+      .select("doc_id").as[String].collect().toSeq ===
+      q.select("doc_id").as[String].collect().toSeq)
+    // a manifest without bucket metadata (pre-rule table): rule no-ops, scan
+    // stays correct and unpruned
+    val mf = java.nio.file.Paths.get(work, "_manifest.json")
+    java.nio.file.Files.writeString(mf, java.nio.file.Files.readString(mf)
+      .replace("\"bucket_key\"", "\"old_key\""))
+    BucketPrune.clearMetaCacheForTest()
+    // the injected predicate renders as "part_bucket#NN = B" in the Filter
+    def bucketPred(df: org.apache.spark.sql.DataFrame): Boolean =
+      s"${TableFormat.BucketCol}#\\d+ = \\d+".r
+        .findFirstIn(df.queryExecution.optimizedPlan.toString).isDefined
+    val q2 = TableFormat.load(spark, work).filter(col("doc_id") === "doc-000007")
+    assert(q2.count() === 1)
+    assert(!bucketPred(q2), "rule fired without manifest metadata")
+    // range predicates never fire the rule
+    val q3 = TableFormat.load(spark, work).filter(col("doc_id") < "doc-000005")
+    assert(!bucketPred(q3))
+    assert(q3.count() === 5)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(work))
+  }
+
   test("triples carry all five predicates with consistent subjects") {
     val mentions = Pipeline.extractMentions(annotated, "morph")
     val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
