@@ -688,10 +688,6 @@ ${ccClosureCtes}
     s"$e${prIterCtes(iterations)}\nSELECT node, pr FROM r$iterations"
   }
 
-  /** Per-node triangle counts (kg.Triangles.perNodeCounts) over the
-    * part–part co-purchase graph: degree-ordered orientation (ties on id) +
-    * wedge closure — the same unique a→b→c enumeration as the engine, so
-    * counts hash-match exactly. */
   /** k-core replay: the engine's fixed 3 peel rounds unrolled as CTEs (the
     * PageRank/LPA convention). Round 1's alive set is all vertices, so d1
     * runs over the raw symmetrized graph; each later round recomputes
@@ -715,6 +711,10 @@ ${ccClosureCtes}
       |e4 AS (SELECT s.u, s.v FROM sym s JOIN a3 x ON s.u = x.u JOIN a3 y ON s.v = y.u)
       |SELECT u AS node, COUNT(*) AS core_deg FROM e4 GROUP BY u""".stripMargin
 
+  /** Per-node triangle counts (kg.Triangles.perNodeCounts) over the
+    * part–part co-purchase graph: degree-ordered orientation (ties on id) +
+    * wedge closure — the same unique a→b→c enumeration as the engine, so
+    * counts hash-match exactly. */
   def triangleCount: String =
     """WITH pp AS (
       |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS pa, CAST(b.l_partkey AS BIGINT) AS pb

@@ -1172,10 +1172,10 @@ object SparkEntry {
     }),
     "pq_codebooks" -> ((s, dir) => {
       import s.implicits._
-      // identical call shape to d_ann_pq's pqIndex — per-subspace Lloyd is
-      // bit-deterministic, so dumped books equal the engine's
-      val corpus = t(s, dir, "embeddings").filter(col("vec_id") >= 5)
-      Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, kSub = 16)
+      // THE books d_ann_pq used — the session-cached pqIndex artifact, not a
+      // retraining (bit-deterministic either way, but reuse is free and
+      // cannot diverge from what the engine ranked with)
+      pqIndex(s, dir)._1
         .map { case (sub, code, cent) => (sub, code, cent.toSeq) }
         .toSeq.toDF("sub", "code", "cent")
     })

@@ -44,10 +44,12 @@ object Snapshots {
   /** Per-data-dir column bounds (Iceberg's manifest `lower_bounds` /
     * `upper_bounds`, per data dir instead of per data file). `typ` is
     * "long" or "string"; min/max are the rendered values (longs in decimal).
-    * Nulls in the column are counted separately and never fold into the
-    * bounds, so a pruned scan with a range predicate (which no null row can
-    * satisfy) stays exact. */
-  final case class ColumnStats(col: String, typ: String,
+    * `bounded = false` marks an empty or all-null dir (no non-null value
+    * existed — NOT the same as a genuine empty-string bound, which is
+    * bounded with min = ""). Nulls are counted separately and never fold
+    * into the bounds, so a pruned scan with a range predicate (which no
+    * null row can satisfy) stays exact. */
+  final case class ColumnStats(col: String, typ: String, bounded: Boolean,
                                min: String, max: String, nulls: Long)
 
   private val Log = "_snapshots.jsonl"
@@ -167,11 +169,14 @@ object Snapshots {
     val empty = row.getAs[Long]("n") == 0L
     val body = cols.zip(typs).map { case (c, t) =>
       val nulls = if (empty) 0L else row.getAs[Long](s"nulls_$c")
+      // `bounded` is the explicit no-non-null-value marker — a genuine
+      // empty-string min must stay distinguishable from "no bounds"
+      val bounded = !(empty || row.getAs[String](s"min_$c") == null)
       val (mn, mx) =
-        if (empty || row.getAs[String](s"min_$c") == null) ("", "") // all-null or empty dir
+        if (!bounded) ("", "")
         else (row.getAs[String](s"min_$c"), row.getAs[String](s"max_$c"))
-      s"""{"col": "${esc(c)}", "type": "$t", "min": "${esc(mn)}", """ +
-        s""""max": "${esc(mx)}", "nulls": $nulls}"""
+      s"""{"col": "${esc(c)}", "type": "$t", "bounded": $bounded, """ +
+        s""""min": "${esc(mn)}", "max": "${esc(mx)}", "nulls": $nulls}"""
     }.mkString("", "\n", "\n")
     Files.writeString(Paths.get(dataDir, StatsFile), body)
   }
@@ -210,13 +215,31 @@ object Snapshots {
         case Some(cs) =>
           require(cs.typ == boundTyp,
             s"stats for $colName in $d are ${cs.typ}, bounds are $boundTyp")
-          if (cs.min.isEmpty && cs.max.isEmpty) false // empty or all-null dir
+          if (!cs.bounded) false // empty or all-null dir — no row can match
           else if (boundTyp == "long")
             !(cs.max.toLong < loS.toLong || cs.min.toLong > hiS.toLong)
-          else !(cs.max < loS || cs.min > hiS)
+          // UTF-8 byte order — the order Spark's UTF8String min/max used to
+          // produce the bounds; Java String '<' (UTF-16 units) disagrees on
+          // supplementary characters and would prune wrongly
+          else !(utf8Lt(cs.max, loS) || utf8Lt(hiS, cs.min))
       }
     }
     (kept, snap.dirs)
+  }
+
+  /** Strict less-than in unsigned UTF-8 byte order (= Unicode code-point
+    * order, = Spark UTF8String.compareTo). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Range scan with dir-level data skipping: resolve the snapshot, drop
@@ -345,20 +368,28 @@ object Snapshots {
         s"merge key $keyCol must be integral or string, got $other")
     }
     val deltaKeys = delta.select(col(keyCol)).localCheckpoint()
+    // ONE key-column-pruned probe job over all candidate dirs at once (a
+    // per-dir isEmpty probe would read each candidate twice — probe + the
+    // rewrite below): which candidates actually hold a delta key?
+    val hitDirs: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else candidates.map { d =>
+          TableFormat.load(spark, s"$tableDir/$d")
+            .select(col(keyCol)).withColumn("_dir", lit(d))
+        }.reduce(_.unionByName(_))
+        .join(deltaKeys, Seq(keyCol), "left_semi")
+        .select("_dir").distinct().collect().map(_.getString(0)).toSet
     var slice = 0
     val newDirs = cur.dirs.map { d =>
-      if (!candidates.contains(d)) d // untouched: carried by reference
+      if (!hitDirs.contains(d)) d // untouched (or bounds-only overlap): by reference
       else {
-        val dirDf = TableFormat.load(spark, s"$tableDir/$d")
-        val hit = !dirDf.join(deltaKeys, Seq(keyCol), "left_semi").isEmpty
-        if (!hit) d // bounds overlapped but no actual key — keep as-is
-        else {
-          val nd = f"snap-$id%06d-m$slice"; slice += 1
-          TableFormat.save(dirDf.join(deltaKeys, Seq(keyCol), "left_anti"),
-            s"$tableDir/$nd", keyCol, buckets, stage = s"$stage-rewrite")
-          if (statsCols.nonEmpty) writeStats(spark, s"$tableDir/$nd", statsCols)
-          nd
-        }
+        val nd = f"snap-$id%06d-m$slice"; slice += 1
+        TableFormat.save(
+          TableFormat.load(spark, s"$tableDir/$d")
+            .join(deltaKeys, Seq(keyCol), "left_anti"),
+          s"$tableDir/$nd", keyCol, buckets, stage = s"$stage-rewrite")
+        if (statsCols.nonEmpty) writeStats(spark, s"$tableDir/$nd", statsCols)
+        nd
       }
     } :+ {
       val dd = f"snap-$id%06d-d"
@@ -521,15 +552,34 @@ object Snapshots {
      """"stage": "((?:[^"\\]|\\.)*)", "rows": (\d+), "ts_ms": (\d+)\}""").r
 
   private val StatsRe =
-    ("""\{"col": "((?:[^"\\]|\\.)*)", "type": "(\w+)", "min": "((?:[^"\\]|\\.)*)", """ +
-     """"max": "((?:[^"\\]|\\.)*)", "nulls": (\d+)\}""").r
+    ("""\{"col": "((?:[^"\\]|\\.)*)", "type": "(\w+)", "bounded": (true|false), """ +
+     """"min": "((?:[^"\\]|\\.)*)", "max": "((?:[^"\\]|\\.)*)", "nulls": (\d+)\}""").r
 
-  private def unesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Exact inverse of [[esc]] — including the \\uXXXX control-char form
+    * (an asymmetric unescape would leave control characters in string
+    * bounds escaped, and escaped text compares differently → wrong
+    * pruning). */
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(ch).append(other); i += 2
+        }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
 
   private def parseStatsLine(line: String): ColumnStats = line match {
-    case StatsRe(c, t, mn, mx, n) =>
-      ColumnStats(unesc(c), t, unesc(mn), unesc(mx), n.toLong)
+    case StatsRe(c, t, b, mn, mx, n) =>
+      ColumnStats(unesc(c), t, b.toBoolean, unesc(mn), unesc(mx), n.toLong)
     case other =>
       throw new IllegalStateException(s"malformed stats line: $other")
   }
@@ -540,8 +590,7 @@ object Snapshots {
         if (s == null) Vector.empty
         else "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toVector
       Snapshot(id.toLong, parent.toLong, op, names(dirs),
-        stage.replace("\\\"", "\"").replace("\\\\", "\\"), rows.toLong, ts.toLong,
-        names(dels))
+        unesc(stage), rows.toLong, ts.toLong, names(dels))
     case other =>
       throw new IllegalStateException(s"malformed snapshot log line: $other")
   }

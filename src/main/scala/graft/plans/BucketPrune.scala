@@ -31,35 +31,49 @@ import org.apache.spark.sql.types.IntegerType
   * under the optimizer's fixed-point batches). Anything else — no-op. */
 object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
 
+  // cache value: (manifest lastModified at read time, parsed layout) — the
+  // mtime guards against same-session re-save of the path with a different
+  // bucket count (TableFormat.save overwrites in place and refreshes Spark's
+  // own FileIndex for exactly that pattern; a stale modulus here would prune
+  // to the WRONG bucket and silently drop rows)
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[(String, Int)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[(String, Int)])]()
 
-  /** Manifests are immutable once written (atomic publish), so the cache
-    * never invalidates in production; tests that rewrite a manifest in
-    * place call this. */
   def clearMetaCacheForTest(): Unit = metaCache.clear()
 
   private val KeyRe = """"bucket_key": "([^"]+)"""".r
   private val NRe = """"buckets": "(\d+)"""".r
 
-  /** (bucket key column, modulus) from the table dir's manifest, or None. */
+  /** (bucket key column, modulus) from the table dir's manifest, or None.
+    * Re-parsed whenever the manifest's mtime changes (re-save of the same
+    * path); a missing/unreadable manifest is cached as None with mtime 0. */
   private def bucketMeta(rel: LogicalRelation): Option[(String, Int)] =
     rel.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
         val root = fs.location.rootPaths.head.toString
-        metaCache.computeIfAbsent(root, _ =>
-          try {
-            val dir = java.nio.file.Paths.get(new java.net.URI(root).getPath)
-            val mf = dir.resolve("_manifest.json")
-            if (!java.nio.file.Files.exists(mf)) None
-            else {
-              val txt = java.nio.file.Files.readString(mf)
-              for {
-                k <- KeyRe.findFirstMatchIn(txt).map(_.group(1))
-                n <- NRe.findFirstMatchIn(txt).map(_.group(1).toInt)
-              } yield (k, n)
-            }
-          } catch { case scala.util.control.NonFatal(_) => None })
+        try {
+          val dir = java.nio.file.Paths.get(new java.net.URI(root).getPath)
+          val mf = dir.resolve("_manifest.json")
+          val mtime =
+            if (java.nio.file.Files.exists(mf))
+              java.nio.file.Files.getLastModifiedTime(mf).toMillis
+            else 0L
+          val cached = metaCache.get(root)
+          if (cached != null && cached._1 == mtime) cached._2
+          else {
+            val meta =
+              if (mtime == 0L) None
+              else {
+                val txt = java.nio.file.Files.readString(mf)
+                for {
+                  k <- KeyRe.findFirstMatchIn(txt).map(_.group(1))
+                  n <- NRe.findFirstMatchIn(txt).map(_.group(1).toInt)
+                } yield (k, n)
+              }
+            metaCache.put(root, (mtime, meta))
+            meta
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
       case _ => None
     }
 

@@ -219,6 +219,30 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.stats(t, "snap-000002").isEmpty)
     val (kept, all) = Snapshots.pruneDirs(t, "id", 0L, 1L)
     assert(all.size === 2 && kept === Vector("snap-000002"), kept)
+    // a genuine empty-string bound is BOUNDED (distinct from the all-null
+    // sentinel) — the dir must stay readable for ranges containing ""
+    Snapshots.commit(Seq((200L, ""), (201L, "")).toDF("id", "v"), t, "id", 2,
+      "b3", statsCols = Seq("v"))
+    val eS = Snapshots.stats(t, "snap-000003").get.find(_.col == "v").get
+    assert(eS.bounded && eS.min === "" && eS.max === "")
+    assert(Snapshots.pruneDirs(t, "v", "", "z")._1.contains("snap-000003"))
+    // control characters in string bounds round-trip through the \uXXXX
+    // escape and compare UNESCAPED
+    Snapshots.commit(Seq((300L, "\t1")).toDF("id", "v"), t, "id", 2,
+      "b4", statsCols = Seq("v"))
+    val cS = Snapshots.stats(t, "snap-000004").get.find(_.col == "v").get
+    assert(cS.min === "\t1" && cS.max === "\t1")
+    assert(Snapshots.pruneDirs(t, "v", "\t0", "\t2")._1.contains("snap-000004"))
+    // supplementary characters: bounds compare in UTF-8/code-point order
+    // (Java UTF-16 unit order would call U+1F600 < U+E000 and prune wrongly)
+    val emoji = new String(Character.toChars(0x1F600))
+    Snapshots.commit(Seq((400L, "\uE000"), (401L, emoji)).toDF("id", "v"),
+      t, "id", 2, "b5", statsCols = Seq("v"))
+    val uS = Snapshots.stats(t, "snap-000005").get.find(_.col == "v").get
+    assert(uS.min === "\uE000" && uS.max === emoji)
+    // probe at U+F000: inside [U+E000, U+1F600] by code points, but OUTSIDE by
+    // UTF-16 units (emoji's lead surrogate 0xD83D < 0xF000) — must be kept
+    assert(Snapshots.pruneDirs(t, "v", "\uF000", "\uF000")._1.contains("snap-000005"))
     rm(new java.io.File(dir))
   }
 
