@@ -293,6 +293,32 @@ object SparkEntry {
       }
     }
 
+  /** Grid-rewrite artifact: documents re-clustered into the 2×4 cross
+    * product of doc_id range slices (split 250) × n_chars range slices
+    * (splits 150/300/450) — the dir-granularity analogue of Iceberg's
+    * z-order rewrite, giving every cell tight bounds on BOTH axes. */
+  private val gridSnapCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  private def gridSnapshotTable(s: SparkSession, dir: String): String =
+    gridSnapCache.synchronized {
+      val cached = gridSnapCache.get(s)
+      if (cached != null && cached._1 == dir) cached._2
+      else {
+        val tbl = java.nio.file.Files.createTempDirectory("graft-gridtbl").toString + "/documents"
+        val docs = t(s, dir, "documents")
+        Snapshots.commit(docs.filter(col("doc_id") < 250), tbl, "doc_id",
+          buckets = 8, stage = "b1")
+        Snapshots.commit(docs.filter(col("doc_id") >= 250), tbl, "doc_id",
+          buckets = 8, stage = "b2")
+        Snapshots.rewriteGrid(s, tbl, "doc_id",
+          axes = Seq(("doc_id", Seq(250L)), ("n_chars", Seq(150L, 300L, 450L))),
+          buckets = 8)
+        gridSnapCache.put(s, (dir, tbl)); evictOnStop(gridSnapCache, s)
+        tbl
+      }
+    }
+
   /** Merge-upsert artifact: documents ingested as two doc_id-range batches
     * (with key-bounds stats), then a copy-on-write MERGE of a deterministic
     * delta — updates to docs 130–150 (lang/n_chars changed) plus 5 inserts
@@ -607,6 +633,20 @@ object SparkEntry {
       val tbl = clusterSnapshotTable(s, dir)
       val kept = Snapshots.pruneDirs(tbl, "n_chars", 180L, 280L)._1
       Snapshots.loadPruned(s, tbl, "n_chars", 180L, 280L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("n_dirs_read", lit(kept.size.toLong))
+    }),
+
+    "d_grid_prune" -> ((s, dir) => {
+      // multi-dimensional clustering (z-order analogue): after the 2×4 grid
+      // rewrite, a BOX query over (doc_id, n_chars) must plan a one-cell
+      // read — doc_id ∈ [50,200] picks axis-0 slice 0, n_chars ∈ [180,280]
+      // picks axis-1 slice 1. The oracle pins n_dirs_read=1
+      val tbl = gridSnapshotTable(s, dir)
+      val box = Seq[(String, Any, Any)](
+        ("doc_id", 50L, 200L), ("n_chars", 180L, 280L))
+      val kept = Snapshots.pruneDirsMulti(tbl, box)._1
+      Snapshots.loadPrunedMulti(s, tbl, box)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("n_dirs_read", lit(kept.size.toLong))
     }),
@@ -1381,6 +1421,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'yy', n_chars, CAST(1 AS BIGINT)
         |FROM documents WHERE doc_id = 210""".stripMargin,
+    "d_grid_prune" ->
+      """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS n_dirs_read
+        |FROM documents
+        |WHERE doc_id BETWEEN 50 AND 200 AND n_chars BETWEEN 180 AND 280""".stripMargin,
     "d_merge_upsert" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id BETWEEN 130 AND 150 THEN 'xx' ELSE lang END AS lang,

@@ -200,28 +200,44 @@ object Snapshots {
     * loudly — a miswired predicate must not silently degrade every scan to
     * full. */
   def pruneDirs(tableDir: String, colName: String, lo: Any, hi: Any,
-                asOf: Option[Long] = None): (Vector[String], Vector[String]) = {
+                asOf: Option[Long] = None): (Vector[String], Vector[String]) =
+    pruneDirsMulti(tableDir, Seq((colName, lo, hi)), asOf)
+
+  /** Conjunctive multi-column scan planning: a dir is kept only if EVERY
+    * (col, lo, hi) box constraint can be satisfied by its bounds — the read
+    * path of [[rewriteGrid]]'s multi-dimensional clustering, where each dir
+    * carries tight bounds on every grid axis. Single-column [[pruneDirs]]
+    * is the one-constraint case. */
+  def pruneDirsMulti(tableDir: String, bounds: Seq[(String, Any, Any)],
+                     asOf: Option[Long] = None): (Vector[String], Vector[String]) = {
+    require(bounds.nonEmpty, "need at least one bound")
     val snap = resolve(tableDir, asOf)
-    val (boundTyp, loS, hiS) = (lo, hi) match {
-      case (a: Long, b: Long)     => ("long", a.toString, b.toString)
-      case (a: Int, b: Int)       => ("long", a.toString, b.toString)
-      case (a: String, b: String) => ("string", a, b)
-      case other => throw new IllegalArgumentException(
-        s"pruneDirs bounds must be both Long/Int or both String, got $other")
+    val typed = bounds.map { case (c, lo, hi) =>
+      val (t, loS, hiS) = (lo, hi) match {
+        case (a: Long, b: Long)     => ("long", a.toString, b.toString)
+        case (a: Int, b: Int)       => ("long", a.toString, b.toString)
+        case (a: String, b: String) => ("string", a, b)
+        case other => throw new IllegalArgumentException(
+          s"bounds must be both Long/Int or both String, got $other")
+      }
+      (c, t, loS, hiS)
     }
     val kept = snap.dirs.filter { d =>
-      stats(tableDir, d).flatMap(_.find(_.col == colName)) match {
-        case None => true // no stats recorded — cannot prune, must read
-        case Some(cs) =>
-          require(cs.typ == boundTyp,
-            s"stats for $colName in $d are ${cs.typ}, bounds are $boundTyp")
-          if (!cs.bounded) false // empty or all-null dir — no row can match
-          else if (boundTyp == "long")
-            !(cs.max.toLong < loS.toLong || cs.min.toLong > hiS.toLong)
-          // UTF-8 byte order — the order Spark's UTF8String min/max used to
-          // produce the bounds; Java String '<' (UTF-16 units) disagrees on
-          // supplementary characters and would prune wrongly
-          else !(utf8Lt(cs.max, loS) || utf8Lt(hiS, cs.min))
+      val st = stats(tableDir, d)
+      typed.forall { case (colName, boundTyp, loS, hiS) =>
+        st.flatMap(_.find(_.col == colName)) match {
+          case None => true // no stats recorded — cannot prune, must read
+          case Some(cs) =>
+            require(cs.typ == boundTyp,
+              s"stats for $colName in $d are ${cs.typ}, bounds are $boundTyp")
+            if (!cs.bounded) false // empty or all-null dir — no row can match
+            else if (boundTyp == "long")
+              !(cs.max.toLong < loS.toLong || cs.min.toLong > hiS.toLong)
+            // UTF-8 byte order — the order Spark's UTF8String min/max used
+            // to produce the bounds; Java String '<' (UTF-16 units)
+            // disagrees on supplementary characters and would prune wrongly
+            else !(utf8Lt(cs.max, loS) || utf8Lt(hiS, cs.min))
+        }
       }
     }
     (kept, snap.dirs)
@@ -251,12 +267,22 @@ object Snapshots {
     * min/max-based file skipping, and it composes with the per-dir bucket
     * pruning TableFormat.lookup already does. */
   def loadPruned(spark: SparkSession, tableDir: String, colName: String,
-                 lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
+                 lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame =
+    loadPrunedMulti(spark, tableDir, Seq((colName, lo, hi)), asOf)
+
+  /** Box scan with conjunctive data skipping: drop every dir some bound
+    * proves empty, union-read the survivors, re-apply ALL exact predicates.
+    * Over a [[rewriteGrid]]-clustered table a k-dimensional box query reads
+    * only the grid cells the box intersects. */
+  def loadPrunedMulti(spark: SparkSession, tableDir: String,
+                      bounds: Seq[(String, Any, Any)],
+                      asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (kept, all) = pruneDirs(tableDir, colName, lo, hi, asOf)
+    val (kept, all) = pruneDirsMulti(tableDir, bounds, asOf)
     val dels = resolve(tableDir, asOf).dels
-    val exact = (df: DataFrame) =>
-      df.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    val exact = (df: DataFrame) => bounds.foldLeft(df) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
     if (kept.isEmpty)
       // nothing can match: keep the schema (read one dir's metadata, emit 0
       // rows — the lit(false) filter prunes at the source)
@@ -422,31 +448,80 @@ object Snapshots {
                        clusterCol: String, splits: Seq[Long],
                        buckets: Int = 32, stage: String = "cluster",
                        statsCols: Seq[String] = Nil): Snapshot = {
-    import org.apache.spark.sql.functions.{col, lit}
-    require(splits.nonEmpty, "rewriteClustered needs at least one split point")
-    require(splits == splits.sorted && splits.distinct == splits,
-      s"splits must be strictly increasing: $splits")
     val prior = snapshots(tableDir)
     require(prior.nonEmpty, s"$tableDir has no snapshots to rewrite")
     val df = load(spark, tableDir)
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val clusterTyp = df.schema.find(_.name == clusterCol).map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(
-        s"cluster column $clusterCol not in ${df.columns.mkString(",")}"))
-    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(clusterTyp),
-      s"cluster column $clusterCol must be integral (Long splits), got $clusterTyp")
     val id = prior.last.id + 1
-    val c = col(clusterCol)
-    val mids = splits.sliding(2).collect {
-      case Seq(lo, hi) => c > lit(lo) && c <= lit(hi)
-    }.toSeq
-    val slices: Seq[org.apache.spark.sql.Column] =
-      (c.isNull || c <= lit(splits.head)) +: mids :+ (c > lit(splits.last))
+    val slices = axisSlices(df, clusterCol, splits) // validates splits + type
     val wantStats = (clusterCol +: statsCols).distinct
     val dirs = slices.zipWithIndex.map { case (pred, i) =>
       val dirName = f"snap-$id%06d-c$i"
       TableFormat.save(df.filter(pred), s"$tableDir/$dirName", keyCol, buckets,
         stage = s"$stage-slice$i")
+      writeStats(spark, s"$tableDir/$dirName", wantStats)
+      dirName
+    }.toVector
+    val rows = dirs.map(d => dirRows(s"$tableDir/$d")).sum
+    val snap = Snapshot(id, prior.last.id, "overwrite", dirs, stage, rows,
+      System.currentTimeMillis())
+    writeLog(tableDir, prior :+ snap)
+    snap
+  }
+
+  /** Range-slice predicates for one integral cluster axis: (−∞, s0],
+    * (s0, s1], …, (sLast, ∞), nulls riding slice 0 (nulls-first — invisible
+    * to range pruning, preserved for full scans). Shared by
+    * [[rewriteClustered]] and [[rewriteGrid]]. */
+  private def axisSlices(df: DataFrame, colName: String,
+                         splits: Seq[Long]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(splits.nonEmpty, s"axis $colName needs at least one split point")
+    require(splits == splits.sorted && splits.distinct == splits,
+      s"splits must be strictly increasing: $splits")
+    val typ = df.schema.find(_.name == colName).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cluster column $colName not in ${df.columns.mkString(",")}"))
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(typ),
+      s"cluster column $colName must be integral (Long splits), got $typ")
+    val c = col(colName)
+    val mids = splits.sliding(2).collect {
+      case Seq(lo, hi) => c > lit(lo) && c <= lit(hi)
+    }.toSeq
+    (c.isNull || c <= lit(splits.head)) +: mids :+ (c > lit(splits.last))
+  }
+
+  /** Multi-dimensional clustered rewrite (the dir-granularity analogue of
+    * Iceberg's rewrite with a Z-ORDER sort: at file granularity Iceberg
+    * interleaves bits so one sort order packs both axes; at dir granularity
+    * the explicit grid gives every cell tight bounds on EVERY axis
+    * directly): the current snapshot is re-sharded into one data dir per
+    * CELL of the cross product of the given per-axis range slices, each
+    * carrying bounds stats on all axes, committed as one overwrite
+    * snapshot. After a grid rewrite, a box query ([[loadPrunedMulti]])
+    * reads only the cells its box intersects — and a single-axis range
+    * query still prunes on that axis alone. Cell count = Π(|splits|+1);
+    * size the grid so cells stay file-sized, exactly like choosing a
+    * Z-order chunk size. */
+  def rewriteGrid(spark: SparkSession, tableDir: String, keyCol: String,
+                  axes: Seq[(String, Seq[Long])],
+                  buckets: Int = 32, stage: String = "grid",
+                  statsCols: Seq[String] = Nil): Snapshot = {
+    import org.apache.spark.sql.functions.lit
+    require(axes.size >= 2, "rewriteGrid needs ≥ 2 axes (one → rewriteClustered)")
+    val prior = snapshots(tableDir)
+    require(prior.nonEmpty, s"$tableDir has no snapshots to rewrite")
+    val df = load(spark, tableDir)
+    val id = prior.last.id + 1
+    val perAxis = axes.map { case (c, sp) => axisSlices(df, c, sp).zipWithIndex }
+    val cells = perAxis.foldLeft(Seq(("", lit(true)))) { case (acc, ax) =>
+      for { (sfx, p) <- acc; (q, i) <- ax } yield (s"$sfx-$i", p && q)
+    }
+    val wantStats = (axes.map(_._1) ++ statsCols).distinct
+    val dirs = cells.map { case (sfx, pred) =>
+      val dirName = f"snap-$id%06d-g$sfx"
+      TableFormat.save(df.filter(pred), s"$tableDir/$dirName", keyCol, buckets,
+        stage = s"$stage-cell$sfx")
       writeStats(spark, s"$tableDir/$dirName", wantStats)
       dirName
     }.toVector

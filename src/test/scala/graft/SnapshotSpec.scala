@@ -403,6 +403,48 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(dir))
   }
 
+  test("grid rewrite: box queries read only intersecting cells; single-axis pruning too") {
+    val dir = tmp("graft-grid")
+    val t = s"$dir/tbl"
+    // 60 rows over a 2-D key space: x = i, y = (i * 37) % 90 — scattered in
+    // y, so no single-axis clustering could bound both
+    def y(i: Long): Long = (i * 37) % 90
+    Snapshots.commit((0L until 60L).map(i => (i, y(i), s"v$i")).toDF("x", "y", "v"),
+      t, "x", buckets = 2, stage = "b1")
+    val rw = Snapshots.rewriteGrid(spark, t, "x",
+      axes = Seq(("x", Seq(20L, 40L)), ("y", Seq(30L, 60L))), buckets = 2)
+    assert(rw.op === "overwrite" && rw.dirs.size === 9 && rw.rows === 60L)
+    // every cell carries stats on BOTH axes
+    rw.dirs.foreach { d =>
+      assert(Snapshots.stats(t, d).get.map(_.col).toSet === Set("x", "y"), d)
+    }
+    // full read preserved
+    assert(Snapshots.load(spark, t).count() === 60L)
+    // box fully inside one cell: x ∈ (20,40], y ∈ (30,60] → exactly 1 dir
+    val box1 = Seq[(String, Any, Any)](("x", 25L, 35L), ("y", 40L, 50L))
+    val (kept1, all1) = Snapshots.pruneDirsMulti(t, box1)
+    assert(all1.size === 9 && kept1.size === 1, kept1)
+    val expect1 = (0L until 60L).filter(i =>
+      i >= 25 && i <= 35 && y(i) >= 40 && y(i) <= 50).map(i => (i, y(i), s"v$i")).toSet
+    assert(Snapshots.loadPrunedMulti(spark, t, box1)
+      .as[(Long, Long, String)].collect().toSet === expect1)
+    // box spanning two x slices: ≤ 2 cells read, still exact
+    val box2 = Seq[(String, Any, Any)](("x", 15L, 25L), ("y", 40L, 50L))
+    assert(Snapshots.pruneDirsMulti(t, box2)._1.size <= 2)
+    val expect2 = (0L until 60L).filter(i =>
+      i >= 15 && i <= 25 && y(i) >= 40 && y(i) <= 50).map(i => (i, y(i), s"v$i")).toSet
+    assert(Snapshots.loadPrunedMulti(spark, t, box2)
+      .as[(Long, Long, String)].collect().toSet === expect2)
+    // a single-axis range query prunes on that axis alone (3 of 9 cells)
+    assert(Snapshots.pruneDirs(t, "y", 70L, 89L)._1.size === 3)
+    assert(Snapshots.loadPruned(spark, t, "y", 70L, 89L)
+      .select($"x").as[Long].collect().toSet ===
+      (0L until 60L).filter(i => y(i) >= 70).toSet)
+    // pre-grid time travel intact
+    assert(Snapshots.load(spark, t, asOf = Some(1L)).count() === 60L)
+    rm(new java.io.File(dir))
+  }
+
   test("stats survive rewrite; pruned scan equals filter on a random split") {
     val dir = tmp("graft-stats-rw")
     val t = s"$dir/tbl"
