@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.io.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Streaming keyed upsert into a snapshot table: each micro-batch becomes
+  * ONE copy-on-write [[Snapshots.merge]] snapshot — the streaming face of
+  * the table format's row-level MERGE, i.e. a CDC-apply sink (Iceberg's
+  * MERGE INTO driven by a change stream).
+  *
+  * Semantics:
+  *  - within a batch, several updates for the same key are resolved BEFORE
+  *    the merge: the row with the greatest `versionCol` wins (ties on
+  *    (key, version) fail loudly — two contradictory rows with the same
+  *    version have no deterministic winner, and committing either would be
+  *    a silent coin flip);
+  *  - across batches, later epochs simply merge over earlier ones;
+  *  - exactly-once per epoch: the merge snapshot's stage records
+  *    (stream instance, epoch); a replayed epoch — restart after the commit
+  *    but before the checkpoint ack — is detected in the snapshot log and
+  *    skipped, the same idempotence contract as Pipeline.runIncremental's
+  *    batchId-keyed commits;
+  *  - the FIRST batch of an empty table is a plain commit (merge needs a
+  *    snapshot to merge into); empty batches are no-ops.
+  *
+  * Scale: per epoch the work is one delta-sized merge — candidate dirs
+  * gated by key-bounds stats + the one-job semi probe — so a key-clustered
+  * CDC stream rewrites one or two batch dirs per epoch, never the table.
+  */
+object StreamUpsert {
+
+  /** Apply one delta as an upsert; returns true if a snapshot was
+    * committed, false if skipped (empty delta or replayed stage). Exposed
+    * for direct reuse/testing; [[run]] wires it under foreachBatch. */
+  def upsertBatch(delta: DataFrame, tableDir: String, keyCol: String,
+                  versionCol: String, buckets: Int, stage: String,
+                  statsCols: Seq[String] = Nil): Boolean = {
+    if (Snapshots.snapshots(tableDir).exists(_.stage == stage))
+      return false // replayed epoch — already committed exactly once
+    // last-writer-wins WITHIN the delta: keep each key's max-version row;
+    // a (key, version) tie is contradictory input — fail, don't coin-flip
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
+    val ranked = delta
+      .withColumn("_su_rk", row_number().over(w))
+      .withColumn("_su_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol), col(versionCol))))
+    val resolved = ranked.filter(col("_su_rk") === 1)
+      .withColumn(keyCol, when(col("_su_n") > 1,
+        raise_error(concat(lit(s"StreamUpsert: conflicting rows share ($keyCol, "
+          + s"$versionCol) = ("), col(keyCol).cast("string"), lit(", "),
+          col(versionCol).cast("string"), lit(")")))).otherwise(col(keyCol)))
+      .drop("_su_rk", "_su_n")
+    if (resolved.isEmpty) return false
+    if (Snapshots.snapshots(tableDir).isEmpty)
+      Snapshots.commit(resolved, tableDir, keyCol, buckets, stage,
+        statsCols = statsCols)
+    else
+      Snapshots.merge(resolved, tableDir, keyCol, buckets, stage, statsCols)
+    true
+  }
+
+  /** Run the upsert sink over a streaming `updates` frame. `updates` must
+    * carry `keyCol` and `versionCol` (plus the payload columns of the
+    * target table). */
+  def run(spark: SparkSession, updates: DataFrame, tableDir: String,
+          keyCol: String, versionCol: String, checkpointDir: String,
+          buckets: Int = 8, statsCols: Seq[String] = Nil,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val streamId = graft.io.Compact.streamInstanceId(checkpointDir)
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        upsertBatch(batch, tableDir, keyCol, versionCol, buckets,
+          stage = s"upsert-$streamId-epoch-$epochId", statsCols = statsCols)
+        ()
+      }
+      .start()
+  }
+}

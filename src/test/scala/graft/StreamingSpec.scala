@@ -318,4 +318,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(eS === eB)
     assert(math.abs(eS - 2500.0) / 2500 < 0.20, s"est=$eS for true 2500")
   }
+
+  test("streaming upsert sink: CDC stream merges each epoch exactly once") {
+    import graft.io.Snapshots
+    import graft.streaming.StreamUpsert
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("graft-supsert").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-supsert-ckpt").toString
+    val stream = MemoryStream[(Long, String, Long)] // (id, v, ver)
+    val q = StreamUpsert.run(spark, stream.toDS().toDF("id", "v", "ver"),
+      tbl, "id", "ver", ckpt, buckets = 2, statsCols = Seq("id"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    stream.addData((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+    q.processAllAvailable()
+    // epoch 2: an update, an insert, and an in-batch superseded row for 4
+    stream.addData((2L, "b2", 2L), (4L, "d", 1L), (4L, "d2", 2L))
+    q.processAllAvailable(); q.stop()
+    val got = Snapshots.load(spark, tbl)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d2"))
+    // log shape: initial commit then one CoW merge per non-empty epoch
+    val snaps = Snapshots.snapshots(tbl)
+    assert(snaps.map(_.op) === Vector("append", "merge"), snaps.map(_.op))
+    assert(snaps.forall(_.stage.startsWith("upsert-")))
+    // exactly-once: replaying a committed epoch's stage is a no-op
+    val replay = Seq((2L, "GHOST", 2L)).toDF("id", "v", "ver")
+    assert(!StreamUpsert.upsertBatch(replay, tbl, "id", "ver", 2, snaps.last.stage))
+    assert(Snapshots.snapshots(tbl).map(_.id) === snaps.map(_.id))
+    assert(Snapshots.load(spark, tbl).select("id", "v").as[(Long, String)]
+      .collect().toMap.apply(2L) === "b2")
+    // contradictory rows sharing (key, version) fail loudly
+    val bad = Seq((9L, "x", 1L), (9L, "y", 1L)).toDF("id", "v", "ver")
+    val e = intercept[Exception](
+      StreamUpsert.upsertBatch(bad, tbl, "id", "ver", 2, "manual-bad"))
+    assert(e.getMessage != null)
+    // empty delta is a no-op, not an empty snapshot
+    assert(!StreamUpsert.upsertBatch(
+      Seq.empty[(Long, String, Long)].toDF("id", "v", "ver"),
+      tbl, "id", "ver", 2, "manual-empty"))
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(tbl).getParentFile); rm(new java.io.File(ckpt))
+  }
 }
