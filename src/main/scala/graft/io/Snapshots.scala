@@ -182,12 +182,15 @@ object Snapshots {
   }
 
   /** The stats sidecar of one data dir, or None if it was committed without
-    * stats (pre-stats dirs are never prunable — [[pruneDirs]] keeps them). */
+    * stats (pre-stats dirs are never prunable — [[pruneDirs]] keeps them).
+    * A sidecar that fails to parse — older format, corruption — also reads
+    * as None: unreadable stats must degrade to an UNPRUNED (correct, just
+    * slower) scan, never to an unreadable table. */
   def stats(tableDir: String, dirName: String): Option[Vector[ColumnStats]] = {
     val p = Paths.get(tableDir, dirName, StatsFile)
     if (!Files.exists(p)) None
-    else Some(Files.readAllLines(p).asScala.iterator
-      .filter(_.nonEmpty).map(parseStatsLine).toVector)
+    else scala.util.Try(Files.readAllLines(p).asScala.iterator
+      .filter(_.nonEmpty).map(parseStatsLine).toVector).toOption
   }
 
   /** Scan planning with data skipping: of the snapshot's dirs, which can
@@ -450,7 +453,9 @@ object Snapshots {
                        statsCols: Seq[String] = Nil): Snapshot = {
     val prior = snapshots(tableDir)
     require(prior.nonEmpty, s"$tableDir has no snapshots to rewrite")
-    val df = load(spark, tableDir)
+    // materialize the (multi-dir, possibly delete-masked) current table ONCE
+    // — each slice below re-reads the checkpointed copy, not the union scan
+    val df = load(spark, tableDir).localCheckpoint()
     val id = prior.last.id + 1
     val slices = axisSlices(df, clusterCol, splits) // validates splits + type
     val wantStats = (clusterCol +: statsCols).distinct
@@ -511,7 +516,9 @@ object Snapshots {
     require(axes.size >= 2, "rewriteGrid needs ≥ 2 axes (one → rewriteClustered)")
     val prior = snapshots(tableDir)
     require(prior.nonEmpty, s"$tableDir has no snapshots to rewrite")
-    val df = load(spark, tableDir)
+    // ONE materialization of the current table; the Π(|splits|+1) per-cell
+    // filters below scan the checkpointed copy, not `cells` full table reads
+    val df = load(spark, tableDir).localCheckpoint()
     val id = prior.last.id + 1
     val perAxis = axes.map { case (c, sp) => axisSlices(df, c, sp).zipWithIndex }
     val cells = perAxis.foldLeft(Seq(("", lit(true)))) { case (acc, ax) =>

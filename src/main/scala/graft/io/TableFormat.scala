@@ -49,6 +49,10 @@ object TableFormat {
     writeManifest(df.sparkSession, path, stage,
       extra + ("bucket_key" -> keyCol, "buckets" -> buckets.toString),
       writeMs = System.currentTimeMillis() - t0)
+    // exact invalidation of the rule's layout cache: an mtime check alone
+    // can miss a same-millisecond re-save with a different bucket count
+    // (coarse-mtime filesystems), and a stale modulus prunes WRONG
+    graft.plans.BucketPrune.invalidate(path)
   }
 
   private def writeManifest(spark: SparkSession, path: String, stage: String,

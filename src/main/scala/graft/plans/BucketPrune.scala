@@ -41,6 +41,21 @@ object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
 
   def clearMetaCacheForTest(): Unit = metaCache.clear()
 
+  /** Exact invalidation hook, called by TableFormat.save after every write:
+    * drops any cached layout whose root resolves to `path` regardless of
+    * URI scheme spelling, closing the same-millisecond re-save window the
+    * mtime check cannot see. */
+  def invalidate(path: String): Unit = {
+    val abs = new java.io.File(path).getAbsolutePath
+    val it = metaCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      val kPath = try new java.io.File(new java.net.URI(k).getPath).getAbsolutePath
+        catch { case _: Exception => k }
+      if (kPath == abs) it.remove()
+    }
+  }
+
   private val KeyRe = """"bucket_key": "([^"]+)"""".r
   private val NRe = """"buckets": "(\d+)"""".r
 

@@ -12,10 +12,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *
   * Semantics:
   *  - within a batch, several updates for the same key are resolved BEFORE
-  *    the merge: the row with the greatest `versionCol` wins (ties on
-  *    (key, version) fail loudly — two contradictory rows with the same
-  *    version have no deterministic winner, and committing either would be
-  *    a silent coin flip);
+  *    the merge: the row with the greatest `versionCol` wins. A tie at the
+  *    WINNING version fails loudly — two contradictory top rows have no
+  *    deterministic winner, and committing either would be a silent coin
+  *    flip; ties among superseded lower versions are simply discarded (they
+  *    lose to the winner either way);
   *  - across batches, later epochs simply merge over earlier ones;
   *  - exactly-once per epoch: the merge snapshot's stage records
   *    (stream instance, epoch); a replayed epoch — restart after the commit
@@ -48,12 +49,17 @@ object StreamUpsert {
       .withColumn("_su_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol), col(versionCol))))
+    // localCheckpoint: the dedup window + source would otherwise re-execute
+    // for every downstream action (isEmpty, merge's bounds agg, the probe,
+    // the rewrite, the delta save) — the same materialize-once reasoning as
+    // merge's own deltaKeys checkpoint
     val resolved = ranked.filter(col("_su_rk") === 1)
       .withColumn(keyCol, when(col("_su_n") > 1,
         raise_error(concat(lit(s"StreamUpsert: conflicting rows share ($keyCol, "
           + s"$versionCol) = ("), col(keyCol).cast("string"), lit(", "),
           col(versionCol).cast("string"), lit(")")))).otherwise(col(keyCol)))
       .drop("_su_rk", "_su_n")
+      .localCheckpoint()
     if (resolved.isEmpty) return false
     if (Snapshots.snapshots(tableDir).isEmpty)
       Snapshots.commit(resolved, tableDir, keyCol, buckets, stage,
