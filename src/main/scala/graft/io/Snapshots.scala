@@ -366,11 +366,18 @@ object Snapshots {
     * At 10^12 docs the lever is the stats gate: a key-clustered delta batch
     * (the normal ingest-correction shape) rewrites one or two batch dirs,
     * never the table. Delta keys must be unique — a delta that disagrees
-    * with itself fails loudly rather than committing either version. */
+    * with itself fails loudly rather than committing either version.
+    *
+    * `deleteKeys` is the WHEN MATCHED DELETE half of MERGE INTO: those keys
+    * are removed without replacement (they join the rewrite anti-join but
+    * nothing is appended for them). A key in both `delta` and `deleteKeys`
+    * is contradictory and fails; a pure delete (empty delta + deleteKeys)
+    * commits a merge snapshot with no delta dir. */
   def merge(delta: DataFrame, tableDir: String, keyCol: String,
             buckets: Int = 32, stage: String = "merge",
-            statsCols: Seq[String] = Nil): Snapshot = {
-    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+            statsCols: Seq[String] = Nil,
+            deleteKeys: Option[DataFrame] = None): Snapshot = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, sum, when}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val spark = delta.sparkSession
     val prior = snapshots(tableDir)
@@ -380,14 +387,35 @@ object Snapshots {
       "pending merge-on-read deletes — rewrite() first: a CoW-rewritten dir " +
         "gets a NEW snapshot id and would escape the delete masks")
     val id = cur.id + 1
-    val head = delta.agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d"),
-      min(col(keyCol)).cast("string").as("lo"), max(col(keyCol)).cast("string").as("hi"))
+    val dHead = delta.agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d"))
       .collect()(0)
-    require(head.getAs[Long]("n") > 0L, "merge delta is empty")
-    require(head.getAs[Long]("n") == head.getAs[Long]("d"),
+    val deltaN = dHead.getAs[Long]("n")
+    require(deltaN == dHead.getAs[Long]("d"),
       s"merge delta has duplicate or null $keyCol values — ambiguous upsert " +
         "(countDistinct excludes nulls, so a null key also trips this)")
-    val (loS, hiS) = (head.getAs[String]("lo"), head.getAs[String]("hi"))
+    val deltaKeys = delta.select(col(keyCol)).localCheckpoint()
+    // WHEN MATCHED DELETE half: keys to remove WITHOUT replacement. A key
+    // both upserted and deleted in one merge is contradictory input.
+    val delKeys = deleteKeys.map { dk =>
+      val k = dk.select(col(keyCol)).distinct().localCheckpoint()
+      val nulls = k.agg(sum(when(col(keyCol).isNull, lit(1L)).otherwise(lit(0L)))
+        .as("nn")).collect()(0).getAs[Long]("nn")
+      require(nulls == 0L, s"merge deleteKeys contain null $keyCol values")
+      require(deltaN == 0L ||
+          deltaKeys.join(k, Seq(keyCol), "left_semi").isEmpty,
+        s"merge: some $keyCol appears in BOTH delta and deleteKeys — " +
+          "upsert-and-delete of one key in one merge has no meaning")
+      k
+    }
+    // every key this merge touches — drives candidate selection, the probe,
+    // and the rewrite anti-join (updated rows replaced, deleted rows gone)
+    val affected = delKeys.fold(deltaKeys)(k =>
+      deltaKeys.unionByName(k).distinct()).localCheckpoint()
+    val aHead = affected.agg(count(lit(1)).as("n"),
+      min(col(keyCol)).cast("string").as("lo"),
+      max(col(keyCol)).cast("string").as("hi")).collect()(0)
+    require(aHead.getAs[Long]("n") > 0L, "merge with neither delta nor deleteKeys")
+    val (loS, hiS) = (aHead.getAs[String]("lo"), aHead.getAs[String]("hi"))
     val keyTyp = delta.schema.find(_.name == keyCol).get.dataType
     val candidates = keyTyp match {
       case LongType | IntegerType | ShortType | ByteType =>
@@ -396,36 +424,38 @@ object Snapshots {
       case other => throw new IllegalArgumentException(
         s"merge key $keyCol must be integral or string, got $other")
     }
-    val deltaKeys = delta.select(col(keyCol)).localCheckpoint()
     // ONE key-column-pruned probe job over all candidate dirs at once (a
     // per-dir isEmpty probe would read each candidate twice — probe + the
-    // rewrite below): which candidates actually hold a delta key?
+    // rewrite below): which candidates actually hold an affected key?
     val hitDirs: Set[String] =
       if (candidates.isEmpty) Set.empty
       else candidates.map { d =>
           TableFormat.load(spark, s"$tableDir/$d")
             .select(col(keyCol)).withColumn("_dir", lit(d))
         }.reduce(_.unionByName(_))
-        .join(deltaKeys, Seq(keyCol), "left_semi")
+        .join(affected, Seq(keyCol), "left_semi")
         .select("_dir").distinct().collect().map(_.getString(0)).toSet
     var slice = 0
-    val newDirs = cur.dirs.map { d =>
+    val rewritten = cur.dirs.map { d =>
       if (!hitDirs.contains(d)) d // untouched (or bounds-only overlap): by reference
       else {
         val nd = f"snap-$id%06d-m$slice"; slice += 1
         TableFormat.save(
           TableFormat.load(spark, s"$tableDir/$d")
-            .join(deltaKeys, Seq(keyCol), "left_anti"),
+            .join(affected, Seq(keyCol), "left_anti"),
           s"$tableDir/$nd", keyCol, buckets, stage = s"$stage-rewrite")
         if (statsCols.nonEmpty) writeStats(spark, s"$tableDir/$nd", statsCols)
         nd
       }
-    } :+ {
-      val dd = f"snap-$id%06d-d"
-      TableFormat.save(delta, s"$tableDir/$dd", keyCol, buckets, stage = s"$stage-delta")
-      if (statsCols.nonEmpty) writeStats(spark, s"$tableDir/$dd", statsCols)
-      dd
     }
+    val newDirs =
+      if (deltaN == 0L) rewritten // pure delete — nothing to append
+      else rewritten :+ {
+        val dd = f"snap-$id%06d-d"
+        TableFormat.save(delta, s"$tableDir/$dd", keyCol, buckets, stage = s"$stage-delta")
+        if (statsCols.nonEmpty) writeStats(spark, s"$tableDir/$dd", statsCols)
+        dd
+      }
     val rows = newDirs.map(d => dirRows(s"$tableDir/$d")).sum
     val snap = Snapshot(id, cur.id, "merge", newDirs, stage, rows,
       System.currentTimeMillis())

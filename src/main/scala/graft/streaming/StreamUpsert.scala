@@ -32,16 +32,21 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object StreamUpsert {
 
-  /** Apply one delta as an upsert; returns true if a snapshot was
-    * committed, false if skipped (empty delta or replayed stage). Exposed
+  /** Apply one delta as an upsert (plus deletes when `opCol` is set);
+    * returns true if a snapshot was committed, false if skipped (empty
+    * delta or replayed stage). With `opCol`, each row carries "upsert" or
+    * "delete"; last-writer-wins picks the key's winning OP too, so an
+    * upsert after a delete (by version) re-inserts and vice versa. Exposed
     * for direct reuse/testing; [[run]] wires it under foreachBatch. */
   def upsertBatch(delta: DataFrame, tableDir: String, keyCol: String,
                   versionCol: String, buckets: Int, stage: String,
-                  statsCols: Seq[String] = Nil): Boolean = {
+                  statsCols: Seq[String] = Nil,
+                  opCol: Option[String] = None): Boolean = {
     if (Snapshots.snapshots(tableDir).exists(_.stage == stage))
       return false // replayed epoch — already committed exactly once
-    // last-writer-wins WITHIN the delta: keep each key's max-version row;
-    // a (key, version) tie is contradictory input — fail, don't coin-flip
+    // last-writer-wins WITHIN the delta: keep each key's max-version row; a
+    // tie at the WINNING version is contradictory input — fail, don't
+    // coin-flip (superseded lower-version duplicates just lose)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
     val ranked = delta
@@ -60,21 +65,39 @@ object StreamUpsert {
           col(versionCol).cast("string"), lit(")")))).otherwise(col(keyCol)))
       .drop("_su_rk", "_su_n")
       .localCheckpoint()
-    if (resolved.isEmpty) return false
-    if (Snapshots.snapshots(tableDir).isEmpty)
-      Snapshots.commit(resolved, tableDir, keyCol, buckets, stage,
+    val (upserts, deletes) = opCol match {
+      case None => (resolved, None)
+      case Some(oc) =>
+        val ops = resolved.select(col(oc)).distinct().collect()
+          .map(_.getString(0)).toSet
+        require(ops.subsetOf(Set("upsert", "delete")),
+          s"StreamUpsert: unknown $oc values ${ops -- Set("upsert", "delete")}")
+        val del = resolved.filter(col(oc) === "delete").select(col(keyCol))
+        (resolved.filter(col(oc) === "upsert").drop(oc),
+          if (del.isEmpty) None else Some(del))
+    }
+    val haveUpserts = !upserts.isEmpty
+    if (!haveUpserts && deletes.isEmpty) return false
+    if (Snapshots.snapshots(tableDir).isEmpty) {
+      // first batch of an empty table: deletes have nothing to delete
+      if (!haveUpserts) return false
+      Snapshots.commit(upserts, tableDir, keyCol, buckets, stage,
         statsCols = statsCols)
-    else
-      Snapshots.merge(resolved, tableDir, keyCol, buckets, stage, statsCols)
+    } else
+      Snapshots.merge(upserts, tableDir, keyCol, buckets, stage, statsCols,
+        deleteKeys = deletes)
     true
   }
 
   /** Run the upsert sink over a streaming `updates` frame. `updates` must
     * carry `keyCol` and `versionCol` (plus the payload columns of the
-    * target table). */
+    * target table); with `opCol` set, also an "upsert"/"delete" marker per
+    * row — the full CDC-apply shape (inserts, updates, AND deletes) driven
+    * off one change stream. */
   def run(spark: SparkSession, updates: DataFrame, tableDir: String,
           keyCol: String, versionCol: String, checkpointDir: String,
           buckets: Int = 8, statsCols: Seq[String] = Nil,
+          opCol: Option[String] = None,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val streamId = graft.io.Compact.streamInstanceId(checkpointDir)
     updates.writeStream
@@ -83,7 +106,8 @@ object StreamUpsert {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         upsertBatch(batch, tableDir, keyCol, versionCol, buckets,
-          stage = s"upsert-$streamId-epoch-$epochId", statsCols = statsCols)
+          stage = s"upsert-$streamId-epoch-$epochId", statsCols = statsCols,
+          opCol = opCol)
         ()
       }
       .start()

@@ -356,6 +356,43 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(dir))
   }
 
+  test("merge with deleteKeys: WHEN MATCHED DELETE, pure deletes, contradiction guard") {
+    val dir = tmp("graft-merge-del")
+    val t = s"$dir/tbl"
+    for ((r, st) <- Seq((0L until 10L, "b1"), (10L until 20L, "b2"), (20L until 30L, "b3")))
+      Snapshots.commit(r.map(i => (i, s"old$i")).toDF("id", "v"), t, "id",
+        buckets = 2, stage = st, statsCols = Seq("id"))
+    // one merge: update 12, delete 5 and 25 — all three dirs hold affected keys
+    val snap = Snapshots.merge(Seq((12L, "NEW")).toDF("id", "v"), t, "id",
+      buckets = 2, statsCols = Seq("id"),
+      deleteKeys = Some(Seq(5L, 25L).toDF("id")))
+    assert(snap.op === "merge" && snap.rows === 28L)
+    assert(snap.dirs.count(_.contains("-m")) === 3 && snap.dirs.count(_.contains("-d")) === 1)
+    val got = Snapshots.load(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size === 28 && !got.contains(5L) && !got.contains(25L) && got(12L) === "NEW")
+    // pure delete: empty delta + deleteKeys commits a merge with NO delta dir
+    val snap2 = Snapshots.merge(Seq.empty[(Long, String)].toDF("id", "v"),
+      t, "id", buckets = 2, deleteKeys = Some(Seq(7L).toDF("id")))
+    // no NEW delta dir for this snapshot (prior dirs ride by reference)
+    assert(snap2.rows === 27L &&
+      !snap2.dirs.exists(d => d.startsWith(f"snap-${snap2.id}%06d") && d.endsWith("-d")),
+      snap2.dirs)
+    assert(!Snapshots.load(spark, t).as[(Long, String)].collect().toMap.contains(7L))
+    // upsert-and-delete of the same key in one merge is contradictory
+    val e = intercept[IllegalArgumentException](Snapshots.merge(
+      Seq((3L, "x")).toDF("id", "v"), t, "id", buckets = 2,
+      deleteKeys = Some(Seq(3L).toDF("id"))))
+    assert(e.getMessage.contains("BOTH"))
+    // null delete keys fail loudly
+    intercept[IllegalArgumentException](Snapshots.merge(
+      Seq((4L, "x")).toDF("id", "v"), t, "id", buckets = 2,
+      deleteKeys = Some(Seq(Tuple1(null: java.lang.Long)).toDF("id"))))
+    // neither delta nor deletes: refused
+    intercept[IllegalArgumentException](Snapshots.merge(
+      Seq.empty[(Long, String)].toDF("id", "v"), t, "id", buckets = 2))
+    rm(new java.io.File(dir))
+  }
+
   test("merge-on-read delete: sequence-number masking, fold on rewrite, expire") {
     val dir = tmp("graft-mor")
     val t = s"$dir/tbl"

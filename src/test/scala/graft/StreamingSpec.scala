@@ -319,6 +319,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(eS - 2500.0) / 2500 < 0.20, s"est=$eS for true 2500")
   }
 
+  test("streaming CDC with an op column applies upserts AND deletes per epoch") {
+    import graft.io.Snapshots
+    import graft.streaming.StreamUpsert
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val stream = MemoryStream[(Long, String, Long, String)] // (id, v, ver, op)
+    val q = StreamUpsert.run(spark, stream.toDS().toDF("id", "v", "ver", "op"),
+      tbl, "id", "ver", ckpt, buckets = 2, statsCols = Seq("id"),
+      opCol = Some("op"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    stream.addData((1L, "a", 1L, "upsert"), (2L, "b", 1L, "upsert"),
+      (3L, "c", 1L, "upsert"))
+    q.processAllAvailable()
+    // epoch 2: delete 2; for key 3 a delete at ver 2 is SUPERSEDED by an
+    // upsert at ver 3 (last-writer-wins across ops); insert 4
+    stream.addData((2L, "", 2L, "delete"), (3L, "", 2L, "delete"),
+      (3L, "c2", 3L, "upsert"), (4L, "d", 1L, "upsert"))
+    q.processAllAvailable(); q.stop()
+    val got = Snapshots.load(spark, tbl)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 3L -> "c2", 4L -> "d"))
+    // an unknown op value fails loudly
+    val e = intercept[Exception](StreamUpsert.upsertBatch(
+      Seq((9L, "x", 1L, "replace")).toDF("id", "v", "ver", "op"),
+      tbl, "id", "ver", 2, "manual-bad-op", opCol = Some("op")))
+    assert(e.getMessage.contains("unknown"))
+    // a delete-only batch on a table that exists commits a pure-delete merge
+    assert(StreamUpsert.upsertBatch(
+      Seq((4L, "", 9L, "delete")).toDF("id", "v", "ver", "op"),
+      tbl, "id", "ver", 2, "manual-del", opCol = Some("op")))
+    assert(!Snapshots.load(spark, tbl).select("id").as[Long]
+      .collect().toSet.contains(4L))
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(tbl).getParentFile); rm(new java.io.File(ckpt))
+  }
+
   test("streaming upsert sink: CDC stream merges each epoch exactly once") {
     import graft.io.Snapshots
     import graft.streaming.StreamUpsert
