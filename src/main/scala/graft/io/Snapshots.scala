@@ -569,6 +569,28 @@ object Snapshots {
     snap
   }
 
+  /** Periodic table maintenance policy — the scheduled job an operator runs
+    * against every snapshot table (Iceberg deployments pair
+    * rewrite_data_files + expire_snapshots the same way): fold when the
+    * current snapshot references more than `maxDirs` data dirs (append
+    * creep) OR carries pending merge-on-read delete masks (every read pays
+    * their anti-joins until folded), then expire history beyond
+    * `keepSnapshots`. Returns (didRewrite, expiredDirNames). Idempotent:
+    * a maintained table is a no-op. */
+  def maintain(spark: SparkSession, tableDir: String, keyCol: String,
+               maxDirs: Int = 8, keepSnapshots: Int = 3, buckets: Int = 32,
+               statsCols: Seq[String] = Nil): (Boolean, Vector[String]) = {
+    require(maxDirs >= 1 && keepSnapshots >= 1)
+    current(tableDir) match {
+      case None => (false, Vector.empty) // nothing committed yet
+      case Some(cur) =>
+        val needsFold = cur.dirs.size > maxDirs || cur.dels.nonEmpty
+        if (needsFold)
+          rewrite(spark, tableDir, keyCol, buckets, statsCols = statsCols)
+        (needsFold, expire(tableDir, keepSnapshots))
+    }
+  }
+
   /** Expire snapshots older than the last `keepLast`, deleting data dirs no
     * surviving snapshot references (Iceberg's expire_snapshots + orphan file
     * cleanup collapsed into one step — safe here because the log atomically

@@ -356,6 +356,28 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(dir))
   }
 
+  test("maintain: folds append creep and pending delete masks, expires history, idempotent") {
+    val dir = tmp("graft-maint")
+    val t = s"$dir/tbl"
+    for (i <- 0L until 5L)
+      Snapshots.commit(Seq((i, s"v$i")).toDF("id", "v"), t, "id", 2, s"b$i")
+    Snapshots.deleteWhere(Seq(1L).toDF("id"), t)
+    val before = Snapshots.load(spark, t).as[(Long, String)].collect().toSet
+    // 5 dirs > maxDirs=3 AND a pending delete mask → fold + expire
+    val (folded, expired) = Snapshots.maintain(spark, t, "id", maxDirs = 3,
+      keepSnapshots = 1, buckets = 2)
+    assert(folded && expired.nonEmpty)
+    val cur = Snapshots.current(t).get
+    assert(cur.dirs.size === 1 && cur.dels.isEmpty && cur.rows === 4L)
+    assert(Snapshots.load(spark, t).as[(Long, String)].collect().toSet === before)
+    // second run: nothing to do
+    val (folded2, expired2) = Snapshots.maintain(spark, t, "id", maxDirs = 3,
+      keepSnapshots = 1, buckets = 2)
+    assert(!folded2 && expired2.isEmpty)
+    assert(Snapshots.current(t).get.id === cur.id)
+    rm(new java.io.File(dir))
+  }
+
   test("merge with deleteKeys: WHEN MATCHED DELETE, pure deletes, contradiction guard") {
     val dir = tmp("graft-merge-del")
     val t = s"$dir/tbl"
