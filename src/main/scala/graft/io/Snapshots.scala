@@ -387,7 +387,9 @@ object Snapshots {
       "pending merge-on-read deletes — rewrite() first: a CoW-rewritten dir " +
         "gets a NEW snapshot id and would escape the delete masks")
     val id = cur.id + 1
-    val dHead = delta.agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d"))
+    // ONE aggregate over the delta: size, uniqueness, and key bounds
+    val dHead = delta.agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d"),
+      min(col(keyCol)).cast("string").as("lo"), max(col(keyCol)).cast("string").as("hi"))
       .collect()(0)
     val deltaN = dHead.getAs[Long]("n")
     require(deltaN == dHead.getAs[Long]("d"),
@@ -408,14 +410,21 @@ object Snapshots {
       k
     }
     // every key this merge touches — drives candidate selection, the probe,
-    // and the rewrite anti-join (updated rows replaced, deleted rows gone)
-    val affected = delKeys.fold(deltaKeys)(k =>
-      deltaKeys.unionByName(k).distinct()).localCheckpoint()
-    val aHead = affected.agg(count(lit(1)).as("n"),
-      min(col(keyCol)).cast("string").as("lo"),
-      max(col(keyCol)).cast("string").as("hi")).collect()(0)
-    require(aHead.getAs[Long]("n") > 0L, "merge with neither delta nor deleteKeys")
-    val (loS, hiS) = (aHead.getAs[String]("lo"), aHead.getAs[String]("hi"))
+    // and the rewrite anti-join (updated rows replaced, deleted rows gone).
+    // Without deleteKeys this IS deltaKeys (already checkpointed, bounds
+    // already known from dHead) — no extra jobs on the common path.
+    val (affected, loS, hiS) = delKeys match {
+      case None =>
+        require(deltaN > 0L, "merge with neither delta nor deleteKeys")
+        (deltaKeys, dHead.getAs[String]("lo"), dHead.getAs[String]("hi"))
+      case Some(k) =>
+        val a = deltaKeys.unionByName(k).distinct().localCheckpoint()
+        val aHead = a.agg(min(col(keyCol)).cast("string").as("lo"),
+          max(col(keyCol)).cast("string").as("hi")).collect()(0)
+        require(aHead.getAs[String]("lo") != null,
+          "merge with neither delta nor deleteKeys")
+        (a, aHead.getAs[String]("lo"), aHead.getAs[String]("hi"))
+    }
     val keyTyp = delta.schema.find(_.name == keyCol).get.dataType
     val candidates = keyTyp match {
       case LongType | IntegerType | ShortType | ByteType =>
@@ -435,6 +444,10 @@ object Snapshots {
         }.reduce(_.unionByName(_))
         .join(affected, Seq(keyCol), "left_semi")
         .select("_dir").distinct().collect().map(_.getString(0)).toSet
+    // pure-delete of keys the table doesn't hold (routine under upstream
+    // replays): nothing changes — committing a dead op=merge snapshot would
+    // only break incremental changes() consumers and grow the log
+    if (hitDirs.isEmpty && deltaN == 0L) return cur
     var slice = 0
     val rewritten = cur.dirs.map { d =>
       if (!hitDirs.contains(d)) d // untouched (or bounds-only overlap): by reference
@@ -569,14 +582,27 @@ object Snapshots {
     snap
   }
 
-  /** Periodic table maintenance policy — the scheduled job an operator runs
-    * against every snapshot table (Iceberg deployments pair
-    * rewrite_data_files + expire_snapshots the same way): fold when the
-    * current snapshot references more than `maxDirs` data dirs (append
-    * creep) OR carries pending merge-on-read delete masks (every read pays
-    * their anti-joins until folded), then expire history beyond
-    * `keepSnapshots`. Returns (didRewrite, expiredDirNames). Idempotent:
-    * a maintained table is a no-op. */
+  /** Periodic table maintenance policy — the scheduled job the TABLE'S
+    * OWNER runs (Iceberg deployments pair rewrite_data_files +
+    * expire_snapshots the same way): fold when APPEND CREEP — dirs added
+    * SINCE the last overwrite, so an intentional clustered/grid layout's
+    * cell count is not itself a trigger — exceeds `maxDirs`, or when
+    * pending merge-on-read delete masks exist (every read pays their
+    * anti-joins until folded); then expire history beyond `keepSnapshots`.
+    * Returns (didRewrite, expiredDirNames). Idempotent: a maintained table
+    * is a no-op.
+    *
+    * `statsCols = Nil` (the default) INHERITS the union of columns the
+    * current dirs carry sidecars for — folding must never silently strip a
+    * table's data-skipping metadata (that would make every later merge
+    * candidate the WHOLE table).
+    *
+    * Two caveats, by design: (1) the snapshot log is single-writer — run
+    * maintain from the same owner that commits (e.g. between stream
+    * epochs), never as an independent concurrent writer; (2) the fold is a
+    * plain rewrite — a clustered/grid table whose creep tripped the
+    * threshold flattens to one dir, so re-run rewriteClustered/rewriteGrid
+    * after maintenance to restore the layout. */
   def maintain(spark: SparkSession, tableDir: String, keyCol: String,
                maxDirs: Int = 8, keepSnapshots: Int = 3, buckets: Int = 32,
                statsCols: Seq[String] = Nil): (Boolean, Vector[String]) = {
@@ -584,9 +610,17 @@ object Snapshots {
     current(tableDir) match {
       case None => (false, Vector.empty) // nothing committed yet
       case Some(cur) =>
-        val needsFold = cur.dirs.size > maxDirs || cur.dels.nonEmpty
-        if (needsFold)
-          rewrite(spark, tableDir, keyCol, buckets, statsCols = statsCols)
+        val all = snapshots(tableDir)
+        val lastOverwriteId = all.filter(_.op == "overwrite").lastOption.map(_.id).getOrElse(0L)
+        val creep = cur.dirs.count(d => dirSnapId(d) > lastOverwriteId)
+        val needsFold = creep > maxDirs || cur.dels.nonEmpty
+        if (needsFold) {
+          val inherited =
+            if (statsCols.nonEmpty) statsCols
+            else cur.dirs.flatMap(d =>
+              stats(tableDir, d).toSeq.flatten.map(_.col)).distinct
+          rewrite(spark, tableDir, keyCol, buckets, statsCols = inherited)
+        }
         (needsFold, expire(tableDir, keepSnapshots))
     }
   }

@@ -44,12 +44,17 @@ object StreamUpsert {
                   opCol: Option[String] = None): Boolean = {
     if (Snapshots.snapshots(tableDir).exists(_.stage == stage))
       return false // replayed epoch — already committed exactly once
+    // EXACT duplicate rows collapse first: an at-least-once source (Kafka
+    // redelivery inside one micro-batch) re-emitting the identical row is
+    // benign and must not trip the contradiction check below — only rows
+    // that share (key, version) while DISAGREEING elsewhere are fatal
+    val deduped = delta.distinct()
     // last-writer-wins WITHIN the delta: keep each key's max-version row; a
     // tie at the WINNING version is contradictory input — fail, don't
     // coin-flip (superseded lower-version duplicates just lose)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
-    val ranked = delta
+    val ranked = deduped
       .withColumn("_su_rk", row_number().over(w))
       .withColumn("_su_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window

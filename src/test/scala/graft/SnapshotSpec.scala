@@ -375,6 +375,29 @@ class SnapshotSpec extends AnyFunSuite {
       keepSnapshots = 1, buckets = 2)
     assert(!folded2 && expired2.isEmpty)
     assert(Snapshots.current(t).get.id === cur.id)
+    // stats inheritance: a stats-carrying table keeps its sidecars when the
+    // MAINTENANCE fold runs with default statsCols
+    val t2 = s"$dir/tbl2"
+    for (i <- 0L until 5L)
+      Snapshots.commit(Seq((i, s"v$i")).toDF("id", "v"), t2, "id", 2, s"b$i",
+        statsCols = Seq("id"))
+    val (folded3, _) = Snapshots.maintain(spark, t2, "id", maxDirs = 3,
+      keepSnapshots = 1, buckets = 2)
+    assert(folded3)
+    val fd = Snapshots.current(t2).get.dirs.head
+    assert(Snapshots.stats(t2, fd).get.exists(_.col == "id"),
+      "maintenance fold stripped the stats sidecar")
+    // a grid layout's cells are NOT append creep — only post-overwrite dirs count
+    val t3 = s"$dir/tbl3"
+    Snapshots.commit((0L until 20L).map(i => (i, i % 7, s"v$i")).toDF("x", "y", "v"),
+      t3, "x", 2, "b1")
+    Snapshots.rewriteGrid(spark, t3, "x",
+      axes = Seq(("x", Seq(10L)), ("y", Seq(3L))), buckets = 2) // 4 cell dirs
+    Snapshots.commit(Seq((100L, 0L, "later")).toDF("x", "y", "v"), t3, "x", 2, "b2")
+    val (folded4, _) = Snapshots.maintain(spark, t3, "x", maxDirs = 3,
+      keepSnapshots = 5, buckets = 2)
+    assert(!folded4, "grid cells mistaken for append creep")
+    assert(Snapshots.current(t3).get.dirs.size === 5)
     rm(new java.io.File(dir))
   }
 
@@ -412,6 +435,13 @@ class SnapshotSpec extends AnyFunSuite {
     // neither delta nor deletes: refused
     intercept[IllegalArgumentException](Snapshots.merge(
       Seq.empty[(Long, String)].toDF("id", "v"), t, "id", buckets = 2))
+    // deleting keys the table does not hold is a NO-OP, not a dead snapshot
+    // (a dead op=merge would break incremental changes() for zero change)
+    val snapsBefore = Snapshots.snapshots(t).map(_.id)
+    val noop = Snapshots.merge(Seq.empty[(Long, String)].toDF("id", "v"),
+      t, "id", buckets = 2, deleteKeys = Some(Seq(99999L).toDF("id")))
+    assert(noop.id === snapsBefore.last)
+    assert(Snapshots.snapshots(t).map(_.id) === snapsBefore)
     rm(new java.io.File(dir))
   }
 

@@ -346,6 +346,14 @@ class StreamingSpec extends AnyFunSuite {
       Seq((9L, "x", 1L, "replace")).toDF("id", "v", "ver", "op"),
       tbl, "id", "ver", 2, "manual-bad-op", opCol = Some("op")))
     assert(e.getMessage.contains("unknown"))
+    // at-least-once redelivery: IDENTICAL duplicate rows are benign — only
+    // rows sharing (key, version) while disagreeing elsewhere are fatal
+    assert(StreamUpsert.upsertBatch(
+      Seq((7L, "dup", 1L, "upsert"), (7L, "dup", 1L, "upsert"))
+        .toDF("id", "v", "ver", "op"),
+      tbl, "id", "ver", 2, "manual-dup", opCol = Some("op")))
+    assert(Snapshots.load(spark, tbl).select("id", "v").as[(Long, String)]
+      .collect().toMap.apply(7L) === "dup")
     // a delete-only batch on a table that exists commits a pure-delete merge
     assert(StreamUpsert.upsertBatch(
       Seq((4L, "", 9L, "delete")).toDF("id", "v", "ver", "op"),
