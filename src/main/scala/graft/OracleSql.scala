@@ -369,6 +369,16 @@ ${ccClosureCtes}
        |WHERE ${h48("'sample:' || CAST(doc_id AS VARCHAR)")} % 10000
        |      < CASE WHEN lang = 'en' THEN 500 ELSE 2000 END""".stripMargin
 
+  /** Exact-k per-stratum sample replay: rank by the raw 48-bit sampling
+    * hash (ties by key — identical total order to TextQuality.topKByHash),
+    * keep rank ≤ k. */
+  def exactKSample: String =
+    s"""WITH h AS (SELECT lang, doc_id,
+       |  ${h48("'sample:' || CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+       |r AS (SELECT lang, doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS sample_rank FROM h)
+       |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin
+
   /** Cross-doc duplicated 5-grams (exact-substring-dedup signal): distinct
     * per-doc 5-gram hash sets, corpus frequency, shared fraction in basis
     * points — replays Dedup.crossDocDupNgrams(n=5, minDocs=2) incl. the

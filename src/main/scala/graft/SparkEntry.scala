@@ -922,6 +922,14 @@ object SparkEntry {
           when(col("lang") === "en", lit(500L)).otherwise(lit(2000L)))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    "d_exact_k_sample" -> ((s, dir) =>
+      // deterministic EXACT-k per-stratum sample (bottom-k hashing — the
+      // KMV primitive used for row selection): exactly 20 docs per lang,
+      // stable under corpus growth; plan is partial+final WindowGroupLimit,
+      // never a full per-stratum sort
+      TextQuality.topKByHash(t(s, dir, "documents"), "doc_id",
+          Seq("lang"), k = 20)
+        .select(col("lang"), col("doc_id"), col("sample_rank"))),
     "d_neardup_clusters" -> ((s, dir) => {
       // fuzzy-dedup clusters: simhash LSH pairs → connected components →
       // per-cluster representative (the keep-one step of near-dup REMOVAL).
@@ -1464,6 +1472,7 @@ object SparkEntry {
     "d_rep_topgram" -> OracleSql.repetitionSignals,
     "d_c4_filter" -> OracleSql.c4Filter,
     "d_hash_sample" -> OracleSql.hashSample,
+    "d_exact_k_sample" -> OracleSql.exactKSample,
     "d_neardup_clusters" -> OracleSql.nearDupClusters,
     "d_vocab_topk" -> OracleSql.vocabTopK,
     "d_crossdoc_ngrams" -> OracleSql.crossDocDupNgrams,

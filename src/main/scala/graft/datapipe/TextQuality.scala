@@ -178,6 +178,36 @@ object TextQuality {
   def hashBucket(id: Column, salt: String): Column =
     pmod(Dedup.hash48Col(concat(lit(salt + ":"), id.cast("string"))), lit(10000L))
 
+  /** Deterministic EXACT-k sample per stratum: the k rows with the smallest
+    * seeded hash of the primary key (ties — 48-bit collisions — broken by
+    * the key itself, so the order is total and engine-replayable). The
+    * fixed-SIZE counterpart of [[stratifiedHashSample]]'s fixed RATE: eval
+    * and probe sets want exactly k docs per language/source regardless of
+    * stratum size, and a hash-ranked sample stays STABLE as the corpus
+    * grows — a doc already in the sample leaves only if a smaller-hash doc
+    * arrives, so k stays fixed while membership churn is minimal (bottom-k
+    * hashing is the same primitive as the KMV sketch, used here for row
+    * selection instead of cardinality).
+    * Scale: row_number ≤ k over (strata, hash) runs as partial+final
+    * WindowGroupLimit — per-partition top-k heaps before the exchange,
+    * never a full per-stratum sort (the vocabTopK plan shape). */
+  def topKByHash(df: DataFrame, idCol: String, strataCols: Seq[String],
+                 k: Int, salt: String = "sample"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col("_tkh_h").asc, col(idCol).asc)
+    df.withColumn("_tkh_h", hashBucketRaw(col(idCol), salt))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("_tkh_h")
+  }
+
+  /** The un-bucketed 48-bit sampling hash (full resolution — bucketing to
+    * 10^4 would make rank ties common; ranking wants the raw hash). */
+  private def hashBucketRaw(id: Column, salt: String): Column =
+    Dedup.hash48Col(concat(lit(salt + ":"), id.cast("string")))
+
   /** Stratified deterministic sample: keep a row iff its hash bucket falls
     * under the per-row rate (basis points), which may depend on strata
     * columns — e.g. downsample a dominant language while keeping the tail

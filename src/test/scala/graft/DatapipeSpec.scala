@@ -251,6 +251,41 @@ class DatapipeSpec extends AnyFunSuite {
     assert(math.abs(he - 300.0) < 80, s"he sampled $he of 1500 at 20%")
   }
 
+  test("exact-k hash sample: k per stratum, scalar replay, stable under growth") {
+    val df = (0L until 900L).map(i => (i, if (i % 3 == 0) "en" else "he"))
+      .toDF("doc_id", "lang")
+    val got = TextQuality.topKByHash(df, "doc_id", Seq("lang"), k = 10)
+      .select("lang", "doc_id", "sample_rank").as[(String, Long, Int)].collect()
+    assert(got.count(_._1 == "en") === 10 && got.count(_._1 == "he") === 10)
+    // scalar replay: rank by (hash48("sample:"+id), id) per stratum
+    def expect(ids: Seq[Long]) = ids
+      .sortBy(i => (Dedup.hash48(s"sample:$i"), i)).take(10).zipWithIndex
+      .map { case (i, r) => (i, r + 1) }.toMap
+    val en = expect((0L until 900L).filter(_ % 3 == 0))
+    val he = expect((0L until 900L).filterNot(_ % 3 == 0))
+    got.foreach { case (l, id, rk) =>
+      assert((if (l == "en") en else he).get(id) === Some(rk), s"$l $id")
+    }
+    // repartition invariance
+    val got7 = TextQuality.topKByHash(df.repartition(7), "doc_id", Seq("lang"), 10)
+      .select("lang", "doc_id", "sample_rank").as[(String, Long, Int)].collect()
+    assert(got7.toSet === got.toSet)
+    // growth stability: doubling the corpus only displaces members whose
+    // hash loses to a newcomer — the sample never grows past k and retains
+    // every incumbent whose hash still ranks
+    val grown = (0L until 1800L).map(i => (i, if (i % 3 == 0) "en" else "he"))
+      .toDF("doc_id", "lang")
+    val g = TextQuality.topKByHash(grown, "doc_id", Seq("lang"), 10)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(g.size === 20)
+    val enG = expect((0L until 1800L).filter(_ % 3 == 0))
+    assert(g.filter(_._1 == "en").map(_._2) === enG.keySet)
+    // plan: partial top-k (WindowGroupLimit), not a full per-stratum sort
+    val plan = TextQuality.topKByHash(df, "doc_id", Seq("lang"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(400))
+  }
+
   test("near-dup clusters: LSH pairs close into components with min-id representative") {
     // plant two exact-duplicate families on top of the random docs
     val fam = docs.filter(col("doc_id") < 2)
