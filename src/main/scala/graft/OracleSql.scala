@@ -237,10 +237,12 @@ ${ccClosureCtes}
     * engine computes: Σ_sub floor(‖q_sub − cent‖² × 2^24) as BIGINT. Both
     * engines fold the per-subspace double distance in array order and sum
     * LONGS across subspaces, so the hash check is bit-stable. Subspace
-    * geometry (8 × 8 dims) mirrors pqIndex. */
+    * geometry is derived from the aux codebooks themselves (slice offset =
+    * sub × len(cent)), so the oracle tracks pqIndex's (dim, m) by
+    * construction instead of hardcoding the 8×8 fixture shape. */
   def annPq: String = {
     def sq(v: String) =
-      s"(CAST(bk.cent[j] AS DOUBLE) - CAST($v[bk.sub*8 + j] AS DOUBLE)) * (CAST(bk.cent[j] AS DOUBLE) - CAST($v[bk.sub*8 + j] AS DOUBLE))"
+      s"(CAST(bk.cent[j] AS DOUBLE) - CAST($v[bk.sub*len(bk.cent) + j] AS DOUBLE)) * (CAST(bk.cent[j] AS DOUBLE) - CAST($v[bk.sub*len(bk.cent) + j] AS DOUBLE))"
     s"""WITH bks AS (SELECT sub, code, cent FROM read_parquet('{{AUX}}/pq_codebooks/*.parquet')),
        |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 5),
        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
@@ -251,6 +253,40 @@ ${ccClosureCtes}
        |ad0 AS (SELECT q.qid, e.id,
        |  CAST(floor(list_reduce(list_transform(range(1, len(bk.cent)+1), j -> ${sq("q.qvec")}), (a,b) -> a + b) * 16777216) AS BIGINT) AS df
        |  FROM q CROSS JOIN enc e JOIN bks bk ON bk.sub = e.sub AND bk.code = e.code),
+       |adc AS (SELECT qid, id, CAST(SUM(df) AS BIGINT) AS adc FROM ad0 GROUP BY qid, id)
+       |SELECT qid, id, adc, rk FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS rk FROM adc) WHERE rk <= 3""".stripMargin
+  }
+
+  /** IVF-PQ composed replay: the annIvf CTEs re-derive the cell assignment
+    * and the 4-cell probe set from the aux centroids; the annPq CTEs
+    * re-derive each corpus row's codes from the aux codebooks; ADC is then
+    * summed ONLY over (qid, id) pairs whose cells were probed — the exact
+    * pruning gate ivfPqTopKEncoded puts in the plan. Same exact-integer
+    * arithmetic as both parents, so the hash check is bit-stable. */
+  def annIvfPq: String = {
+    def sqC(v: String) =
+      s"(CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE)) * (CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE))"
+    def sqB(v: String) =
+      s"(CAST(bk.cent[j] AS DOUBLE) - CAST($v[bk.sub*len(bk.cent) + j] AS DOUBLE)) * (CAST(bk.cent[j] AS DOUBLE) - CAST($v[bk.sub*len(bk.cent) + j] AS DOUBLE))"
+    s"""WITH cents AS (SELECT cell, cent FROM read_parquet('{{AUX}}/ivf_centroids/*.parquet')),
+       |bks AS (SELECT sub, code, cent FROM read_parquet('{{AUX}}/pq_codebooks/*.parquet')),
+       |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 5),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |cd AS (SELECT c.id, ct.cell,
+       |  list_reduce(list_transform(range(1, len(ct.cent)+1), j -> ${sqC("c.vec")}), (a,b) -> a + b) AS d
+       |  FROM c CROSS JOIN cents ct),
+       |assign AS (SELECT id, cell FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cell) AS rk FROM cd) WHERE rk = 1),
+       |qd AS (SELECT q.qid, q.qvec, ct.cell,
+       |  list_reduce(list_transform(range(1, len(ct.cent)+1), j -> ${sqC("q.qvec")}), (a,b) -> a + b) AS d
+       |  FROM q CROSS JOIN cents ct),
+       |probe AS (SELECT qid, qvec, cell FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cell) AS rk FROM qd) WHERE rk <= 4),
+       |enc0 AS (SELECT c.id, bk.sub, bk.code,
+       |  list_reduce(list_transform(range(1, len(bk.cent)+1), j -> ${sqB("c.vec")}), (a,b) -> a + b) AS d
+       |  FROM c CROSS JOIN bks bk),
+       |enc AS (SELECT id, sub, code FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY d, code) AS rk FROM enc0) WHERE rk = 1),
+       |ad0 AS (SELECT p.qid, asg.id,
+       |  CAST(floor(list_reduce(list_transform(range(1, len(bk.cent)+1), j -> ${sqB("p.qvec")}), (x,y) -> x + y) * 16777216) AS BIGINT) AS df
+       |  FROM probe p JOIN assign asg USING (cell) JOIN enc e ON e.id = asg.id JOIN bks bk ON bk.sub = e.sub AND bk.code = e.code),
        |adc AS (SELECT qid, id, CAST(SUM(df) AS BIGINT) AS adc FROM ad0 GROUP BY qid, id)
        |SELECT qid, id, adc, rk FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS rk FROM adc) WHERE rk <= 3""".stripMargin
   }

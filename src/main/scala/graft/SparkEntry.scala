@@ -868,6 +868,24 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.pqTopKEncoded(encoded, "vec_id", q, "qid", "qvec", 3, books)
     }),
+    "d_ann_ivfpq" -> ((s, dir) => {
+      // composed IVF-PQ (the IVFADC read path): the corpus artifact carries
+      // BOTH write-time columns — IVF cell and PQ codes — so the query
+      // probes its 4 nearest cells and joins on cell FIRST (the pruning
+      // gate is in the plan, before any ADC work), then ranks survivors by
+      // the same exact-integer ADC as d_ann_pq. d_ann_pq's full-corpus scan
+      // is the baseline this is the scale path for. At ingest cell+codes
+      // are one written table; here the two session artifacts join once
+      // (fixture-sized).
+      val (cents, assigned) = ivfIndex(s, dir)
+      val (books, encoded) = pqIndex(s, dir)
+      val encCells = encoded
+        .join(assigned.select(col("id").as("vec_id"), col("cell")), "vec_id")
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopKEncoded(encCells, "vec_id", q, "qid", "qvec", 3,
+        cents, nProbe = 4, books)
+    }),
     "d_minhash_neardup" -> ((s, dir) => {
       // MinHash+LSH near-dup pairs at Jaccard ≥ 0.25; the DuckDB oracle
       // replays the identical md5-48bit shingles + (a·x+b) mod 2^64
@@ -1463,6 +1481,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> OracleSql.ngramJaccard,
     "d_ann_ivf" -> OracleSql.annIvf,
     "d_ann_pq" -> OracleSql.annPq,
+    "d_ann_ivfpq" -> OracleSql.annIvfPq,
     "d_minhash_neardup" -> OracleSql.minhashNearDup,
     "d_simhash_neardup" -> OracleSql.simhashNearDup,
     "d_cosine_neardup" -> OracleSql.cosineNearDup,

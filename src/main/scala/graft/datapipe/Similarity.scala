@@ -127,6 +127,20 @@ object Similarity {
     corpus.withColumn("cell", assignUdf(col(vecCol)))
   }
 
+  /** Probe UDF: the nProbe nearest cells for a query vector — distance ties
+    * to the smaller cell id (the nearestCell strict-< convention, which the
+    * oracle replays as ORDER BY d, cell). Shared by the IVF and IVF-PQ read
+    * paths so the two can never disagree on the probe set. */
+  private def probeCellsUdf(spark: org.apache.spark.sql.SparkSession,
+                            cents: Array[(Int, Array[Float])], nProbe: Int) = {
+    val bc = spark.sparkContext.broadcast(cents)
+    udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      bc.value.map { case (i, c) => (i, sqDist(c, arr)) }
+        .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
+    }
+  }
+
   /** IVF approximate top-k over a corpus whose `cell` column is already
     * assigned (the write-time artifact): each query probes the nProbe nearest
     * cells only. */
@@ -134,12 +148,7 @@ object Similarity {
                       queries: DataFrame, qidCol: String, qvecCol: String,
                       k: Int, cents: Array[(Int, Array[Float])], nProbe: Int): DataFrame = {
     val spark = assigned.sparkSession
-    val bc = spark.sparkContext.broadcast(cents)
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      bc.value.map { case (i, c) => (i, sqDist(c, arr)) }
-        .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
-    }
+    val probeUdf = probeCellsUdf(spark, cents, nProbe)
     val c = assigned.select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
       .withColumn("cell", explode(probeUdf(col("qvec"))))
@@ -284,13 +293,29 @@ object Similarity {
   def pqTopKEncoded(encoded: DataFrame, idCol: String,
                     queries: DataFrame, qidCol: String, qvecCol: String,
                     k: Int, books: Array[(Int, Int, Array[Float])]): DataFrame = {
+    val adcUdf = adcScoreUdf(encoded.sparkSession, books)
+    val c = encoded.select(col(idCol).as("id"), col("codes"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("adc", adcUdf(col("qvec"), col("codes")))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("adc"), col("rk"))
+  }
+
+  /** ADC scoring UDF: Σ_s floor(‖q_s − book_s[code_s]‖² × 2^24) as an exact
+    * long — shared by the full-scan ([[pqTopKEncoded]]) and cell-pruned
+    * ([[ivfPqTopKEncoded]]) paths so both rank with identical arithmetic. */
+  private def adcScoreUdf(spark: org.apache.spark.sql.SparkSession,
+                          books: Array[(Int, Int, Array[Float])]) = {
     val bySub = books.groupBy(_._1).map { case (s, rows) =>
       (s, rows.sortBy(_._2).map(_._3))
     }
     val m = bySub.size
     val subDim = books.head._3.length
-    val bc = encoded.sparkSession.sparkContext.broadcast(bySub)
-    val adcUdf = udf { (q: Seq[Float], codes: Seq[Int]) =>
+    val bc = spark.sparkContext.broadcast(bySub)
+    udf { (q: Seq[Float], codes: Seq[Int]) =>
       val arr = q.toArray
       var total = 0L
       var s = 0
@@ -302,9 +327,29 @@ object Similarity {
       }
       total
     }
-    val c = encoded.select(col(idCol).as("id"), col("codes"))
+  }
+
+  /** IVF-PQ composed top-k (the Jégou et al. 2011 IVFADC read path): the
+    * corpus artifact carries BOTH write-time columns — the IVF `cell` and the
+    * PQ `codes` — so a query (a) probes its nProbe nearest cells and joins on
+    * `cell` FIRST, pruning the scan to probed cells only, then (b) ranks the
+    * surviving rows by the same exact-integer ADC as [[pqTopKEncoded]]. At
+    * 100 TB the scan reads only probed cells' code columns (m bytes/row,
+    * cell-partition-pruned) — never raw vectors, never the full corpus; this
+    * is the registered scale path the full-scan ADC query is the baseline
+    * for. `encoded` must carry (idCol, "codes", "cell"). */
+  def ivfPqTopKEncoded(encoded: DataFrame, idCol: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       k: Int, cents: Array[(Int, Array[Float])], nProbe: Int,
+                       books: Array[(Int, Int, Array[Float])]): DataFrame = {
+    val spark = encoded.sparkSession
+    val probeUdf = probeCellsUdf(spark, cents, nProbe)
+    val adcUdf = adcScoreUdf(spark, books)
+    val c = encoded.select(col(idCol).as("id"), col("codes"), col("cell"))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
-    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cell", explode(probeUdf(col("qvec"))))
+    // cell-equality join BEFORE any ADC work: the pruning gate is in the plan
+    val scored = c.join(broadcast(q), "cell")
       .withColumn("adc", adcUdf(col("qvec"), col("codes")))
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("id").asc)
     scored.withColumn("rk", row_number().over(w))

@@ -34,8 +34,12 @@ object Snapshots {
     * (each a one-column key table). A delete dir masks only data dirs whose
     * snapshot id (parsed from the dir name) is OLDER than its own —
     * Iceberg's sequence-number rule, which is what lets a later insert of a
-    * previously-deleted key survive. `rows` is the raw data-dir row count;
-    * a MoR read can return fewer. */
+    * previously-deleted key survive. `rows` has ONE meaning across every
+    * commit path (append, overwrite, merge, delete, clustered/grid rewrite):
+    * the SUM of the snapshot's data-dir row counts, from each dir's manifest
+    * (footer-priced — never a data re-read). Pending MoR delete masks are
+    * not subtracted, so a masked read can return fewer; folding the masks
+    * (rewrite) re-syncs `rows` with the live count. */
   final case class Snapshot(id: Long, parentId: Long, op: String,
                             dirs: Vector[String], stage: String,
                             rows: Long, tsMs: Long,
@@ -76,10 +80,12 @@ object Snapshots {
       stage = if (stage.isEmpty) s"snapshot-$id" else stage)
     if (statsCols.nonEmpty)
       writeStats(df.sparkSession, s"$tableDir/$dirName", statsCols)
-    val rows = dirRows(s"$tableDir/$dirName")
     val parentDirs =
       if (op == "overwrite") Vector.empty
       else prior.lastOption.map(_.dirs).getOrElse(Vector.empty)
+    // one uniform Snapshot.rows semantic (see the case-class doc): total
+    // data-dir rows at this snapshot — parents' manifest counts + the new dir
+    val rows = (parentDirs :+ dirName).map(d => dirRows(s"$tableDir/$d")).sum
     // an overwrite rewrites CURRENT content (deletes already applied by
     // load), so it also clears the delete list; appends carry it forward
     val parentDels =
@@ -344,6 +350,8 @@ object Snapshots {
     val dd = f"snap-$id%06d-del"
     TableFormat.save(keys.distinct(), s"$tableDir/$dd", keyCol, buckets,
       stage = s"$stage-keys")
+    // data dirs are unchanged, so the uniform rows semantic (sum of data-dir
+    // counts — masks not subtracted) carries the parent's value forward
     val snap = Snapshot(id, cur.id, "delete", cur.dirs, stage, cur.rows,
       System.currentTimeMillis(), cur.dels :+ dd)
     writeLog(tableDir, prior :+ snap)
@@ -448,6 +456,13 @@ object Snapshots {
     // replays): nothing changes — committing a dead op=merge snapshot would
     // only break incremental changes() consumers and grow the log
     if (hitDirs.isEmpty && deltaN == 0L) return cur
+    // statsCols = Nil INHERITS the union of columns the current dirs carry
+    // sidecars for — the same never-silently-strip rule as maintain(): a CoW
+    // rewrite (and the new delta dir) must not lose pruning metadata the
+    // table previously had, or every later merge/scan degrades to full reads
+    val effStats =
+      if (statsCols.nonEmpty) statsCols
+      else cur.dirs.flatMap(d => stats(tableDir, d).toSeq.flatten.map(_.col)).distinct
     var slice = 0
     val rewritten = cur.dirs.map { d =>
       if (!hitDirs.contains(d)) d // untouched (or bounds-only overlap): by reference
@@ -457,7 +472,7 @@ object Snapshots {
           TableFormat.load(spark, s"$tableDir/$d")
             .join(affected, Seq(keyCol), "left_anti"),
           s"$tableDir/$nd", keyCol, buckets, stage = s"$stage-rewrite")
-        if (statsCols.nonEmpty) writeStats(spark, s"$tableDir/$nd", statsCols)
+        if (effStats.nonEmpty) writeStats(spark, s"$tableDir/$nd", effStats)
         nd
       }
     }
@@ -466,7 +481,7 @@ object Snapshots {
       else rewritten :+ {
         val dd = f"snap-$id%06d-d"
         TableFormat.save(delta, s"$tableDir/$dd", keyCol, buckets, stage = s"$stage-delta")
-        if (statsCols.nonEmpty) writeStats(spark, s"$tableDir/$dd", statsCols)
+        if (effStats.nonEmpty) writeStats(spark, s"$tableDir/$dd", effStats)
         dd
       }
     val rows = newDirs.map(d => dirRows(s"$tableDir/$d")).sum

@@ -31,13 +31,20 @@ import org.apache.spark.sql.types.IntegerType
   * under the optimizer's fixed-point batches). Anything else — no-op. */
 object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
 
-  // cache value: (manifest lastModified at read time, parsed layout) — the
-  // mtime guards against same-session re-save of the path with a different
-  // bucket count (TableFormat.save overwrites in place and refreshes Spark's
-  // own FileIndex for exactly that pattern; a stale modulus here would prune
-  // to the WRONG bucket and silently drop rows)
+  // cache value: ((manifest lastModified, manifest size) at read time, parsed
+  // layout) — the (mtime, size) pair guards against re-save of the path with
+  // a different bucket count (TableFormat.save overwrites in place and
+  // refreshes Spark's own FileIndex for exactly that pattern; a stale modulus
+  // here would prune to the WRONG bucket and silently drop rows). Size is in
+  // the key because a CROSS-PROCESS re-save can land inside one mtime granule
+  // where same-JVM invalidate() never fires; a changed bucket count or key
+  // always changes the manifest's byte length (digit/name change), so the
+  // pair detects what mtime alone cannot. Same-length same-granule rewrites
+  // of a DIFFERENT layout remain theoretically invisible — TableFormat
+  // tables are single-writer by contract (see Snapshots' log doc), and this
+  // check is belt-and-braces for external writers.
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[(String, Int)])]()
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Option[(String, Int)])]()
 
   def clearMetaCacheForTest(): Unit = metaCache.clear()
 
@@ -69,15 +76,16 @@ object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
         try {
           val dir = java.nio.file.Paths.get(new java.net.URI(root).getPath)
           val mf = dir.resolve("_manifest.json")
-          val mtime =
+          val stamp =
             if (java.nio.file.Files.exists(mf))
-              java.nio.file.Files.getLastModifiedTime(mf).toMillis
-            else 0L
+              (java.nio.file.Files.getLastModifiedTime(mf).toMillis,
+                java.nio.file.Files.size(mf))
+            else (0L, 0L)
           val cached = metaCache.get(root)
-          if (cached != null && cached._1 == mtime) cached._2
+          if (cached != null && cached._1 == stamp) cached._2
           else {
             val meta =
-              if (mtime == 0L) None
+              if (stamp == (0L, 0L)) None
               else {
                 val txt = java.nio.file.Files.readString(mf)
                 for {
@@ -85,7 +93,7 @@ object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
                   n <- NRe.findFirstMatchIn(txt).map(_.group(1).toInt)
                 } yield (k, n)
               }
-            metaCache.put(root, (mtime, meta))
+            metaCache.put(root, (stamp, meta))
             meta
           }
         } catch { case scala.util.control.NonFatal(_) => None }

@@ -29,7 +29,7 @@ class SnapshotSpec extends AnyFunSuite {
     val s2 = Snapshots.commit((10L until 25L).map(i => (i, s"b$i")).toDF("id", "v"),
       t, "id", buckets = 2, stage = "batch-2")
     assert(s1.id === 1L && s2.id === 2L && s2.parentId === 1L)
-    assert(s1.rows === 10L && s2.rows === 15L)
+    assert(s1.rows === 10L && s2.rows === 25L) // uniform semantic: total data-dir rows
     // current = union of both batches
     assert(Snapshots.load(spark, t).count() === 25L)
     // time travel to snapshot 1 = first batch only
@@ -554,6 +554,30 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rwStats.min === "0" && rwStats.max === "59")
     assert(Snapshots.loadPruned(spark, t, "id", 10L, 35L)
       .as[(Long, String)].collect().toSet === expect)
+    rm(new java.io.File(dir))
+  }
+
+  test("merge with default statsCols inherits sidecar columns (never strips pruning metadata)") {
+    val dir = tmp("graft-merge-inherit")
+    val t = s"$dir/tbl"
+    for ((r, st) <- Seq((0L until 10L, "b1"), (10L until 20L, "b2")))
+      Snapshots.commit(r.map(i => (i, s"old$i")).toDF("id", "v"), t, "id",
+        buckets = 2, stage = st, statsCols = Seq("id"))
+    // merge WITHOUT statsCols: the rewritten dir and the delta dir must still
+    // carry id bounds (inherited from the existing sidecars), or every later
+    // merge/pruned scan degrades to a full-table candidate set
+    val snap = Snapshots.merge(Seq((12L, "NEW"), (100L, "ins")).toDF("id", "v"),
+      t, "id", buckets = 2)
+    val fresh = snap.dirs.filter(d => d.contains("-m") || d.endsWith("-d"))
+    assert(fresh.nonEmpty)
+    fresh.foreach { d =>
+      assert(Snapshots.stats(t, d).exists(_.exists(_.col == "id")),
+        s"$d lost its id stats sidecar")
+    }
+    // and pruning on the merged table is still dir-exact: a range touching
+    // only the delta dir keeps exactly that dir
+    val (kept, all) = Snapshots.pruneDirs(t, "id", 90L, 200L)
+    assert(kept === Vector(fresh.find(_.endsWith("-d")).get), (kept, all))
     rm(new java.io.File(dir))
   }
 }
