@@ -291,6 +291,44 @@ ${ccClosureCtes}
        |SELECT qid, id, adc, rk FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS rk FROM adc) WHERE rk <= 3""".stripMargin
   }
 
+  /** Decoded-media replay: the synthetic encoder (Multimodal.syntheticMedia)
+    * writes REAL P6 / WAV / P6-frame bodies whose pixel and sample values are
+    * closed-form in the media_ref's tail hex chars — pixel(j) =
+    * (3·(j mod perFrame) + seed + j div perFrame) mod 256 with
+    * seed = 16·hv2 + hv3 over thumbnail dims (header dims / 8), sample(i) =
+    * ((i·(7+hv3) + hv4) mod 65536) − 32768 capped at 2048 samples. The engine
+    * DECODES the bodies byte-for-byte (PPM/WAV parsers); this SQL re-derives
+    * the same exact-integer feature sums from the ref alone, so a decode that
+    * drifts from the encoded content (or silently degrades) hash-fails. */
+  def mediaDecode: String =
+    s"""WITH g AS (SELECT doc_id, media_ref FROM read_parquet('{{AUX}}/gold_media/*.parquet')),
+       |h AS (SELECT doc_id, media_ref,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref), 1)) - 1, 0) % 3 AS code,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 1, 1)) - 1, 0) AS hv2,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 2, 1)) - 1, 0) AS hv3,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 3, 1)) - 1, 0) AS hv4
+       |  FROM g),
+       |m AS (SELECT doc_id, media_ref, code, hv2, hv3, hv4,
+       |  CASE code WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |  CASE WHEN code = 2 THEN 1 + hv2 ELSE 1 END AS frames,
+       |  ((64 + 4 * hv3) // 8) * ((64 + 4 * hv4) // 8) * 3 AS per_frame,
+       |  16 * hv2 + hv3 AS seed,
+       |  least(2048, 1000 * (1 + hv2)) AS ns
+       |  FROM h)
+       |SELECT doc_id, media_ref, modality, CAST(frames AS INT) AS frames,
+       |  TRUE AS decoded,
+       |  CAST(CASE WHEN code = 1 THEN 0 ELSE
+       |    list_reduce(list_transform(range(0, frames * per_frame),
+       |      j -> (3 * (j % per_frame) + seed + (j // per_frame)) % 256), (a,b) -> a + b)
+       |  END AS BIGINT) AS px_sum,
+       |  CAST(CASE WHEN code = 1 THEN 0 ELSE frames * per_frame END AS BIGINT) AS n_px,
+       |  CAST(CASE WHEN code = 1 THEN
+       |    list_reduce(list_transform(range(0, ns),
+       |      i -> abs(((i * (7 + hv3) + hv4) % 65536) - 32768)), (a,b) -> a + b)
+       |  ELSE 0 END AS BIGINT) AS samp_abs_sum,
+       |  CAST(CASE WHEN code = 1 THEN ns ELSE 0 END AS BIGINT) AS n_samp
+       |FROM m""".stripMargin
+
   def minhashNearDup: String =
     s"""WITH coefs AS (SELECT i, a, b FROM read_parquet('{{AUX}}/minhash_coefs/*.parquet')),
        |toks0 AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),

@@ -109,7 +109,8 @@ object Pipeline {
     * morph_yap path (G3: MD over the raw ambiguous lattice, nemo.py:278-312).
     */
   def annotateDoc(m: Models, lex: String => Boolean, in: InputDoc,
-                  usePruning: Boolean = true): Doc = {
+                  usePruning: Boolean = true,
+                  preTokenized: Array[Array[String]] = null): Doc = {
     // Imperative assembly throughout: this is the engine's hot path, and the
     // idiomatic Range.map/zip/flatten glue allocated more (Vector builders,
     // boxed indices) than the neural scorer computed — at 32 threads that
@@ -121,7 +122,15 @@ object Pipeline {
     val nSents = textSpans.length
     val tokArrs = new Array[Array[String]](nSents)
     var si = 0
-    while (si < nSents) { tokArrs(si) = HebTokenizer.tokenize(textSpans(si).text).toArray; si += 1 }
+    // preTokenized (serving path, reference `tokenized=True` — api_main.py:85):
+    // the request already carries token boundaries; re-tokenizing would merge
+    // or re-split them (punctuation), so the caller's split is authoritative
+    while (si < nSents) {
+      tokArrs(si) =
+        if (preTokenized != null) preTokenized(si)
+        else HebTokenizer.tokenize(textSpans(si).text).toArray
+      si += 1
+    }
     // B3 semantic filter: empty / over-long sentences are not scored (ref
     // drops them; we keep the tokens with O labels so passengers stay intact)
     val batchPos = new Array[Int](nSents) // sentence idx → batch slot, -1 = unscored
@@ -449,7 +458,8 @@ object Pipeline {
       batchId: String,
       scenario: String = "morph",
       buckets: Int = 32,
-      models: Models = fixtureModels()): DataFrame = {
+      models: Models = fixtureModels(),
+      dictDelta: Option[DataFrame] = None): DataFrame = {
     import graft.io.Snapshots
     import spark.implicits._
     val paths = StagePaths(workDir)
@@ -457,6 +467,8 @@ object Pipeline {
 
     def committed(table: String): Boolean =
       Snapshots.snapshots(table).exists(_.stage == batchId)
+    def committedStage(table: String, stage: String): Boolean =
+      Snapshots.snapshots(table).exists(_.stage == stage)
     // this batch's rows of a stage table: the incremental scan from the
     // batch snapshot's parent — resumable (re-readable after a crash) and
     // never touching other batches' data dirs
@@ -465,6 +477,27 @@ object Pipeline {
         .getOrElse(throw new IllegalStateException(s"batch $batchId not committed in $table"))
       if (snap.parentId == 0L) Snapshots.load(spark, table, asOf = Some(snap.id))
       else Snapshots.changes(spark, table, snap.parentId, Some(snap.id))
+    }
+
+    // (0') dictionary GROWTH recovery (dictDelta): a grown dict changes the
+    // pipeline RETROACTIVELY in exactly two delta-prunable ways —
+    //  (1) canonicalization: new shared aliases merge components. Folded with
+    //      [[Canonicalize.incrementalComponents]] over the star edges of the
+    //      alias blocks the delta TOUCHES (delta-sized; old edges never
+    //      re-read — old components enter contracted through their labels).
+    //  (2) linking: a mention whose BLOCKING KEY gained candidates may now
+    //      link (or link elsewhere — top-1 over a bigger candidate set). Only
+    //      those mentions' docs re-link, against the full dict; mentions whose
+    //      block the delta never touches kept their candidate set, so their
+    //      argmax cannot change — they are never re-read past the block probe.
+    // Triples of affected docs (re-linked ∪ canonical-changed) are MoR-deleted
+    // and recomputed from the updated linked rows + new canonical map. The
+    // expensive stage — annotation — is never recomputed; the result is
+    // row-identical to a full rebuild with the grown dict (IncrementalSpec +
+    // the nemo_triples_dictgrow oracle).
+    dictDelta.foreach { delta =>
+      dictGrowthRecovery(spark, delta, dict, paths, batchId, buckets,
+        committedStage)
     }
 
     // (0) entities — dict-only, committed once under the dict's content
@@ -481,9 +514,9 @@ object Pipeline {
       case Some(snap) if snap.stage != s"dict:$dictFp" =>
         throw new IllegalStateException(
           s"dictionary changed since ${paths.entities} was built (${snap.stage} != dict:$dictFp); " +
-          "a grown dict changes canonicalization RETROACTIVELY — rebuild via runAll " +
-          "into a fresh workDir, or fold the delta with Canonicalize.incrementalComponents " +
-          "and recompute the affected components' triples")
+          "a grown dict changes canonicalization RETROACTIVELY — pass the added rows as " +
+          "runIncremental(dictDelta = Some(...)) to fold them incrementally, or rebuild " +
+          "via runAll into a fresh workDir")
       case _ => ()
     }
     val entities = Snapshots.load(spark, paths.entities)
@@ -515,5 +548,98 @@ object Pipeline {
         paths.triples, "doc_id", buckets, stage = batchId)
     }
     Snapshots.load(spark, paths.triples)
+  }
+
+  /** The dict-growth fold (see runIncremental step 0'). Crash-resumable: each
+    * write is guarded by its stage name; the entities overwrite is LAST, so a
+    * resume that finds entities already at the full-dict fingerprint knows the
+    * whole recovery committed. */
+  private def dictGrowthRecovery(
+      spark: SparkSession, delta: DataFrame, dict: DataFrame,
+      paths: StagePaths, batchId: String, buckets: Int,
+      committedStage: (String, String) => Boolean): Unit = {
+    import graft.io.Snapshots
+    val fpFull = dictFingerprint(dict)
+    val curEnt = Snapshots.current(paths.entities)
+    if (curEnt.isEmpty || curEnt.exists(_.stage == s"dict:$fpFull")) return // fresh table / already folded
+    val oldDict = dict.join(delta.select(col("entity_id")), Seq("entity_id"), "left_anti")
+    val fpOld = dictFingerprint(oldDict)
+    require(curEnt.get.stage == s"dict:$fpOld",
+      s"entities stage ${curEnt.get.stage} matches neither the grown dict (dict:$fpFull) nor " +
+      s"dict-minus-delta (dict:$fpOld): dictDelta must be exactly the rows added since the last batch")
+
+    // (1) incremental canonicalization: star edges of the alias blocks the
+    // delta touches (hub = block-min entity_id over the FULL dict), folded
+    // into the previous assignment. Old edges are never re-read.
+    val oldEntities = Snapshots.load(spark, paths.entities).localCheckpoint()
+    val blocksAll = Linker.aliasBlocks(dict)
+      .select(col("entity_id"), col("alias_norm")).distinct()
+    val deltaAliases = Linker.aliasBlocks(delta).select(col("alias_norm")).distinct()
+    val touched = blocksAll.join(deltaAliases, Seq("alias_norm"), "left_semi")
+    val hub = org.apache.spark.sql.expressions.Window.partitionBy("alias_norm")
+    val newEdges = touched
+      .withColumn("dst", min("entity_id").over(hub))
+      .filter(col("entity_id") =!= col("dst"))
+      .select(col("entity_id").as("src"), col("dst")).distinct()
+    val prev = oldEntities.select(col("entity_id").as("node"), col("canonical_id").as("component"))
+    val comp2 = Canonicalize.incrementalComponents(spark, prev, newEdges)
+    val newEntities = dict
+      .join(comp2.withColumnRenamed("node", "entity_id"), Seq("entity_id"), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col("entity_id")))
+      .drop("component")
+      .localCheckpoint() // reused by (2)+(3) and the final overwrite
+
+    // (2) retro-linking: mentions whose blocking key gained candidates.
+    // One mentions-table scan (block probe only — never re-annotates);
+    // affected docs get their linked rows MoR-deleted and re-linked against
+    // the FULL dict (= the full-rebuild argmax for exactly those mentions).
+    val relinkStage = s"$batchId:dict-relink"
+    val mentionsAll = Snapshots.load(spark, paths.mentions)
+    val affectedLinkDocs = mentionsAll
+      .withColumn("block", Linker.blockKeyCol(col("surface")))
+      .join(Linker.aliasBlocks(delta).select(col("block")).distinct(), Seq("block"), "left_semi")
+      .select(col("doc_id")).distinct().localCheckpoint()
+    if (!committedStage(paths.linked, relinkStage) && !affectedLinkDocs.isEmpty) {
+      Snapshots.deleteWhere(affectedLinkDocs, paths.linked,
+        stage = s"$relinkStage-del", buckets = buckets)
+      val affMentions = mentionsAll.join(affectedLinkDocs, Seq("doc_id"), "left_semi")
+      Snapshots.commit(Linker.link(affMentions, dict), paths.linked, "doc_id",
+        buckets, stage = relinkStage)
+    }
+
+    // (3) triples of affected docs: re-linked docs ∪ docs whose linked
+    // entities changed canonical id (computed on the POST-relink linked
+    // table — a doc that stopped referencing a changed entity is already in
+    // the relink set). Delete + recompute from updated links + new map.
+    val refitStage = s"$batchId:dict-refit"
+    if (!committedStage(paths.triples, refitStage)) {
+      val changedEnts = oldEntities
+        .select(col("entity_id"), col("canonical_id").as("old_cid"))
+        .join(newEntities.select(col("entity_id"), col("canonical_id")), Seq("entity_id"))
+        .filter(col("old_cid") =!= col("canonical_id"))
+        .select(col("entity_id"))
+      val linkedAll = Snapshots.load(spark, paths.linked)
+      val affectedCanonDocs = linkedAll
+        .join(changedEnts, Seq("entity_id"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val affectedDocs = affectedLinkDocs.union(affectedCanonDocs)
+        .distinct().localCheckpoint()
+      if (!affectedDocs.isEmpty) {
+        Snapshots.deleteWhere(affectedDocs, paths.triples,
+          stage = s"$refitStage-del", buckets = buckets)
+        val linkedAff = linkedAll.join(affectedDocs, Seq("doc_id"), "left_semi")
+        val withCanon = linkedAff
+          .join(broadcast(newEntities.select(col("entity_id"), col("canonical_id"))),
+            Seq("entity_id"), "left")
+          .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+        Snapshots.commit(Triples.fromLinkedMentions(withCanon), paths.triples,
+          "doc_id", buckets, stage = refitStage)
+      }
+    }
+
+    // (4) entities overwrite LAST — the commit that marks recovery complete
+    Snapshots.commit(newEntities, paths.entities, "entity_id", buckets,
+      stage = s"dict:$fpFull", op = "overwrite")
+    ()
   }
 }

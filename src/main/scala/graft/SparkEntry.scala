@@ -409,6 +409,36 @@ object SparkEntry {
       }
     }
 
+  /** Dict-GROWTH incremental twin: batch 1 runs with the dictionary MINUS a
+    * delta (every entity_id ≡ 1 mod 5 — which includes every second member of
+    * the shared `group-N` alias pairs, so real component merges are at
+    * stake); batch 2 arrives with the grown dict + dictDelta, triggering the
+    * recovery fold (incremental CC + retro-link + affected-doc triple
+    * recompute). The FULL table must hash-equal the same one-shot oracle as
+    * nemo_triples — i.e. the fold is row-identical to a full rebuild. */
+  private val dictGrowCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  private def dictGrowTriples(s: SparkSession): DataFrame =
+    dictGrowCache.synchronized {
+      val cached = dictGrowCache.get(s)
+      if (cached != null) cached
+      else {
+        import s.implicits._
+        val work = java.nio.file.Files.createTempDirectory("graft-dictgrow-kg").toString
+        val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+        val delta = dict.filter(col("entity_id") % 5 === 1)
+        val oldDict = dict.filter(col("entity_id") % 5 =!= 1)
+        val docs = fixtureDocsDf(s, 300)
+        Pipeline.runIncremental(s, docs.filter(col("doc_id") < "doc-000150"),
+          oldDict, work, batchId = "b1", buckets = 8)
+        val full = Pipeline.runIncremental(s, docs.filter(col("doc_id") >= "doc-000150"),
+          dict, work, batchId = "b2", buckets = 8, dictDelta = Some(delta))
+        dictGrowCache.put(s, full); evictOnStop(dictGrowCache, s)
+        full
+      }
+    }
+
   private def coocEdges(s: SparkSession): DataFrame =
     coocCache.synchronized {
       val cached = coocCache.get(s)
@@ -1157,6 +1187,13 @@ object SparkEntry {
       // (snapshot-append stage tables, exactly-once batch commits); the full
       // triples table must hash-equal the one-shot run's gold-derived oracle
       incrTriples(s)),
+    "nemo_triples_dictgrow" -> ((s, _) =>
+      // dict-GROWTH twin: batch 2 arrives with a grown dictionary +
+      // dictDelta; the recovery fold (incremental CC over touched alias
+      // blocks, block-pruned retro-link, affected-doc triple recompute —
+      // annotation never recomputed) must land on the SAME one-shot
+      // full-dict oracle as nemo_triples
+      dictGrowTriples(s)),
     "nemo_cooc" -> ((s, _) => {
       // KG densification after linking+canonicalization: canonical entities
       // co-mentioned in a sentence, kept when exact-integer lift ≥ 1.0
@@ -1183,6 +1220,20 @@ object SparkEntry {
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, docs)).toDF()
         .select(col("doc_id"), col("media_ref"), col("modality"),
           col("width"), col("height"), col("frames"))
+    }),
+    "d_media_decode" -> ((s, _) => {
+      // real media decode: GRFT bodies are genuine P6 / PCM-WAV / P6-frame
+      // payloads; the extractor PARSES them (no codec libs — pure-JVM PPM and
+      // RIFF/WAVE parsers) and the features are exact-integer sums over the
+      // DECODED pixels/samples. The oracle re-derives the sums in closed form
+      // from the media_ref hex rule the synthetic encoder used, so a decoder
+      // that mis-parses geometry, drops frames, or silently degrades
+      // (decoded=false) hash-fails.
+      val docs = fixtureDocsDf(s, 300).toDF()
+      Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, docs)).toDF()
+        .select(col("doc_id"), col("media_ref"), col("modality"), col("frames"),
+          col("decoded"), col("px_sum"), col("n_px"),
+          col("samp_abs_sum"), col("n_samp"))
     })
   )
 
@@ -1415,6 +1466,8 @@ object SparkEntry {
     "nemo_triples" -> OracleSql.triples,
     // incremental two-batch ingest must land on the SAME full-corpus oracle
     "nemo_triples_incr" -> OracleSql.triples,
+    // dict-growth fold must land on the SAME full-corpus, full-dict oracle
+    "nemo_triples_dictgrow" -> OracleSql.triples,
     "nemo_cooc" -> OracleSql.cooc,
     "q_bloom_join" ->
       """SELECT l.l_orderkey, count(*) AS n_items,
@@ -1477,6 +1530,7 @@ object SparkEntry {
         |  CAST(CASE WHEN code = 1 THEN 0 ELSE 64 + 4 * hv4 END AS INT) AS height,
         |  CAST(CASE WHEN code = 2 THEN 1 + hv2 ELSE 1 END AS INT) AS frames
         |FROM h""".stripMargin,
+    "d_media_decode" -> OracleSql.mediaDecode,
     "d_lang_id" -> OracleSql.langId,
     "d_ngram_jaccard" -> OracleSql.ngramJaccard,
     "d_ann_ivf" -> OracleSql.annIvf,

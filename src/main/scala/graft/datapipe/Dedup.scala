@@ -298,18 +298,23 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sim"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
     // ordered within-bucket pairs + Hamming distance, pure Catalyst (struct
-    // sort_array orders by id first — generic over the id type, no UDF)
-    val s = sort_array(col("xs"))
-    val pairsCol = flatten(transform(sequence(lit(0), size(s) - 2), i =>
-      transform(sequence(i + 1, size(s) - 1), j => {
-        val a = element_at(s, i + 1); val b = element_at(s, j + 1)
-        struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-          bit_count(a.getField("sim").bitwiseXOR(b.getField("sim"))).as("dist"))
-      })))
-    val pairs = buckets.select(explode(pairsCol).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
+    // sort_array orders by id first — generic over the id type, no UDF).
+    // The sorted bucket is PROJECTED to an attribute and two Generate stages
+    // enumerate i<j (posexplode → slice-explode), same shape as
+    // bucketPairRows: the earlier single nested-transform expression inlined
+    // sort_array at every element_at site, so Catalyst re-sorted the bucket
+    // once per PAIR — O(k³ log k) work per bucket instead of O(k² + k log k).
+    // Hamming distance is filtered BEFORE the dedup exchange so only
+    // qualifying pairs shuffle.
+    val pairs = buckets.select(sort_array(col("xs")).as("_sx"))
+      .select(posexplode(col("_sx")).as(Seq("_i", "a")), col("_sx"))
+      .select(col("a"),
+        explode(slice(col("_sx"), col("_i") + lit(2), size(col("_sx")))).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("dist"))
+      .filter(col("dist") <= maxDist)
       .distinct()
-    pairs.filter(col("dist") <= maxDist)
+    pairs
   }
 
   /** Fuzzy-dedup clustering — the full near-duplicate REMOVAL shape real

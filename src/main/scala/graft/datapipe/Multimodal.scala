@@ -13,11 +13,17 @@ import org.apache.spark.sql.types._
   * batches): schema, batching shape, and partitioning are real and tested.
   *
   * Payloads carry a REAL binary container header (GRFT magic, version,
-  * modality, dims, duration — see [[parseHeader]]) that the extractor parses
-  * byte-for-byte, so modality / frames / width / height are derived from
-  * CONTENT, not from catalog columns; only the pixel/sample decode behind the
-  * header is stubbed (`decodeStub`, a deterministic byte histogram — no codec
-  * libs in this container), clearly marked for swap-in.
+  * modality, dims, duration — see [[parseHeader]]) AND a real encoded body the
+  * extractor DECODES byte-for-byte, pure JVM, no codec libs:
+  *   - image: binary PPM (P6) — the classic headerful RGB raster format;
+  *   - audio: PCM WAV (RIFF/WAVE, fmt + data chunks, 16-bit mono LE);
+  *   - video: a concatenation of P6 frames (an MJPEG-style frame sequence,
+  *     with PPM in place of JPEG since no entropy codec ships here).
+  * Features (pixel sums, sample amplitude sums, channel histograms) are
+  * computed over the DECODED pixels/samples — not over raw container bytes.
+  * A payload whose header parses but whose body is corrupt DEGRADES
+  * (`decoded=false`, byte-histogram fallback) instead of crashing the
+  * partition; an unparseable header degrades to modality "unknown".
   */
 object Multimodal {
 
@@ -31,13 +37,25 @@ object Multimodal {
       durationMs: Int,
       content: Array[Byte])
 
+  /** Decoded-content features. `decoded` is true iff the BODY parsed as its
+    * modality's codec; the integer sums are exact (oracle-replayable):
+    *  - image/video: px_sum = Σ decoded pixel bytes over all frames,
+    *    n_px = decoded pixel-byte count (w·h·3 per frame);
+    *  - audio: samp_abs_sum = Σ |16-bit samples|, n_samp = sample count.
+    * `feature` is the float summary a downstream embedder would consume:
+    * 16-bucket histogram over decoded pixel bytes (image/video) / sample
+    * magnitudes (audio); falls back to a raw-byte histogram when
+    * decoded=false. */
   final case class MediaFeatures(
       doc_id: String,
       media_ref: String,
       modality: String,          // parsed from the payload header
       width: Int, height: Int,   // parsed from the payload header
-      feature: Array[Float],     // extracted feature vector (stub: byte histogram)
-      frames: Int)               // sampled frame count (video) / 1 otherwise
+      feature: Array[Float],
+      frames: Int,               // frames actually decoded (video) / 1 otherwise
+      decoded: Boolean,
+      px_sum: Long, n_px: Long,
+      samp_abs_sum: Long, n_samp: Long)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
@@ -89,33 +107,185 @@ object Multimodal {
     Some(MediaHeader(ModalityNames(code), width, height, durationMs))
   }
 
-  /** STUB decode: a real implementation would hand the body bytes to an
-    * image/audio codec here (not present in this container). The stub derives
-    * a deterministic 16-bucket byte histogram "feature" over the BODY (header
-    * excluded) so the full Spark-side plumbing — header parse, batching,
-    * schema, partition parallelism — is exercised and testable. */
-  def decodeStub(content: Array[Byte], offset: Int): Array[Float] = {
+  // ---------- PPM (P6) image codec ----------
+
+  /** Encode an RGB raster as binary PPM: "P6\n{w} {h}\n255\n" + w·h·3 bytes. */
+  def encodePpm(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * 3, s"PPM body needs ${w * h * 3} bytes")
+    val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    hdr ++ pixels
+  }
+
+  /** One decoded PPM frame inside a byte array: pixel window + geometry +
+    * where the NEXT frame starts (video bodies are frame concatenations). */
+  final case class PpmFrame(w: Int, h: Int, pixelOffset: Int, nextOffset: Int)
+
+  /** Parse one binary-PPM (P6, maxval 255) frame at `offset`. None on any
+    * malformation — bad magic, absurd dims, truncated raster. */
+  def parsePpm(bytes: Array[Byte], offset: Int): Option[PpmFrame] = {
+    if (bytes == null || offset < 0 || bytes.length < offset + 9) return None
+    if (bytes(offset) != 'P' || bytes(offset + 1) != '6') return None
+    var i = offset + 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    // three whitespace-separated decimal fields: width, height, maxval
+    def readInt(): Int = {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      var v = 0; var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+        if (v > (1 << 20)) return -1 // absurd dim: reject before overflow
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val mx = readInt()
+    if (w <= 0 || h <= 0 || mx != 255) return None
+    if (i >= bytes.length || !isWs(bytes(i))) return None
+    i += 1 // exactly ONE whitespace byte separates maxval from the raster
+    val n = w * h * 3
+    if (bytes.length < i + n) return None
+    Some(PpmFrame(w, h, i, i + n))
+  }
+
+  // ---------- PCM WAV audio codec ----------
+
+  /** Encode 16-bit mono PCM samples as a minimal RIFF/WAVE file. */
+  def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Decoded WAV: sample window inside the byte array. */
+  final case class WavData(sampleRate: Int, sampleOffset: Int, nSamples: Int)
+
+  /** Parse a RIFF/WAVE body at `offset`: fmt chunk must be PCM 16-bit mono;
+    * chunks are walked by their declared sizes (a real parser, not a fixed
+    * 44-byte slice). None on any malformation. */
+  def parseWav(bytes: Array[Byte], offset: Int): Option[WavData] = {
+    if (bytes == null || offset < 0 || bytes.length < offset + 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes, offset, bytes.length - offset)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
+    if (tag() != "RIFF") return None
+    bb.getInt // riff size (trusted only for well-formedness of later reads)
+    if (tag() != "WAVE") return None
+    var sampleRate = -1
+    try {
+      while (bb.remaining() >= 8) {
+        val t = tag(); val sz = bb.getInt
+        if (sz < 0 || sz > bb.remaining()) return None
+        if (t == "fmt ") {
+          if (sz < 16) return None
+          val p0 = bb.position()
+          val fmt = bb.getShort; val ch = bb.getShort
+          sampleRate = bb.getInt; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          if (fmt != 1 || ch != 1 || bits != 16) return None
+          bb.position(p0 + sz)
+        } else if (t == "data") {
+          if (sampleRate <= 0) return None // fmt must precede data
+          return Some(WavData(sampleRate, bb.position(), sz / 2))
+        } else bb.position(bb.position() + sz)
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  // ---------- feature extraction over DECODED content ----------
+
+  /** Byte histogram over a window — the degrade-path fallback feature and the
+    * building block for decoded-pixel histograms. */
+  private def byteHistogram(content: Array[Byte], from: Int, until: Int): Array[Float] = {
     val hist = new Array[Float](16)
-    if (content != null && content.length > offset) {
-      var i = offset
-      while (i < content.length) { hist((content(i) & 0xFF) >> 4) += 1f; i += 1 }
-      val n = (content.length - offset).toFloat
-      var j = 0
-      while (j < 16) { hist(j) /= n; j += 1 }
+    if (content != null && until > from) {
+      var i = math.max(from, 0); val end = math.min(until, content.length)
+      while (i < end) { hist((content(i) & 0xFF) >> 4) += 1f; i += 1 }
+      val n = (end - math.max(from, 0)).toFloat
+      if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
     }
     hist
   }
 
   /** Frame sampling plan for video: every `everyMs` ms, capped at `maxFrames`.
-    * Pure metadata math — the real decoder would seek to these timestamps. */
+    * The synthetic encoder writes exactly this many frames; the decoder
+    * counts what it actually parses. */
   def framePlan(durationMs: Int, everyMs: Int = 1000, maxFrames: Int = 32): Int =
     if (durationMs <= 0) 1 else math.min(maxFrames, math.max(1, durationMs / everyMs))
 
+  /** Decode one media payload's BODY (after the GRFT header) per the header's
+    * modality and fold the decoded-content features. Returns None when the
+    * body fails its codec — the caller degrades. */
+  private def decodeBody(h: MediaHeader, content: Array[Byte]): Option[MediaFeatures => MediaFeatures] = {
+    h.modality match {
+      case "image" =>
+        parsePpm(content, HeaderLen).map { f =>
+          var s = 0L; var i = f.pixelOffset
+          val hist = byteHistogram(content, f.pixelOffset, f.nextOffset)
+          while (i < f.nextOffset) { s += (content(i) & 0xFF); i += 1 }
+          base => base.copy(feature = hist, frames = 1, decoded = true,
+            px_sum = s, n_px = (f.nextOffset - f.pixelOffset).toLong)
+        }
+      case "audio" =>
+        parseWav(content, HeaderLen).map { wv =>
+          val bb = java.nio.ByteBuffer.wrap(content)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var s = 0L; var i = 0
+          val hist = new Array[Float](16)
+          while (i < wv.nSamples) {
+            val v = bb.getShort(wv.sampleOffset + 2 * i).toInt
+            s += math.abs(v)
+            hist(math.min(math.abs(v) >> 11, 15)) += 1f // 16 magnitude buckets
+            i += 1
+          }
+          if (wv.nSamples > 0) { var j = 0; while (j < 16) { hist(j) /= wv.nSamples; j += 1 } }
+          base => base.copy(feature = hist, frames = 1, decoded = true,
+            samp_abs_sum = s, n_samp = wv.nSamples.toLong)
+        }
+      case "video" =>
+        // frame-concatenated P6: decode frames until the body is exhausted;
+        // ANY malformed frame (including trailing garbage) fails the decode
+        var off = HeaderLen
+        var frames = 0
+        var s = 0L; var n = 0L
+        val hist = new Array[Float](16)
+        var ok = true
+        while (ok && off < content.length) {
+          parsePpm(content, off) match {
+            case Some(f) =>
+              var i = f.pixelOffset
+              while (i < f.nextOffset) {
+                val b = content(i) & 0xFF
+                s += b; hist(b >> 4) += 1f; i += 1
+              }
+              n += (f.nextOffset - f.pixelOffset).toLong
+              frames += 1; off = f.nextOffset
+            case None => ok = false
+          }
+        }
+        if (ok && frames > 0) {
+          var j = 0; while (j < 16) { hist(j) /= n.toFloat; j += 1 }
+          val fr = frames
+          Some(base => base.copy(feature = hist, frames = fr, decoded = true,
+            px_sum = s, n_px = n))
+        } else None
+      case _ => None
+    }
+  }
+
   /** Partition-batched feature extraction (the mapInPandas analog): iterator →
     * iterator, constant memory, one batch of rows at a time. All output
-    * metadata comes from the PARSED HEADER; a row whose payload fails to parse
-    * degrades to modality "unknown" (dims 0, frames 0) with the raw-byte
-    * histogram still computed. */
+    * metadata comes from the PARSED HEADER and the DECODED BODY; degrade
+    * ladder: body fails its codec → decoded=false with the raw-byte-histogram
+    * fallback; header fails → modality "unknown" (dims 0, frames 0). */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
@@ -124,12 +294,15 @@ object Multimodal {
         batch.iterator.map { m =>
           parseHeader(m.content) match {
             case Some(h) =>
-              val frames = if (h.modality == "video") framePlan(h.durationMs) else 1
-              MediaFeatures(m.doc_id, m.media_ref, h.modality, h.width, h.height,
-                decodeStub(m.content, HeaderLen), frames)
+              val plannedFrames = if (h.modality == "video") framePlan(h.durationMs) else 1
+              val base = MediaFeatures(m.doc_id, m.media_ref, h.modality,
+                h.width, h.height, byteHistogram(m.content, HeaderLen, Int.MaxValue),
+                plannedFrames, decoded = false, 0L, 0L, 0L, 0L)
+              decodeBody(h, m.content).map(_(base)).getOrElse(base)
             case None =>
               MediaFeatures(m.doc_id, m.media_ref, "unknown", 0, 0,
-                decodeStub(m.content, 0), 0)
+                byteHistogram(m.content, 0, Int.MaxValue), 0,
+                decoded = false, 0L, 0L, 0L, 0L)
           }
         }
       }
@@ -145,11 +318,20 @@ object Multimodal {
     else math.max("0123456789abcdef".indexOf(ref.charAt(ref.length - k)), 0)
   }
 
+  /** Synthetic-body geometry, shared by the encoder and the SQL oracle:
+    * thumbnail dims = header dims / 8 (real systems store thumbnails next to
+    * originals; keeps the oracle's per-row replay list small), audio samples
+    * capped at 2048, flattened-pixel value = (3·i + seed + frame) mod 256,
+    * sample value = ((i·(7+hv3) + hv4) mod 65536) − 32768. */
+  def thumbDim(d: Int): Int = math.max(1, d / 8)
+
   /** Deterministic synthetic media table derived from the fixture docs' media
     * spans. Catalog fields are pure functions of the media_ref's tail hex
     * chars (modality = hv1 mod 3; duration = (1+hv2)s for audio/video; dims =
-    * 64+4·hv3 × 64+4·hv4 for image/video), the payload is a real GRFT
-    * container: header encoding those fields + seeded body bytes. */
+    * 64+4·hv3 × 64+4·hv4 for image/video), and the payload is a fully REAL
+    * GRFT container: header + an encoded body (P6 / WAV / P6-frames) whose
+    * pixel/sample values are closed-form in (i, hv2, hv3, hv4) — so the
+    * DuckDB oracle re-derives the DECODED feature sums from the ref alone. */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), explode(col("spans")).as("s"))
@@ -159,12 +341,31 @@ object Multimodal {
       .map { case (docId, ref) =>
         val code = refHex(ref, 1) % 3
         val modality = ModalityNames(code)
-        val durationMs = if (code == 0) 0 else 1000 * (1 + refHex(ref, 2))
-        val width = if (code == 1) 0 else 64 + 4 * refHex(ref, 3)
-        val height = if (code == 1) 0 else 64 + 4 * refHex(ref, 4)
-        val r = new scala.util.Random(ref.hashCode.toLong)
-        val body = new Array[Byte](256 + r.nextInt(256))
-        r.nextBytes(body)
+        val hv2 = refHex(ref, 2); val hv3 = refHex(ref, 3); val hv4 = refHex(ref, 4)
+        val durationMs = if (code == 0) 0 else 1000 * (1 + hv2)
+        val width = if (code == 1) 0 else 64 + 4 * hv3
+        val height = if (code == 1) 0 else 64 + 4 * hv4
+        val seed = 16 * hv2 + hv3
+        def frame(f: Int): Array[Byte] = {
+          val tw = thumbDim(width); val th = thumbDim(height)
+          val px = new Array[Byte](tw * th * 3)
+          var i = 0
+          while (i < px.length) { px(i) = ((3 * i + seed + f) % 256).toByte; i += 1 }
+          encodePpm(tw, th, px)
+        }
+        val body: Array[Byte] = code match {
+          case 0 => frame(0)
+          case 1 =>
+            val n = math.min(2048, durationMs)
+            val smp = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              smp(i) = (((i * (7 + hv3) + hv4) % 65536) - 32768).toShort; i += 1
+            }
+            encodeWav(smp)
+          case _ =>
+            (0 until framePlan(durationMs)).toArray.flatMap(frame)
+        }
         MediaRow(docId, ref, modality, width, height, durationMs,
           writeHeader(modality, width, height, durationMs) ++ body)
       }

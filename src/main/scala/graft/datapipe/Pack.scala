@@ -83,6 +83,27 @@ object Pack {
     when(id.isNull, lit(null)).otherwise(bucket).cast("long")
   }
 
+  /** Guardrailed integral bucket width: the driver-side cumsum collects one
+    * (bucket, total) row per NON-EMPTY bucket, but with `doc_id div width` the
+    * bucket COUNT is bounded by idRange/width — at 10¹² integral ids the
+    * default 4096 width would pull ~2.4×10⁸ rows to the driver (silent OOM at
+    * exactly the scale the two-level scan exists for). So the width is derived
+    * from the actual id range: widened (never narrowed — the caller's width is
+    * a lower bound on granularity) until ≤ `maxBuckets` buckets cover the
+    * range. One column-pruned min/max scan of the id column; the result is a
+    * driver-side literal, so every traversal of the plan buckets identically. */
+  private[graft] def effectiveBucketWidth(df: DataFrame, idCol: String,
+                                             bucketWidth: Long, maxBuckets: Long): Long = {
+    val mm = df.agg(min(col(idCol)).cast("long").as("lo"),
+      max(col(idCol)).cast("long").as("hi")).head()
+    if (mm.isNullAt(0)) bucketWidth // empty input: any width works
+    else {
+      val range = math.max(mm.getLong(1) - mm.getLong(0) + 1L, 1L)
+      val needed = (range + maxBuckets - 1L) / maxBuckets // ceil(range / maxBuckets)
+      math.max(bucketWidth, needed)
+    }
+  }
+
   /** Per-doc packing manifest: (doc_id, n_tokens, tok_offset, chunk_first,
     * chunk_last, chunks_spanned) for chunks of `capacity` tokens. Documents
     * are packed in ascending doc_id order under the column's NATIVE ordering
@@ -91,8 +112,9 @@ object Pack {
     * are dropped (they occupy no span). */
   def concatChunks(spark: SparkSession, df: DataFrame, idCol: String,
                    textCol: String, capacity: Long = 2048L,
-                   bucketWidth: Long = 4096L, rangeBuckets: Int = 256): DataFrame = {
-    require(capacity > 0 && bucketWidth > 0 && rangeBuckets > 0)
+                   bucketWidth: Long = 4096L, rangeBuckets: Int = 256,
+                   maxBuckets: Long = 1L << 20): DataFrame = {
+    require(capacity > 0 && bucketWidth > 0 && rangeBuckets > 0 && maxBuckets > 0)
     val counted1 = df
       .select(col(idCol).as("doc_id"),
         TextQuality.tokenCount(col(textCol)).cast("long").as("n_tokens"))
@@ -104,12 +126,14 @@ object Pack {
     // path keeps its two lazy traversals (no boundary jobs to amortize).
     val counted0 = if (integral) counted1 else counted1.localCheckpoint()
     val bucketCol =
-      if (integral) expr(s"doc_id div ${bucketWidth}L")
+      if (integral) expr(s"doc_id div ${effectiveBucketWidth(df, idCol, bucketWidth, maxBuckets)}L")
       else boundsBucket(col("doc_id"), frozenBounds(counted0, rangeBuckets))
     val counted = counted0.withColumn("bucket", bucketCol)
 
     // level 1: per-bucket totals (tiny), cumsum on the driver, rebroadcast
-    // as base offsets
+    // as base offsets. The bucket count is GUARDRAILED (effectiveBucketWidth /
+    // rangeBuckets), so this collect is bounded at ≤ maxBuckets+1 (long, long)
+    // rows — never a function of the corpus size or a caller-mis-sized width.
     val totals = counted.groupBy("bucket").agg(sum("n_tokens").as("tot"))
       .collect().map { r =>
         require(!r.isNullAt(0), s"concatChunks: null $idCol — ids must be non-null")

@@ -692,10 +692,15 @@ object Snapshots {
     }
     dirs.map { d =>
       val base = TableFormat.load(spark, s"$tableDir/$d")
-      delKeys.filter(_._1 > dirSnapId(d)).foldLeft(base) {
+      val masked = delKeys.filter(_._1 > dirSnapId(d)).foldLeft(base) {
         case (df, (_, kdf, kc)) =>
           df.join(org.apache.spark.sql.functions.broadcast(kdf), Seq(kc), "left_anti")
       }
+      // a USING anti-join moves the key column to the front: re-project to
+      // the dir's own column order so a masked read is column-order-stable
+      // with an unmasked one (callers compare snapshots positionally)
+      if (masked eq base) base
+      else masked.select(base.columns.map(org.apache.spark.sql.functions.col): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

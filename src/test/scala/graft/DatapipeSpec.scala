@@ -510,6 +510,77 @@ class DatapipeSpec extends AnyFunSuite {
     assert(out(0).feature.sum > 0f) // histogram still computed over raw bytes
   }
 
+  test("multimodal: PPM and WAV codecs round-trip and decode exact content") {
+    // PPM: hand-built 2×2 RGB raster decodes to its exact byte sum
+    val px = Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+    val ppm = Multimodal.encodePpm(2, 2, px)
+    val f = Multimodal.parsePpm(ppm, 0).get
+    assert(f.w === 2 && f.h === 2)
+    assert(ppm.slice(f.pixelOffset, f.nextOffset).toSeq === px.toSeq)
+    // truncated raster / bad magic / bad maxval all reject
+    assert(Multimodal.parsePpm(ppm.dropRight(1), 0).isEmpty)
+    assert(Multimodal.parsePpm("P5\n2 2\n255\n".getBytes ++ px, 0).isEmpty)
+    assert(Multimodal.parsePpm("P6\n2 2\n127\n".getBytes ++ px, 0).isEmpty)
+    // WAV: 16-bit samples round-trip through the RIFF chunk walk
+    val smp = Array[Short](0, 100, -100, 32767, -32768)
+    val wav = Multimodal.encodeWav(smp)
+    val w = Multimodal.parseWav(wav, 0).get
+    assert(w.sampleRate === 8000 && w.nSamples === 5)
+    val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert((0 until 5).map(i => bb.getShort(w.sampleOffset + 2 * i)) === smp.toSeq)
+    assert(Multimodal.parseWav(wav.dropRight(1), 0).isEmpty) // data chunk short
+    assert(Multimodal.parseWav("RIFX".getBytes ++ wav.drop(4), 0).isEmpty)
+  }
+
+  test("multimodal: features come from DECODED pixels/samples, exact integers") {
+    val docs = spark.createDataset(graft.fixtures.Fixtures.inputDocs(80)).toDF()
+    val media = Multimodal.syntheticMedia(spark, docs).collect()
+    val feats = Multimodal.extractFeatures(spark,
+      spark.createDataset(media.toSeq)(Multimodal.syntheticMedia(spark, docs).encoder))
+      .collect().map(f => f.media_ref -> f).toMap
+    assert(media.map(_.modality).distinct.sorted.toSeq === Seq("audio", "image", "video"))
+    media.foreach { m =>
+      val f = feats(m.media_ref)
+      assert(f.decoded, s"${m.media_ref} (${m.modality}) must decode")
+      // closed-form replay of the synthetic body (same rule as the oracle)
+      def hv(k: Int) = math.max(
+        "0123456789abcdef".indexOf(m.media_ref.charAt(m.media_ref.length - k)), 0)
+      val seed = 16 * hv(2) + hv(3)
+      if (m.modality == "audio") {
+        val n = math.min(2048, m.durationMs)
+        val exp = (0 until n).map(i =>
+          math.abs(((i * (7 + hv(3)) + hv(4)) % 65536) - 32768).toLong).sum
+        assert(f.samp_abs_sum === exp && f.n_samp === n.toLong && f.px_sum === 0L)
+      } else {
+        val perFrame = Multimodal.thumbDim(m.width) * Multimodal.thumbDim(m.height) * 3
+        val frames = if (m.modality == "video") Multimodal.framePlan(m.durationMs) else 1
+        val exp = (0 until frames).map(fr =>
+          (0 until perFrame).map(i => ((3 * i + seed + fr) % 256).toLong).sum).sum
+        assert(f.px_sum === exp, s"${m.media_ref} px_sum")
+        assert(f.n_px === frames.toLong * perFrame && f.frames === frames)
+      }
+    }
+  }
+
+  test("multimodal: corrupt BODY degrades to decoded=false, header intact") {
+    // header parses (image) but the body is not a PPM → degrade, not crash
+    val hdr = Multimodal.writeHeader("image", 64, 64, 0)
+    val junk = Array.tabulate[Byte](100)(i => (i * 37).toByte)
+    // and a video whose SECOND frame is truncated → whole decode degrades
+    val px = Array.tabulate[Byte](4 * 4 * 3)(_.toByte)
+    val goodFrame = Multimodal.encodePpm(4, 4, px)
+    val vhdr = Multimodal.writeHeader("video", 32, 32, 2000)
+    val rows = Seq(
+      Multimodal.MediaRow("d1", "r1", "image", 0, 0, 0, hdr ++ junk),
+      Multimodal.MediaRow("d2", "r2", "video", 0, 0, 0,
+        vhdr ++ goodFrame ++ goodFrame.dropRight(5)))
+    val out = Multimodal.extractFeatures(spark, spark.createDataset(rows))
+      .collect().sortBy(_.doc_id)
+    assert(out(0).modality === "image" && !out(0).decoded)
+    assert(out(0).px_sum === 0L && out(0).feature.sum > 0f) // raw-byte fallback
+    assert(out(1).modality === "video" && !out(1).decoded)
+  }
+
   test("rolling hash and fingerprint are deterministic and whitespace-insensitive") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("doc_id", "text")
     val fps = df.select(TextQuality.fingerprint(col("text"))).as[String].collect()

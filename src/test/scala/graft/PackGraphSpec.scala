@@ -66,6 +66,24 @@ class PackGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("integral bucket width is widened to cap the driver cumsum at maxBuckets") {
+    // sparse huge-range ids: with the default width 4096 the id range
+    // 0..10^12 implies ~2.4×10^8 candidate buckets — the guardrail must
+    // widen the effective width so ≤ maxBuckets buckets cover the range
+    val docs = Seq(0L, 999999999999L, 123456789L, 42L)
+      .map(i => (i, "a b c")).toDF("doc_id", "text")
+    val w = Pack.effectiveBucketWidth(docs, "doc_id", 4096L, maxBuckets = 1000L)
+    assert(w === 1000000000L, "width must be ceil(range / maxBuckets)")
+    // a caller width already coarse enough is respected verbatim
+    val dense = (0L until 100L).map(i => (i, "a")).toDF("doc_id", "text")
+    assert(Pack.effectiveBucketWidth(dense, "doc_id", 4096L, 1L << 20) === 4096L)
+    // and the guardrailed path still produces exact offsets
+    val m = Pack.concatChunks(spark, docs, "doc_id", "text",
+      capacity = 4L, maxBuckets = 1000L)
+      .orderBy("doc_id").collect()
+    assert(m.map(_.getLong(2)).toSeq === Seq(0L, 3L, 6L, 9L))
+  }
+
   test("a null doc_id fails loudly instead of corrupting the packing order") {
     val docs = Seq((Some("a"), "x y"), (None, "z")) // None → null id
       .toDF("doc_id", "text")

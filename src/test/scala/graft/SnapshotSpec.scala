@@ -203,6 +203,42 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(work))
   }
 
+  test("runIncremental with dict growth equals a full rebuild with the grown dict") {
+    val work = tmp("graft-incr-dictgrow")
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    // delta = every entity_id ≡ 1 mod 5: includes the second member of every
+    // shared group-N alias pair, so the fold must MERGE real components, and
+    // plenty of linkable surfaces, so retro-linking must fire
+    val delta = dict.filter(col("entity_id") % 5 === 1)
+    val oldDict = dict.filter(col("entity_id") % 5 =!= 1)
+    assert(delta.count() > 0 && oldDict.count() > 0)
+    val docs = spark.createDataset(Fixtures.inputDocs(24))
+    val full = Pipeline.runAll(spark, docs, dict, s"$work/full", buckets = 2)
+
+    val firstHalf = docs.filter(d => d.doc_id < "doc-000012")
+    val secondHalf = docs.filter(d => d.doc_id >= "doc-000012")
+    // batch 1 under the SMALLER dict
+    Pipeline.runIncremental(spark, firstHalf, oldDict,
+      s"$work/incr", batchId = "b1", buckets = 2)
+    // batch 2 arrives with the grown dict + the delta → recovery fold
+    val after2 = Pipeline.runIncremental(spark, secondHalf, dict,
+      s"$work/incr", batchId = "b2", buckets = 2, dictDelta = Some(delta))
+    assert(after2.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(after2).count() === 0L)
+    // the fold actually rewired canonicalization: entities table now carries
+    // the full-dict fingerprint and at least one merged component
+    val entStages = Snapshots.snapshots(s"$work/incr/entities").map(_.stage)
+    assert(entStages.size === 2 && entStages.forall(_.startsWith("dict:")))
+    assert(entStages.distinct.size === 2, "overwrite must carry the NEW dict fp")
+    // idempotent: re-running b2 with the same delta commits nothing new
+    val snapsBefore = Snapshots.snapshots(s"$work/incr/triples").map(_.id)
+    val again = Pipeline.runIncremental(spark, secondHalf, dict,
+      s"$work/incr", batchId = "b2", buckets = 2, dictDelta = Some(delta))
+    assert(Snapshots.snapshots(s"$work/incr/triples").map(_.id) === snapsBefore)
+    assert(again.count() === after2.count())
+    rm(new java.io.File(work))
+  }
+
   test("column stats sidecar: bounds, null count, and string columns round-trip") {
     val dir = tmp("graft-stats")
     val t = s"$dir/tbl"
