@@ -35,14 +35,52 @@ object Backprop {
     }
   }
 
+  /** Sparse per-row gradient for an embedding TABLE: only rows a minibatch
+    * actually touches are materialized (a sentence touches ≤ its token/char
+    * count of rows; the table has the whole vocabulary). This is what keeps
+    * `trainEncoder = true`'s treeAggregate payload minibatch-sized instead of
+    * vocab-sized — at reference dims (10^5 words × 300d) a dense dWordEmb is
+    * ~240 MB of almost-all-zeros PER aggregation message; sparse it is
+    * (touched rows × dim) doubles. Access contract is identical to the dense
+    * array it replaced: `apply(i)` returns THE accumulable row (created
+    * zeroed on first touch), so accumulate sites and the FD tests read/write
+    * unchanged. */
+  final class SparseRowGrad(val dim: Int) extends Serializable {
+    private val rows = new java.util.HashMap[Integer, Array[Double]]()
+    def apply(i: Int): Array[Double] = {
+      var r = rows.get(i)
+      if (r == null) { r = new Array[Double](dim); rows.put(i, r) }
+      r
+    }
+    def merge(o: SparseRowGrad): Unit = {
+      val it = o.rows.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val mine = rows.get(e.getKey)
+        if (mine == null) rows.put(e.getKey, e.getValue) // o is consumed by merge
+        else {
+          val v = e.getValue; var j = 0
+          while (j < dim) { mine(j) += v(j); j += 1 }
+        }
+      }
+    }
+    def foreachRow(f: (Int, Array[Double]) => Unit): Unit = {
+      val it = rows.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); f(e.getKey, e.getValue) }
+    }
+    def nTouched: Int = rows.size
+  }
+
   final class ModelGrad(m: NerModel) extends Serializable {
     private def zeros2(a: Array[Array[Float]]): Array[Array[Double]] =
       Array.tabulate(a.length)(i => new Array[Double](a(i).length))
     private def zerosLstm(w: LstmCellWeights): LstmGrad =
       new LstmGrad(zeros2(w.wi), zeros2(w.wh), new Array[Double](w.b.length))
 
-    val dWordEmb: Array[Array[Double]] = zeros2(m.wordEmb)
-    val dCharEmb: Array[Array[Double]] = zeros2(m.charEmb)
+    val dWordEmb: SparseRowGrad =
+      new SparseRowGrad(if (m.wordEmb.length > 0) m.wordEmb(0).length else 0)
+    val dCharEmb: SparseRowGrad =
+      new SparseRowGrad(if (m.charEmb.length > 0) m.charEmb(0).length else 0)
     val dCharCnnW: Array[Array[Array[Double]]] = m.charCnnW.map(zeros2)
     val dCharCnnB: Array[Double] = new Array[Double](m.charCnnB.length)
     val dCharLstm: Option[Array[LstmGrad]] = m.charLstm.map(_.map(zerosLstm))
@@ -64,7 +102,7 @@ object Backprop {
           i += 1
         }
       }
-      add2(dWordEmb, o.dWordEmb); add2(dCharEmb, o.dCharEmb)
+      dWordEmb.merge(o.dWordEmb); dCharEmb.merge(o.dCharEmb)
       var h = 0
       while (h < dCharCnnW.length) { add2(dCharCnnW(h), o.dCharCnnW(h)); h += 1 }
       var i = 0

@@ -69,6 +69,88 @@ final case class LstmCellWeights(
 
 object NerModel {
 
+  // ---------- portable weight format (save/load) ----------
+  //
+  // The reference persists trained weights as torch pickles + a pickled Data
+  // object (utils/data.py:342-351 load, 353-358 save; api_main.py:53-70 loads
+  // a `.model`/`.dset` pair per registry entry). Those blobs are
+  // python-ecosystem-bound (and absent from the snapshot), so exact interop
+  // is impossible by construction; this is the documented portable
+  // equivalent: ONE versioned little-endian binary file carrying config +
+  // alphabets + every weight tensor, so real trained weights can be exported
+  // into the engine without recompiling. Layout (all ints/floats LE):
+  //   magic "GNERW" · version:int · config block · 3 alphabet blocks ·
+  //   tensors in declaration order (each jagged array length-prefixed).
+  // Gzip-wrapped: embedding tables dominate and compress ~2×.
+
+  private val Magic = "GNERW"
+  private val Version = 1
+
+  def save(m: NerModel, path: String): Unit = {
+    val fos = new java.io.FileOutputStream(path)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.util.zip.GZIPOutputStream(fos), 1 << 16))
+    try {
+      out.writeBytes(Magic); out.writeInt(Version)
+      val c = m.config
+      out.writeUTF(c.mode); out.writeInt(c.wordEmbDim); out.writeInt(c.charEmbDim)
+      out.writeInt(c.charHidden); out.writeInt(c.charKernel); out.writeInt(c.hidden)
+      out.writeInt(c.lstmLayers); out.writeUTF(c.wordExtractor); out.writeUTF(c.charExtractor)
+      out.writeInt(c.maxSentenceLength); out.writeInt(c.batchSize)
+      out.writeBoolean(c.numberNormalized)
+      def alpha(a: Alphabet): Unit = {
+        out.writeBoolean(a.isLabel); out.writeInt(a.instances.length)
+        a.instances.foreach(out.writeUTF)
+      }
+      alpha(m.wordAlphabet); alpha(m.charAlphabet); alpha(m.labelAlphabet)
+      def v(a: Array[Float]): Unit = { out.writeInt(a.length); a.foreach(out.writeFloat) }
+      def m2(a: Array[Array[Float]]): Unit = { out.writeInt(a.length); a.foreach(v) }
+      def m3(a: Array[Array[Array[Float]]]): Unit = { out.writeInt(a.length); a.foreach(m2) }
+      def cell(w: LstmCellWeights): Unit = { m2(w.wi); m2(w.wh); v(w.b) }
+      m2(m.wordEmb); m2(m.charEmb); m3(m.charCnnW); v(m.charCnnB)
+      out.writeBoolean(m.charLstm.isDefined)
+      m.charLstm.foreach { ws => cell(ws(0)); cell(ws(1)) }
+      out.writeInt(m.lstm.length)
+      m.lstm.foreach { layer => cell(layer(0)); cell(layer(1)) }
+      m3(m.cnnW); v(m.cnnB); m2(m.hidden2tag); v(m.hidden2tagB); m2(m.transitions)
+    } finally out.close()
+  }
+
+  def load(path: String): NerModel = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.util.zip.GZIPInputStream(new java.io.FileInputStream(path)), 1 << 16))
+    try {
+      val magic = new Array[Byte](Magic.length)
+      in.readFully(magic)
+      require(new String(magic, "US-ASCII") == Magic,
+        s"$path is not a $Magic weight file")
+      val ver = in.readInt()
+      require(ver == Version, s"unsupported $Magic version $ver (expected $Version)")
+      val cfg = NerConfig(
+        mode = in.readUTF(), wordEmbDim = in.readInt(), charEmbDim = in.readInt(),
+        charHidden = in.readInt(), charKernel = in.readInt(), hidden = in.readInt(),
+        lstmLayers = in.readInt(), wordExtractor = in.readUTF(), charExtractor = in.readUTF(),
+        maxSentenceLength = in.readInt(), batchSize = in.readInt(),
+        numberNormalized = in.readBoolean())
+      def alpha(): Alphabet = {
+        val isLabel = in.readBoolean()
+        val n = in.readInt()
+        Alphabet(IndexedSeq.fill(n)(in.readUTF()), isLabel)
+      }
+      val wa = alpha(); val ca = alpha(); val la = alpha()
+      def v(): Array[Float] = Array.fill(in.readInt())(in.readFloat())
+      def m2(): Array[Array[Float]] = Array.fill(in.readInt())(v())
+      def m3(): Array[Array[Array[Float]]] = Array.fill(in.readInt())(m2())
+      def cell(): LstmCellWeights = LstmCellWeights(m2(), m2(), v())
+      val wordEmb = m2(); val charEmb = m2(); val charCnnW = m3(); val charCnnB = v()
+      val charLstm = if (in.readBoolean()) Some(Array(cell(), cell())) else None
+      val lstm = Array.fill(in.readInt())(Array(cell(), cell()))
+      val cnnW = m3(); val cnnB = v(); val h2t = m2(); val h2tB = v(); val tr = m2()
+      NerModel(cfg, wa, ca, la, wordEmb, charEmb, charCnnW, charCnnB, charLstm,
+        lstm, cnnW, cnnB, h2t, h2tB, tr)
+    } finally in.close()
+  }
+
   private def mat(r: Random, rows: Int, cols: Int, scale: Double): Array[Array[Float]] =
     Array.fill(rows)(Array.fill(cols)(((r.nextDouble() * 2 - 1) * scale).toFloat))
 

@@ -163,6 +163,17 @@ object Trainer {
       Array.tabulate(w.length)(i => upd2(w(i), g(i)))
     def updLstm(w: LstmCellWeights, g: Backprop.LstmGrad): LstmCellWeights =
       LstmCellWeights(upd2(w.wi, g.wi), upd2(w.wh, g.wh), upd1(w.b, g.b))
+    // sparse embedding step: rewrite ONLY the rows the minibatch touched;
+    // untouched rows are shared by reference with the previous model (weights
+    // are immutable-by-convention — every update path builds fresh arrays)
+    def updSparse(w: Array[Array[Float]], g: Backprop.SparseRowGrad): Array[Array[Float]] = {
+      val out = w.clone()
+      g.foreachRow { (i, gr) =>
+        val row = w(i)
+        out(i) = Array.tabulate(row.length)(j => (row(j) - s * gr(j)).toFloat)
+      }
+      out
+    }
     val tr = m.transitions.map(_.clone())
     var i = 0
     while (i < tr.length) {
@@ -174,8 +185,8 @@ object Trainer {
       i += 1
     }
     m.copy(
-      wordEmb = upd2(m.wordEmb, acc.dWordEmb),
-      charEmb = upd2(m.charEmb, acc.dCharEmb),
+      wordEmb = updSparse(m.wordEmb, acc.dWordEmb),
+      charEmb = updSparse(m.charEmb, acc.dCharEmb),
       charCnnW = upd3(m.charCnnW, acc.dCharCnnW),
       charCnnB = upd1(m.charCnnB, acc.dCharCnnB),
       charLstm = m.charLstm.map(ws =>

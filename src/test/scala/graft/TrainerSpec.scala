@@ -96,6 +96,46 @@ class TrainerSpec extends AnyFunSuite {
       s"full training failed to learn: $initAcc -> $bestAcc (${hist.map(_.devTokenAcc)})")
   }
 
+  test("encoder-training gradients ship SPARSE embedding rows, not the vocab table") {
+    // at real dims (vocab 10^5 × 300d) a dense dWordEmb is ~240 MB per
+    // treeAggregate message; the sparse container must keep the payload
+    // minibatch-sized: only the rows the batch touched, regardless of vocab
+    // digit-free vocab: number normalization (B1) must not alias words here
+    def heb(i: Int): String = {
+      var n = i; val sb = new StringBuilder("מלה")
+      while ({ sb.append(('א' + n % 22).toChar); n /= 22; n > 0 }) ()
+      sb.toString
+    }
+    val bigVocab = (0 until 20000).map(heb)
+    val m = ner.NerModel.synthesize(
+      ner.NerConfig("token-single", wordEmbDim = 8, charEmbDim = 4, charHidden = 4,
+        hidden = 8, lstmLayers = 1, wordExtractor = "LSTM", charExtractor = "CNN"),
+      bigVocab, Seq("O", "S-PER"), seed = 3)
+    val g = new ner.Backprop.ModelGrad(m)
+    val toks = IndexedSeq(heb(7), heb(19999), heb(7), heb(42))
+    val gold = Array(0, 1, 0, 1).map(_ + 1) // valid label ids (1-based)
+    ner.Backprop.accumulate(m, g, toks, gold)
+    assert(g.dWordEmb.nTouched === 3, "exactly the distinct touched word rows")
+    assert(g.dWordEmb(m.wordAlphabet.get(heb(7))).exists(_ != 0.0))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(g); oos.close()
+    val denseWordEmbBytes = m.wordEmb.length.toLong * m.config.wordEmbDim * 8
+    assert(bos.size() < denseWordEmbBytes / 4,
+      s"gradient payload ${bos.size()} B should be far below the dense " +
+      s"word-embedding table ($denseWordEmbBytes B) — it must not scale with vocab")
+    // and the sparse step only rewrites touched rows: untouched rows are the
+    // SAME array references (no vocab-sized copy per minibatch step)
+    val stepped = Trainer.train(spark, {
+      import spark.implicits._
+      spark.createDataset(Seq(TrainExample(toks, Seq("O", "S-PER", "O", "S-PER"))))
+    }, dev = Seq(TrainExample(toks, Seq("O", "S-PER", "O", "S-PER"))),
+      init = m, epochs = 1, nBatches = 1, trainEncoder = true)._1
+    val untouched = m.wordAlphabet.get(heb(9999))
+    assert(stepped.wordEmb(untouched) eq m.wordEmb(untouched))
+    assert(!(stepped.wordEmb(m.wordAlphabet.get(heb(7))) eq m.wordEmb(m.wordAlphabet.get(heb(7)))))
+  }
+
   test("one exact gradient step lowers the batch NLL (sanity anchor for F13)") {
     val init = perturbedOracle(seed = 11)
     val exs = goldExamples(0, 4)
