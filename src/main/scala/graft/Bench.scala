@@ -19,7 +19,7 @@ object Bench {
     * scaling evidence: docs-per-CPU-second is immune to host steal and
     * scheduler idle, so its ratio across parallelism levels isolates genuine
     * work inflation (contention) from noisy-neighbor wall-clock effects. */
-  private final class CpuTimeListener extends SparkListener {
+  final class CpuTimeListener extends SparkListener { // shared with tools.ScaleWhere
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
@@ -159,7 +159,12 @@ object Bench {
     // their min reflects steady-state extraction; the annotate cost itself is
     // reported separately in the e2e stage breakdown (docs_labeled).
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
-    val passes: Seq[Seq[(String, Double, Boolean)]] = (1 to queryReps).map { _ =>
+    // SCALING_ONLY: iterate on the scaling estimator without paying the
+    // 89-query sweep / skew / e2e; artifacts are NOT written in this mode
+    // (a partial run must never masquerade as the committed bench)
+    val scalingOnly = sys.env.contains("SPARK_GRAFT_SCALING_ONLY")
+    val passes: Seq[Seq[(String, Double, Boolean)]] =
+      (1 to (if (scalingOnly) 0 else queryReps)).map { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -171,9 +176,11 @@ object Bench {
         }
       }
     }
-    val totalFirstPass = passes.head.filter(_._3).map(_._2).sum
+    val totalFirstPass =
+      if (scalingOnly) 0.0 else passes.head.filter(_._3).map(_._2).sum
     val results: Seq[(String, Double, Boolean)] =
-      passes.head.indices.map { i =>
+      if (scalingOnly) Seq.empty
+      else passes.head.indices.map { i =>
         val runs = passes.map(_(i))
         val ok = runs.forall(_._3)
         val sec = if (ok) runs.map(_._2).min else -1.0
@@ -216,16 +223,35 @@ object Bench {
     final case class Sample(wall: Double, steal: Double, cpu: Double) {
       def dps: Double = nDocs / wall
     }
+    // The listener bus is ASYNC: a fixed post-run sleep under-drains at
+    // local[32] (256 warmup task-end events arrive in a burst), so warmup CPU
+    // bled into the timed window and inflated the wide level's CPU by up to
+    // ~25% — measured by tools/ScaleWhere (same job, quiesced counters:
+    // 8v32 CPU-basis 0.86; the fixed-sleep bench read 0.67). Wait until the
+    // counter is STABLE instead of a fixed time.
+    def quiesce(l: CpuTimeListener): Long = {
+      var prev = -1L; var cur = l.cpuNs.get
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(200); cur = l.cpuNs.get
+      }
+      cur
+    }
+    // Warmup sized to settle the fresh session's JIT re-profiling + executor
+    // pool + allocator before the timed run. Default = the timed size itself:
+    // tools/ScaleWhere showed a full-size warm run in the same session reads
+    // 8v32 CPU-basis ~0.86 where a 4k-doc warmup read 0.67 and 12k read 0.75
+    // — the ramp is level-asymmetric, so underwarming biases the RATIO, not
+    // just the absolute.
+    val warmDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", nDocs.toString).toInt
     def sampleLevel(level: Int): Sample = {
       val s = session(level)
       val cpuL = new CpuTimeListener
       s.sparkContext.addSparkListener(cpuL)
-      pipelineRun(s, 4000, parts)
-      Thread.sleep(300) // drain the async listener bus: warmup task-end
-      val c0 = cpuL.cpuNs.get // events must not bill into the timed window
+      pipelineRun(s, warmDocs, parts)
+      val c0 = quiesce(cpuL) // warmup events must not bill into the timed window
       val (sec, steal) = timedOnce(level, s)
-      Thread.sleep(300) // listener bus is async; let task-end events drain
-      val cpu = (cpuL.cpuNs.get - c0) / 1e9
+      val cpu = (quiesce(cpuL) - c0) / 1e9
       s.stop()
       Sample(sec, steal, cpu)
     }
@@ -291,7 +317,8 @@ object Bench {
 
 
     // --- skew: hot-key shuffle join, unsalted vs salted vs AQE skew-split ---
-    val (skewNoSalt, skewSalt, skewAqe) = skewBench(cpus)
+    val (skewNoSalt, skewSalt, skewAqe) =
+      if (scalingOnly) (0.0, 0.0, 0.0) else skewBench(cpus)
 
     // --- end-to-end KG materialization: runAll (annotate → mentions → link →
     // canonicalize → triples), every stage WRITTEN with manifests — the
@@ -300,11 +327,17 @@ object Bench {
     // the per-query table (round 3's single pass absorbed a 4× host-noise
     // swing on the mentions stage and the committed artifact couldn't tell
     // noise from regression); every rep's wall is reported alongside. ---
-    val e2eReps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "2").toInt
-    val (e2eDocs, e2eSec, e2eTriples, e2eStages, e2eAll) = {
+    val e2eReps =
+      if (scalingOnly) 0 else sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "2").toInt
+    val (e2eDocs, e2eSec, e2eTriples, e2eStages, e2eAll) = if (scalingOnly)
+      (1, 1.0, 0L, Seq.empty[(String, Double)], Seq.empty[Double]) else {
       val s = session(cpus)
       import s.implicits._
-      val n = math.max(nDocs / 4, 5000)
+      // decoupled from SCALE_DOCS (which shrank round 4): 25k docs keeps the
+      // flagship docs/s comparable round-over-round — at smaller corpora the
+      // ~10 fixed manifest-write/read jobs dominate and docs/s reads low for
+      // reasons unrelated to the engine
+      val n = math.max(nDocs / 4, sys.env.getOrElse("SPARK_GRAFT_E2E_DOCS", "25000").toInt)
       val dict = s.createDataset(fixtures.Fixtures.entityDictionary()).toDF()
       val docs = fixtures.Fixtures.inputDocsDs(s, n, parts)
       def rm(fl: java.io.File): Unit = { if (fl.isDirectory) fl.listFiles.foreach(rm); fl.delete() }
@@ -365,7 +398,7 @@ object Bench {
     // BENCH/last_run.json is the AUTHORITATIVE artifact (bare JSON, no log
     // interleaving); the stdout lines are best-effort copies of it
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/last_run.json"), jsonLine)
+    if (!scalingOnly) { Files.writeString(Paths.get("BENCH/last_run.json"), jsonLine); () }
 
     // durable report for the judge
     val md =
@@ -522,7 +555,19 @@ object Bench {
          || unsalted shuffle join | ${f(skewNoSalt)} |
          || salted (saltBuckets=$cpus) | ${f(skewSalt)} |
          || unsalted + AQE skew-join split | ${f(skewAqe)} |
+         |
+         |Measured verdict THIS run (derived from the numbers above, not
+         |inherited): ${
+           if (math.min(skewSalt, skewAqe) >= skewNoSalt)
+             "NEITHER mitigation beat the unsalted join — skew protocol violated, investigate"
+           else
+             s"fastest mitigation = ${if (skewSalt <= skewAqe) "salting" else "AQE skew-join"} " +
+             f"(salting ${skewNoSalt / skewSalt}%.1f×, AQE ${skewNoSalt / skewAqe}%.1f× over unsalted)"
+         }. Salting is the deterministic
+         |pre-plan (write-time salt column, no runtime dependency); AQE is the
+         |runtime backstop for skew you didn't predict — which of the two wins
+         |a given run varies with host load, but both must beat unsalted.
          |""".stripMargin
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    if (!scalingOnly) { Files.writeString(Paths.get("BENCH/BASELINE.md"), md); () }
   }
 }

@@ -52,7 +52,9 @@ object OracleSql {
   /** Blocking-key linking: first-token block join + token-set Jaccard + 0.5
     * category bonus, best candidate by (score desc, entity_id). Mirrors
     * Linker.link semantics over the morph-scenario mentions. */
-  private def linkCtes(level: String, scenario: String): String =
+  /** `dictWhere` filters the dictionary rows (e.g. the dict-shrink twin links
+    * against the surviving subset) — empty means the whole aux dump. */
+  private def linkCtes(level: String, scenario: String, dictWhere: String = ""): String =
     s""", mnorm AS (
        |  SELECT *, ${norm("surface")} AS surface_norm
        |  FROM (SELECT doc_id, sent_id, surface, category, start, "end",
@@ -66,7 +68,7 @@ object OracleSql {
        |  SELECT entity_id, canonical, category AS dict_category,
        |    ${norm("alias")} AS alias_norm
        |  FROM (SELECT entity_id, canonical, category, unnest(aliases) AS alias
-       |        FROM read_parquet('{{AUX}}/dict/*.parquet'))
+       |        FROM read_parquet('{{AUX}}/dict/*.parquet') $dictWhere)
        |), dblk AS (
        |  SELECT * FROM (SELECT *, string_split(alias_norm, ' ')[1] AS block FROM dnorm)
        |  WHERE block IS NOT NULL AND block <> ''
@@ -110,9 +112,15 @@ object OracleSql {
   /** Full KG chain: mentions → linking → star-edge connected components
     * (recursive-CTE transitive closure, canonical_id = component min) →
     * 5-predicate triple union (mentions multiset, the rest distinct). */
-  def triples: String = {
+  def triples: String = triplesWith("")
+
+  /** Dict-shrink twin: the one-shot chain over the SURVIVING dictionary rows
+    * only — what the incremental shrink fold must land on. */
+  def triplesShrunk: String = triplesWith("WHERE entity_id % 5 <> 0")
+
+  private def triplesWith(dictWhere: String): String = {
     val body =
-      s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph")}
+      s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph", dictWhere)}
 ${ccClosureCtes}
          |,
          |base AS (
@@ -625,6 +633,60 @@ ${ccClosureCtes}
        |  WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 4) >= 0.3)
        |SELECT a.id AS vec_id, a.cell, (dom.id IS NULL) AS kept
        |FROM assign a LEFT JOIN dom ON dom.id = a.id""".stripMargin
+  }
+
+  /** Shared CTE prologue for the full-BPE oracles: word frequencies, wrapped
+    * initial state, and `n` unrolled (pairs → argmax → merge-apply) rounds.
+    * State is a SENTINEL-WRAPPED string per word (`␂tok␃␂tok␃…`, sentinels
+    * U+2402/U+2403, filtered out of the corpus symmetrically with the
+    * engine): merge application is then plain `replace` of `␂a␃␂b␃` with
+    * `␂ab␃` — non-overlapping left-to-right in both engines, which IS the
+    * BPE merge semantic ([a,a,a] → [aa,a]); pair COUNTS (from the split
+    * token list) include overlapping adjacents ([a,a,a] counts (a,a) twice).
+    * Ties break on (cnt DESC, a, b) in binary UTF-8 order, identical to the
+    * engine's orderBy. */
+  private def bpeTrainCtes(n: Int): String = {
+    val L = "␂"; val R = "␃"
+    val rounds = (1 to n).map { k =>
+      s"""t$k AS (SELECT string_split(trim(ws, '$L$R'), '$R$L') AS toks, freq FROM s${k - 1}),
+         |p$k AS (SELECT toks[i] AS a, toks[i + 1] AS b, freq FROM t$k, UNNEST(range(1, len(toks))) AS u(i)),
+         |m$k AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$k GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$k AS (SELECT replace(ws, '$L' || m.a || '$R$L' || m.b || '$R', '$L' || m.a || m.b || '$R') AS ws, freq FROM s${k - 1}, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w FROM documents),
+       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w0
+       |       WHERE strpos(w, '$L') = 0 AND strpos(w, '$R') = 0 GROUP BY w),
+       |s0 AS (SELECT regexp_replace(w, '(.)', '$L\\1$R', 'g') AS ws, freq FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  /** Full BPE trainer replay: `n` unrolled merge rounds; the result is the
+    * ordered merge table itself. */
+  def bpeTrain(n: Int = 8): String =
+    s"""${bpeTrainCtes(n)}
+       |SELECT step, a, b, a || b AS merged, cnt FROM (
+       |${(1 to n).map(k => s"  SELECT $k AS step, a, b, cnt FROM m$k").mkString("\n  UNION ALL\n")}
+       |) ORDER BY step""".stripMargin
+
+  /** BPE ENCODE replay: apply the n trained merges (in order) to every
+    * document's words, count resulting tokens per doc. */
+  def bpeSegment(n: Int = 8): String = {
+    val L = "␂"; val R = "␃"
+    val segs = (1 to n).map { k =>
+      s"""g$k AS (SELECT doc_id, list_transform(wss, ws ->
+         |  replace(ws, '$L' || m.a || '$R$L' || m.b || '$R', '$L' || m.a || m.b || '$R')) AS wss
+         |  FROM g${k - 1}, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeTrainCtes(n)},
+       |g0 AS (SELECT doc_id, list_transform(
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t <> '' AND strpos(t, '$L') = 0 AND strpos(t, '$R') = 0),
+       |    w -> regexp_replace(w, '(.)', '$L\\1$R', 'g')) AS wss FROM documents),
+       |$segs
+       |SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(wss, ws -> CAST(len(string_split(trim(ws, '$L$R'), '$R$L')) AS BIGINT))),
+       |  (acc, x) -> acc + x) AS BIGINT) AS n_bpe_tokens
+       |FROM g$n""".stripMargin
   }
 
   /** BPE merge-pair replay: word frequencies over whitespace tokens, then

@@ -459,7 +459,8 @@ object Pipeline {
       scenario: String = "morph",
       buckets: Int = 32,
       models: Models = fixtureModels(),
-      dictDelta: Option[DataFrame] = None): DataFrame = {
+      dictDelta: Option[DataFrame] = None,
+      dictRemoved: Option[DataFrame] = None): DataFrame = {
     import graft.io.Snapshots
     import spark.implicits._
     val paths = StagePaths(workDir)
@@ -499,6 +500,18 @@ object Pipeline {
       dictGrowthRecovery(spark, delta, dict, paths, batchId, buckets,
         committedStage)
     }
+    // (0'') dictionary SHRINK recovery (dictRemoved): deletion is the dual
+    // fold — components containing a removed entity may SPLIT, so their
+    // SURVIVORS' subgraph is re-solved from the new dict's alias blocks
+    // (delta-sized: blocks of survivors can only contain survivors — an edge
+    // to an unaffected entity would have put it in the same old component);
+    // mentions whose TOP-1 entity was removed re-link (removing a
+    // non-winning candidate cannot change an argmax, so only those docs are
+    // re-read); triples of (re-linked ∪ canonical-changed) docs recompute.
+    dictRemoved.foreach { removed =>
+      dictShrinkRecovery(spark, removed, dict, paths, batchId, buckets,
+        committedStage)
+    }
 
     // (0) entities — dict-only, committed once under the dict's content
     // fingerprint. The static-dict contract is ENFORCED, not assumed: a later
@@ -514,9 +527,9 @@ object Pipeline {
       case Some(snap) if snap.stage != s"dict:$dictFp" =>
         throw new IllegalStateException(
           s"dictionary changed since ${paths.entities} was built (${snap.stage} != dict:$dictFp); " +
-          "a grown dict changes canonicalization RETROACTIVELY — pass the added rows as " +
-          "runIncremental(dictDelta = Some(...)) to fold them incrementally, or rebuild " +
-          "via runAll into a fresh workDir")
+          "a changed dict rewires canonicalization RETROACTIVELY — pass added rows as " +
+          "runIncremental(dictDelta = Some(...)) or removed rows as dictRemoved = Some(...) " +
+          "to fold the change incrementally, or rebuild via runAll into a fresh workDir")
       case _ => ()
     }
     val entities = Snapshots.load(spark, paths.entities)
@@ -638,6 +651,118 @@ object Pipeline {
     }
 
     // (4) entities overwrite LAST — the commit that marks recovery complete
+    Snapshots.commit(newEntities, paths.entities, "entity_id", buckets,
+      stage = s"dict:$fpFull", op = "overwrite")
+    ()
+  }
+
+  /** The dict-SHRINK fold (see runIncremental step 0''). Crash-resumable with
+    * the same commit discipline as growth (entities overwrite LAST), plus one
+    * extra persisted artifact: the affected-doc set is committed BEFORE any
+    * mutation — unlike growth (where affected docs re-derive from the
+    * immutable mentions table), shrink derives them from the linked table,
+    * which the relink step itself rewrites, so a crash between relink and
+    * refit would otherwise lose the set (including docs that linked ONLY
+    * removed entities and now produce zero linked rows). */
+  private def dictShrinkRecovery(
+      spark: SparkSession, removed: DataFrame, dict: DataFrame,
+      paths: StagePaths, batchId: String, buckets: Int,
+      committedStage: (String, String) => Boolean): Unit = {
+    import graft.io.Snapshots
+    val fpFull = dictFingerprint(dict)
+    val curEnt = Snapshots.current(paths.entities)
+    if (curEnt.isEmpty || curEnt.exists(_.stage == s"dict:$fpFull")) return // fresh / already folded
+    val oldDict = dict.unionByName(removed.select(dict.columns.map(col): _*))
+    val fpOld = dictFingerprint(oldDict)
+    require(curEnt.get.stage == s"dict:$fpOld",
+      s"entities stage ${curEnt.get.stage} matches neither the shrunk dict (dict:$fpFull) nor " +
+      s"dict-plus-removed (dict:$fpOld): dictRemoved must be exactly the rows deleted since the last batch")
+
+    val oldEntities = Snapshots.load(spark, paths.entities).localCheckpoint()
+    val removedIds = removed.select(col("entity_id")).distinct().localCheckpoint()
+
+    // (1) split canonicalization: survivors of components that contained a
+    // removed entity get their subgraph re-solved from the NEW dict's alias
+    // blocks; everyone else keeps their old canonical id verbatim
+    val affComps = oldEntities.join(removedIds, Seq("entity_id"), "left_semi")
+      .select(col("canonical_id")).distinct()
+    val survivors = oldEntities
+      .join(affComps, Seq("canonical_id"), "left_semi")
+      .join(removedIds, Seq("entity_id"), "left_anti")
+      .select(col("entity_id")).localCheckpoint()
+    val blocks = Linker.aliasBlocks(dict)
+      .select(col("entity_id"), col("alias_norm")).distinct()
+      .join(survivors, Seq("entity_id"), "left_semi")
+    val hub = org.apache.spark.sql.expressions.Window.partitionBy("alias_norm")
+    val subEdges = blocks
+      .withColumn("dst", min("entity_id").over(hub))
+      .filter(col("entity_id") =!= col("dst"))
+      .select(col("entity_id").as("src"), col("dst")).distinct()
+    val comp = Canonicalize.connectedComponents(spark, subEdges)
+    val newEntities = dict
+      .join(oldEntities.select(col("entity_id"), col("canonical_id").as("old_cid")),
+        Seq("entity_id"), "left")
+      .join(survivors.withColumn("is_aff", lit(true)), Seq("entity_id"), "left")
+      .join(comp.withColumnRenamed("node", "entity_id"), Seq("entity_id"), "left")
+      .withColumn("canonical_id",
+        when(col("is_aff").isNotNull, coalesce(col("component"), col("entity_id")))
+          .otherwise(coalesce(col("old_cid"), col("entity_id"))))
+      .drop("old_cid", "is_aff", "component")
+      .localCheckpoint()
+
+    // (2) persist the affected-LINK doc set FIRST (resume-stable: the linked
+    // table is about to be rewritten under these very docs)
+    val shrinkStage = s"$batchId:dict-shrink"
+    val affDocsPath = s"${paths.root}/shrink_docs"
+    if (!committedStage(affDocsPath, shrinkStage)) {
+      val affected = Snapshots.load(spark, paths.linked)
+        .join(removedIds, Seq("entity_id"), "left_semi")
+        .select(col("doc_id")).distinct()
+      Snapshots.commit(affected, affDocsPath, "doc_id", buckets,
+        stage = shrinkStage, op = "overwrite")
+    }
+    val affectedLinkDocs = Snapshots.load(spark, affDocsPath).localCheckpoint()
+
+    // (3) retro-linking: only docs whose argmax pointed at a removed entity —
+    // an argmax cannot change when a losing candidate disappears
+    val relinkStage = s"$shrinkStage-relink"
+    if (!committedStage(paths.linked, relinkStage) && !affectedLinkDocs.isEmpty) {
+      Snapshots.deleteWhere(affectedLinkDocs, paths.linked,
+        stage = s"$relinkStage-del", buckets = buckets)
+      val affMentions = Snapshots.load(spark, paths.mentions)
+        .join(affectedLinkDocs, Seq("doc_id"), "left_semi")
+      Snapshots.commit(Linker.link(affMentions, dict), paths.linked, "doc_id",
+        buckets, stage = relinkStage)
+    }
+
+    // (4) triples of affected docs: re-linked ∪ canonical-changed
+    val refitStage = s"$shrinkStage-refit"
+    if (!committedStage(paths.triples, refitStage)) {
+      val changedEnts = oldEntities
+        .select(col("entity_id"), col("canonical_id").as("old_cid"))
+        .join(newEntities.select(col("entity_id"), col("canonical_id")), Seq("entity_id"))
+        .filter(col("old_cid") =!= col("canonical_id"))
+        .select(col("entity_id"))
+      val linkedAll = Snapshots.load(spark, paths.linked)
+      val affectedCanonDocs = linkedAll
+        .join(changedEnts, Seq("entity_id"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val affectedDocs = affectedLinkDocs.union(affectedCanonDocs)
+        .distinct().localCheckpoint()
+      if (!affectedDocs.isEmpty) {
+        Snapshots.deleteWhere(affectedDocs, paths.triples,
+          stage = s"$refitStage-del", buckets = buckets)
+        val linkedAff = linkedAll.join(affectedDocs, Seq("doc_id"), "left_semi")
+        val withCanon = linkedAff
+          .join(broadcast(newEntities.select(col("entity_id"), col("canonical_id"))),
+            Seq("entity_id"), "left")
+          .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+        Snapshots.commit(Triples.fromLinkedMentions(withCanon), paths.triples,
+          "doc_id", buckets, stage = refitStage)
+      }
+    }
+
+    // (5) entities overwrite LAST — marks recovery complete
     Snapshots.commit(newEntities, paths.entities, "entity_id", buckets,
       stage = s"dict:$fpFull", op = "overwrite")
     ()

@@ -59,6 +59,26 @@ object SparkEntry {
 
   /** Drop a session's cache entry when its SparkContext ends (the value
     * Datasets are unusable past that point anyway). */
+  /** Trained BPE merges per (session, sfDir) — d_bpe_train and d_bpe_segment
+    * share one training run (the table is 8 rows; training is vocab-sized). */
+  private val bpeMergeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Map[String, Seq[(String, String)]]]())
+
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.synchronized {
+      val perSession = Option(bpeMergeCache.get(s)).getOrElse(Map.empty)
+      perSession.get(dir) match {
+        case Some(m) => m
+        case None =>
+          val m = graft.datapipe.TextQuality
+            .bpeTrain(t(s, dir, "documents"), "text", nMerges = 8)
+            .orderBy("step").collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          bpeMergeCache.put(s, perSession + (dir -> m)); evictOnStop(bpeMergeCache, s)
+          m
+      }
+    }
+
   private def evictOnStop(cache: java.util.Map[SparkSession, _], spark: SparkSession): Unit =
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onApplicationEnd(
@@ -435,6 +455,36 @@ object SparkEntry {
         val full = Pipeline.runIncremental(s, docs.filter(col("doc_id") >= "doc-000150"),
           dict, work, batchId = "b2", buckets = 8, dictDelta = Some(delta))
         dictGrowCache.put(s, full); evictOnStop(dictGrowCache, s)
+        full
+      }
+    }
+
+  /** Dict-SHRINK incremental twin: batch 1 runs with the FULL dictionary;
+    * batch 2 arrives after every entity_id ≡ 0 mod 5 was deleted (which
+    * removes the 40k-member of every shared `group-N` alias pair, so real
+    * component SPLITS are at stake, and plenty of previously-linked surfaces,
+    * so retro-linking must fire). The full table must hash-equal a one-shot
+    * run with the SHRUNK dict (oracle: same triples SQL with the dict CTE
+    * filtered to the surviving rows). */
+  private val dictShrinkCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  private def dictShrinkTriples(s: SparkSession): DataFrame =
+    dictShrinkCache.synchronized {
+      val cached = dictShrinkCache.get(s)
+      if (cached != null) cached
+      else {
+        import s.implicits._
+        val work = java.nio.file.Files.createTempDirectory("graft-dictshrink-kg").toString
+        val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+        val removed = dict.filter(col("entity_id") % 5 === 0)
+        val newDict = dict.filter(col("entity_id") % 5 =!= 0)
+        val docs = fixtureDocsDf(s, 300)
+        Pipeline.runIncremental(s, docs.filter(col("doc_id") < "doc-000150"),
+          dict, work, batchId = "b1", buckets = 8)
+        val full = Pipeline.runIncremental(s, docs.filter(col("doc_id") >= "doc-000150"),
+          newDict, work, batchId = "b2", buckets = 8, dictRemoved = Some(removed))
+        dictShrinkCache.put(s, full); evictOnStop(dictShrinkCache, s)
         full
       }
     }
@@ -998,6 +1048,19 @@ object SparkEntry {
       // vocab-sized aggregate, never the raw token stream
       TextQuality.bpeMergePairs(t(s, dir, "documents"), "text", k = 20)
     }),
+    "d_bpe_train" -> ((s, dir) =>
+      // FULL BPE trainer: 8 iterated merge rounds over the vocabulary
+      // aggregate (corpus touched once; per-round shuffles are vocab-sized,
+      // argmax is a 1-row driver fetch). Oracle replays all 8 rounds as
+      // unrolled CTEs with sentinel-wrapped string states.
+      TextQuality.bpeTrain(t(s, dir, "documents"), "text", nMerges = 8)),
+    "d_bpe_segment" -> ((s, dir) => {
+      // BPE ENCODE with the 8 trained merges: per-doc token count after
+      // segmentation — the merge list is unrolled into nested Catalyst HOF
+      // folds (no UDF), one narrow pass over the corpus
+      val merges = bpeMergesFor(s, dir)
+      TextQuality.bpeSegmentCount(t(s, dir, "documents"), "text", merges)
+    }),
     "d_invidx_topk" -> ((s, dir) => {
       // inverted-index retrieval: posting lists + exact-integer tf·idf
       // top-10 per probe query (the lexical twin of d_ann_topk)
@@ -1194,6 +1257,12 @@ object SparkEntry {
       // annotation never recomputed) must land on the SAME one-shot
       // full-dict oracle as nemo_triples
       dictGrowTriples(s)),
+    "nemo_triples_dictshrink" -> ((s, _) =>
+      // dict-SHRINK twin: batch 2 arrives after a fifth of the dictionary
+      // was deleted; the dual fold (survivor-subgraph CC re-solve for SPLIT
+      // components, removed-winner retro-link, affected-doc triple
+      // recompute) must land on the one-shot shrunk-dict oracle
+      dictShrinkTriples(s)),
     "nemo_cooc" -> ((s, _) => {
       // KG densification after linking+canonicalization: canonical entities
       // co-mentioned in a sentence, kept when exact-integer lift ≥ 1.0
@@ -1468,6 +1537,8 @@ object SparkEntry {
     "nemo_triples_incr" -> OracleSql.triples,
     // dict-growth fold must land on the SAME full-corpus, full-dict oracle
     "nemo_triples_dictgrow" -> OracleSql.triples,
+    // dict-shrink fold must land on the one-shot SHRUNK-dict chain
+    "nemo_triples_dictshrink" -> OracleSql.triplesShrunk,
     "nemo_cooc" -> OracleSql.cooc,
     "q_bloom_join" ->
       """SELECT l.l_orderkey, count(*) AS n_items,
@@ -1541,6 +1612,8 @@ object SparkEntry {
     "d_cosine_neardup" -> OracleSql.cosineNearDup,
     "d_semdedup" -> OracleSql.semDedup,
     "d_bpe_merge_pairs" -> OracleSql.bpeMergePairs,
+    "d_bpe_train" -> OracleSql.bpeTrain(8),
+    "d_bpe_segment" -> OracleSql.bpeSegment(8),
     "d_fingerprint_poly" -> OracleSql.fingerprintPoly,
     "d_rep_topgram" -> OracleSql.repetitionSignals,
     "d_c4_filter" -> OracleSql.c4Filter,

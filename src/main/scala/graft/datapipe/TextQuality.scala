@@ -258,6 +258,111 @@ object TextQuality {
       .withColumn("rk", row_number().over(w))
   }
 
+  /** FULL BPE trainer (Sennrich et al. 2016 §3.2) — the iterated version of
+    * [[bpeMergePairs]]: `nMerges` rounds of (count adjacent pairs → pick the
+    * most frequent → merge it everywhere), returning the ordered merge table
+    * `(step, a, b, merged, cnt)` that IS a trained BPE tokenizer.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency groupBy,
+    * map-side combined); every iteration then runs over the VOCABULARY
+    * aggregate (≈10⁵–10⁷ rows regardless of corpus size) — one vocab-sized
+    * pair explosion + groupBy, a 1-row argmax to the driver (metadata-scale),
+    * and a narrow merge rewrite, with a `localCheckpoint` per round to cut
+    * the growing lineage. This is how production tokenizer trainers work
+    * (aggregate first, iterate on counts); for the ~30k merges of a real
+    * tokenizer the same aggregate fits one node and the loop runs
+    * driver-local — the distributed loop here is for the analysis-sized
+    * `nMerges` where each round's statistics are worth distributing.
+    *
+    * Semantics pinned by the oracle: pair counts include overlapping
+    * adjacents ([a,a,a] counts (a,a) twice); the chosen merge applies
+    * left-to-right non-overlapping ([a,a,a] → [aa,a]); ties break on
+    * (cnt DESC, a ASC, b ASC) in binary UTF-8 order. Words containing the
+    * oracle's sentinel codepoints (U+2402/U+2403) are filtered symmetrically
+    * on both sides (impossible in the fixture corpus — the filter exists so
+    * the parity contract is total). */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val words = df
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("w"))
+      .filter(!col("w").contains("␂") && !col("w").contains("␃"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var state = words
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("toks"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      // fully-merged words carry no pairs — and must be FILTERED, not fed to
+      // sequence(1, 0), which descends ([1,0]) instead of being empty
+      val top = state
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")).as("p"),
+          col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // 1 row: the argmax is metadata-scale by definition
+      if (top.isEmpty) done = true // corpus fully merged before nMerges rounds
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, a, b, a + b, cnt))
+        // left-to-right non-overlapping merge: fold the token array; `get`
+        // (total, null OOB) instead of ANSI element_at — And does not
+        // short-circuit, so the last-element probe must be safe on empty acc
+        val prev = state
+        state = state
+          .withColumn("toks", aggregate(col("toks"),
+            array().cast("array<string>"),
+            (acc, x) =>
+              when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        prev.unpersist()
+        step += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq.map(Row.fromTuple), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("merged", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, false))))
+  }
+
+  /** Apply a trained merge table to text: segment each whitespace word with
+    * the merges in order (the BPE ENCODE step), returning
+    * (doc_id, n_bpe_tokens) — the statistic a mixture/packing planner needs.
+    * `mergesLocal` is the (tiny) collected merge table, broadcast inside the
+    * closure-free Catalyst expression chain: the merge loop is unrolled into
+    * `merges.length` nested HOF rewrites, all codegen-friendly, no UDF. */
+  def bpeSegmentCount(df: DataFrame, textCol: String,
+                      mergesLocal: Seq[(String, String)]): DataFrame = {
+    // words → per-word char arrays (dynamic index ⇒ SQL-string HOF), then the
+    // merge list unrolled as nested fold rewrites — one Catalyst tree, no UDF
+    val perWord: Column = expr(
+      s"transform(filter(split(lower($textCol), '\\\\s+'), " +
+        "t -> t != '' AND NOT contains(t, '␂') AND NOT contains(t, '␃')), " +
+        "w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))")
+    val folded = mergesLocal.foldLeft(perWord) { case (acc, (a, b)) =>
+      transform(acc, toks =>
+        aggregate(toks, array().cast("array<string>"),
+          (accum, x) =>
+            when(get(accum, size(accum) - 1) === lit(a) && x === lit(b),
+              concat(slice(accum, lit(1), size(accum) - 1), array(lit(a + b))))
+            .otherwise(concat(accum, array(x)))))
+    }
+    df.select(col("doc_id"),
+      aggregate(transform(folded, t => size(t)), lit(0),
+        (s, n) => s + n).cast("long").as("n_bpe_tokens"))
+  }
+
   // ---------- corpus statistics ----------
 
   /** Exact per-group percentiles of the whitespace token count, computed by

@@ -581,6 +581,33 @@ class DatapipeSpec extends AnyFunSuite {
     assert(out(1).modality === "video" && !out(1).decoded)
   }
 
+  test("BPE trainer: iterated merges match a reference implementation, incl. overlap semantics") {
+    // 'aaa' stresses both pinned semantics: pair counting includes
+    // overlapping adjacents ((a,a) counts twice in aaa) and merge
+    // application is left-to-right non-overlapping (aaa -> [aa, a])
+    val docs = Seq(("d1", "aaa aaab baaa aa"), ("d2", "aaa aaa xyz"), ("d3", "b aa ab"))
+      .toDF("doc_id", "text")
+    val merges = TextQuality.bpeTrain(docs, "text", nMerges = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // hand-derived (and replayed by the DuckDB oracle in the prototype):
+    // (a,a)x12 -> aa; then (aa,a)x5 -> aaa; then the (cnt, a, b) tie-break
+    assert(merges.toSeq === Seq(
+      (1, "a", "a", "aa", 12L), (2, "aa", "a", "aaa", 5L), (3, "a", "b", "ab", 1L)))
+    // merged tokens participate in later merges (step 2 consumes step 1's aa)
+    assert(merges(1)._2 === merges(0)._4)
+    // segmentation with the trained merges: d1 = [aaa][aaa b][b aaa][aa] = 6,
+    // d2 = [aaa][aaa][x y z] = 5, d3 = [b][aa][ab] = 3
+    val segs = TextQuality.bpeSegmentCount(docs, "text",
+      merges.map(m => (m._2, m._3)).toSeq)
+      .orderBy("doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(segs.toSeq === Seq(("d1", 6L), ("d2", 5L), ("d3", 3L)))
+    // fewer-merges stop: corpus fully merged before nMerges rounds ends early
+    val tiny = Seq(("t", "ab ab")).toDF("doc_id", "text")
+    val m2 = TextQuality.bpeTrain(tiny, "text", nMerges = 5).collect()
+    assert(m2.length === 1 && m2(0).getString(3) === "ab")
+  }
+
   test("rolling hash and fingerprint are deterministic and whitespace-insensitive") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("doc_id", "text")
     val fps = df.select(TextQuality.fingerprint(col("text"))).as[String].collect()

@@ -239,6 +239,47 @@ class SnapshotSpec extends AnyFunSuite {
     rm(new java.io.File(work))
   }
 
+  test("runIncremental with dict shrink equals a full rebuild with the shrunk dict") {
+    val work = tmp("graft-incr-dictshrink")
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    // removed = every entity_id ≡ 0 mod 5: includes the 40k-member of every
+    // shared group-K alias pair, so components must SPLIT, and linkable
+    // surfaces, so removed-winner retro-linking must fire
+    val removed = dict.filter(col("entity_id") % 5 === 0)
+    val newDict = dict.filter(col("entity_id") % 5 =!= 0)
+    assert(removed.count() > 0 && newDict.count() > 0)
+    val docs = spark.createDataset(Fixtures.inputDocs(24))
+    val full = Pipeline.runAll(spark, docs, newDict, s"$work/full", buckets = 2)
+
+    val firstHalf = docs.filter(d => d.doc_id < "doc-000012")
+    val secondHalf = docs.filter(d => d.doc_id >= "doc-000012")
+    // batch 1 under the FULL dict
+    Pipeline.runIncremental(spark, firstHalf, dict,
+      s"$work/incr", batchId = "b1", buckets = 2)
+    // the shrink genuinely rewires state: some doc linked a removed entity
+    val preLinked = Snapshots.load(spark, s"$work/incr/linked")
+    assert(preLinked.join(removed.select(col("entity_id")), Seq("entity_id"), "left_semi")
+      .count() > 0, "fixture must have linked a to-be-removed entity for the test to bite")
+    // batch 2 arrives after the deletion → recovery fold
+    val after2 = Pipeline.runIncremental(spark, secondHalf, newDict,
+      s"$work/incr", batchId = "b2", buckets = 2, dictRemoved = Some(removed))
+    assert(after2.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(after2).count() === 0L)
+    // no triple or linked row references a removed entity anymore
+    val remIds = removed.select(concat(lit("ent:"), col("entity_id").cast("string")).as("subj"))
+    assert(after2.join(remIds, Seq("subj"), "left_semi").count() === 0L)
+    // entities table carries the shrunk-dict fingerprint (two dict stages)
+    val entStages = Snapshots.snapshots(s"$work/incr/entities").map(_.stage)
+    assert(entStages.size === 2 && entStages.distinct.size === 2)
+    // idempotent: re-running b2 with the same removal commits nothing new
+    val snapsBefore = Snapshots.snapshots(s"$work/incr/triples").map(_.id)
+    val again = Pipeline.runIncremental(spark, secondHalf, newDict,
+      s"$work/incr", batchId = "b2", buckets = 2, dictRemoved = Some(removed))
+    assert(Snapshots.snapshots(s"$work/incr/triples").map(_.id) === snapsBefore)
+    assert(again.count() === after2.count())
+    rm(new java.io.File(work))
+  }
+
   test("column stats sidecar: bounds, null count, and string columns round-trip") {
     val dir = tmp("graft-stats")
     val t = s"$dir/tbl"
