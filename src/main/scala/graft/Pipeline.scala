@@ -37,6 +37,18 @@ object Pipeline {
       lexicon: Set[String],
       maxSentenceLength: Int = 250) {
 
+    /** Per-executor memo of the per-token lattice→prune→MD chain
+      * ([[Pipeline.tokenForms]]): key `tokenlabel` (pruned) or `token`
+      * (unpruned) → chosen morpheme forms. The chain is a pure function of
+      * (token, multi label, lexicon) — every stage is token-local and
+      * shift-invariant in node ids — and corpora are Zipf-distributed, so
+      * post-warmup hits skip the whole lattice build + DFS + DP (it was ~25%
+      * of the annotate kernel's allocation — tools/AllocProbe/JFR). Values
+      * are written once and treated as immutable. @transient: rebuilt empty
+      * per executor after broadcast. */
+    @transient lazy val formsCache: java.util.concurrent.ConcurrentHashMap[String, Array[String]] =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]](1 << 12)
+
     /** Content fingerprint over every weight tensor + config + lexicon.
       * Stage manifests record it, so `runAll(resume = true)` against a
       * workDir built with DIFFERENT weights rebuilds from annotation instead
@@ -99,6 +111,38 @@ object Pipeline {
       Fixtures.lexicon)
 
   // ---------- G1-G6: document annotation (one mapPartitions) ----------
+
+  /** The per-token D1→D2/D3→D4 chain (lattice construction → multi-label
+    * pruning → MD Viterbi), memoized in [[Models.formsCache]]. Single-token
+    * equivalence with the sentence-level chain: Analyzer emits each token's
+    * sub-DAG between its own start/end nodes, pruneSentence and disambiguate
+    * both iterate contiguous tokenId runs independently, and every step is
+    * invariant under a uniform node-id offset (validEdgesForToken works on
+    * relative (id1,id2) pairs; bestPath's topological DP sorts stably by id1).
+    */
+  private def tokenForms(m: Models, lex: String => Boolean, token: String,
+                         multiLabel: String, usePruning: Boolean): Array[String] = {
+    // length-prefixed key: unambiguous even for tokens containing the
+    // separator (cheap vs the chain it replaces)
+    val key = if (usePruning) s"P${token.length}:$token:$multiLabel" else s"U:$token"
+    val cached = m.formsCache.get(key)
+    if (cached != null) return cached
+    val lattice = Analyzer.sentenceLattice(IndexedSeq(token), lex).toIndexedSeq
+    val pruned =
+      if (usePruning) Prune.pruneSentence(lattice, IndexedSeq(multiLabel), nonOOnly = false)
+      else lattice
+    val md = Disambig.disambiguate(pruned, lex)
+    val forms =
+      if (md.isEmpty) Array(token)
+      else {
+        val a = new Array[String](md.length)
+        var i = 0
+        while (i < md.length) { a(i) = md(i).form; i += 1 }
+        a
+      }
+    if (m.formsCache.size < (1 << 20)) m.formsCache.put(key, forms)
+    forms
+  }
 
   /** Per-doc annotation body — pure function (broadcast value in, Doc out),
     * shared by the batch/streaming mapPartitions stages, the tests, and the
@@ -164,20 +208,17 @@ object Pipeline {
     while (bi < scoreIdx.length) {
       val toks = tokArrs(scoreIdx(bi))
       val multi = multiB(bi)
-      val lattice = Analyzer.sentenceLattice(ArraySeq.unsafeWrapArray(toks), lex).toIndexedSeq
-      val pruned =
-        if (usePruning) Prune.pruneSentence(lattice, multi, nonOOnly = false)
-        else lattice
-      val md = Disambig.disambiguate(pruned, lex)
-      val formsByTid = new java.util.HashMap[Int, Array[String]]()
-      for ((tid, es) <- Align.groupByToken(md.map(_.tokenId).toSeq, md.toSeq))
-        formsByTid.put(tid, es.iterator.map(_.form).toArray)
+      // per-TOKEN lattice→prune→MD via the Models.formsCache memo: every
+      // stage of the chain is token-local (pruneSentence/disambiguate walk
+      // contiguous tokenId runs) and shift-invariant in node ids, so the
+      // sentence-level chain ≡ the per-token chain (pinned by PipelineSpec
+      // goldens + the six nemo_* oracles)
       val forms = new Array[Array[String]](toks.length)
       var nFlat = 0
       var i = 0
       while (i < toks.length) {
-        val f = formsByTid.get(i + 1)
-        forms(i) = if (f != null) f else Array(toks(i))
+        val label = if (i < multi.length) multi(i) else "O"
+        forms(i) = tokenForms(m, lex, toks(i), label, usePruning)
         nFlat += forms(i).length
         i += 1
       }

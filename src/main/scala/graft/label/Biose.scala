@@ -34,7 +34,21 @@ object Biose {
     * "O-ORG^B-ORG" it is the first cat in the string, and chars after the cat
     * (e.g. "^B" spillover) are truncated by the [:3].
     */
+  /** Memo for [[fixMultiBiose]]: pure String→String over the (small) label
+    * space — multi labels repeat per token across the whole corpus. Capped so
+    * an adversarial label stream cannot grow the heap. */
+  private val fixMultiMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String](1 << 10)
+
   def fixMultiBiose(tag: String): String = {
+    val hit = fixMultiMemo.get(tag)
+    if (hit != null) return hit
+    val res = fixMultiBioseCompute(tag)
+    if (fixMultiMemo.size < (1 << 16)) fixMultiMemo.put(tag, res)
+    res
+  }
+
+  private def fixMultiBioseCompute(tag: String): String = {
     // allocation-free scan of each ^-segment's first char (split + char-array
     // map boxed every char through the generic array path — hot in annotate)
     var hasS = false; var hasB = false; var hasE = false; var hasI = false
@@ -80,22 +94,57 @@ object Biose {
 
   // ---- nemo.py:154-214 — fixing a per-token morpheme BIOSE sequence ----
 
-  private val validBioRe = "^O*BI*$|^O*BI*EO*$|^I+$|^I*EO*$|^O*SO*$".r
-  private val oRe = "^O+$".r
-  private val sRe = "^O*SO*$|^O*BI*EO*$".r
-  private val bRe = "^O*BI*$".r
-  private val iRe = "^I+$".r
-  private val eRe = "^I*EO*$".r
+  // Shape predicates over the BIO letter string. These are the five regex
+  // languages of the reference (nemo.py:147-151: ^O*BI*$ | ^O*BI*EO*$ | ^I+$
+  // | ^I*EO*$ | ^O*SO*$) as allocation-free char scans — regex Matchers per
+  // label sequence were ~7% of the annotate kernel's allocation churn (JFR),
+  // and these languages are trivially deterministic. Property-tested against
+  // the original regexes in BioseSpec.
+  private def allOf(s: String, c: Char): Boolean = {
+    if (s.isEmpty) return false
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) != c) return false; i += 1 }
+    true
+  }
+  private def skip(s: String, from: Int, c: Char): Int = {
+    var i = from
+    while (i < s.length && s.charAt(i) == c) i += 1
+    i
+  }
+  /** ^O*BI*$ */
+  private def isOBI(s: String): Boolean = {
+    val b = skip(s, 0, 'O')
+    b < s.length && s.charAt(b) == 'B' && skip(s, b + 1, 'I') == s.length
+  }
+  /** ^O*BI*EO*$ */
+  private def isOBIEO(s: String): Boolean = {
+    val b = skip(s, 0, 'O')
+    if (b >= s.length || s.charAt(b) != 'B') return false
+    val e = skip(s, b + 1, 'I')
+    e < s.length && s.charAt(e) == 'E' && skip(s, e + 1, 'O') == s.length
+  }
+  /** ^I*EO*$ */
+  private def isIEO(s: String): Boolean = {
+    val e = skip(s, 0, 'I')
+    e < s.length && s.charAt(e) == 'E' && skip(s, e + 1, 'O') == s.length
+  }
+  /** ^O*SO*$ */
+  private def isOSO(s: String): Boolean = {
+    val p = skip(s, 0, 'O')
+    p < s.length && s.charAt(p) == 'S' && skip(s, p + 1, 'O') == s.length
+  }
+  private def isValidBio(s: String): Boolean =
+    isOBI(s) || isOBIEO(s) || allOf(s, 'I') || isIEO(s) || isOSO(s)
 
   /** reference nemo.py:154-170 (get_fixed_for_valid_biose). The input must match
     * validBioRe; throws IllegalArgumentException otherwise (reference raises
     * ValueError). */
   def fixedForValidBiose(bioSeq: String): String = {
-    if (oRe.findFirstIn(bioSeq).isDefined) "O"
-    else if (sRe.findFirstIn(bioSeq).isDefined) "S"
-    else if (bRe.findFirstIn(bioSeq).isDefined) "B"
-    else if (iRe.findFirstIn(bioSeq).isDefined) "I"
-    else if (eRe.findFirstIn(bioSeq).isDefined) "E"
+    if (allOf(bioSeq, 'O')) "O"
+    else if (isOSO(bioSeq) || isOBIEO(bioSeq)) "S"
+    else if (isOBI(bioSeq)) "B"
+    else if (allOf(bioSeq, 'I')) "I"
+    else if (isIEO(bioSeq)) "E"
     else throw new IllegalArgumentException(s"invalid valid-BIOSE sequence: $bioSeq")
   }
 
@@ -113,15 +162,30 @@ object Biose {
     * Input: full BIOSE atoms (e.g. Seq("O","B-PER","E-PER")).
     * Returns (isValidBio, isSingleCategory, fixedLabel). */
   def validateBioseSequence(fullBioSeq: Seq[String]): (Boolean, Boolean, String) = {
-    val pairs = fullBioSeq.map { b =>
-      if (b == "O") ("O", null) else { val (x, c) = splitAtom(b); (x, c) }
+    // imperative single pass (was: 3 mapped Seqs + mkString per call — this
+    // runs once per token per doc in annotate)
+    val sb = new java.lang.StringBuilder(fullBioSeq.length)
+    var firstCat: String = null
+    var singleCat = true
+    val it = fullBioSeq.iterator
+    while (it.hasNext) {
+      val b = it.next()
+      if (b == "O") sb.append('O')
+      else {
+        // splitAtom semantics: a dash-less atom has category "" (recorded,
+        // not skipped — it participates in the single-category check)
+        val d = b.indexOf('-')
+        val cat = if (d < 0) { sb.append(b); "" }
+                  else { sb.append(b, 0, d); b.substring(d + 1) }
+        if (firstCat == null) firstCat = cat
+        else if (singleCat && firstCat != cat) singleCat = false
+      }
     }
-    val bioSeq = pairs.map(_._1).mkString
-    val typeSeq = pairs.map(_._2).filter(_ != null)
-    val valid = validBioRe.findFirstIn(bioSeq).isDefined
+    val bioSeq = sb.toString
+    val valid = isValidBio(bioSeq)
     val fixed0 = if (valid) fixedForValidBiose(bioSeq) else fixedForInvalidBiose(bioSeq)
-    val fixed = if (fixed0 != "O") fixed0 + "-" + typeSeq.head else fixed0
-    (valid, typeSeq.distinct.size <= 1, fixed)
+    val fixed = if (fixed0 != "O") fixed0 + "-" + firstCat else fixed0
+    (valid, singleCat, fixed)
   }
 
   /** reference nemo.py:212-214 (get_fixed_bio_sequence). */

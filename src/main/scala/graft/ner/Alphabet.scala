@@ -24,6 +24,28 @@ final case class Alphabet(instances: IndexedSeq[String], isLabel: Boolean) {
         s"unknown label '$s' in frozen label alphabet")
       else unkIndex)
 
+  /** Direct-mapped char→id table (single-UTF-16-unit instances only) — the
+    * hot path ([[Scorer.charCnn]]/[[Scorer.charLstm]]) looks up one id per
+    * CHARACTER of every scored token; going through `get(c.toString)`
+    * allocated a String per character and hashed it (measured by
+    * tools/AllocProbe as part of the 165 KB/doc churn that caps 32-thread
+    * scaling on memory bandwidth). 256 KB per alphabet, built lazily so only
+    * char alphabets pay it; @transient so broadcasts ship the instances, not
+    * the table. Equivalence: a Char can only ever equal a single-unit
+    * instance, so `getChar(c) == get(c.toString)` for every possible c. */
+  @transient private lazy val charTable: Array[Int] = {
+    val t = new Array[Int](Character.MAX_VALUE + 1)
+    java.util.Arrays.fill(t, unkIndex)
+    instances.iterator.zipWithIndex.foreach { case (s, i) =>
+      if (s.length == 1) t(s.charAt(0)) = i + firstId
+    }
+    t
+  }
+
+  /** char → id with UNK fallback; char alphabets only (labels never index
+    * by char). Identical to `get(c.toString)` minus the String allocation. */
+  def getChar(c: Char): Int = charTable(c)
+
   /** id → string; pad/unk render as sentinels. */
   def instance(id: Int): String =
     if (id >= firstId && id - firstId < instances.length) instances(id - firstId)

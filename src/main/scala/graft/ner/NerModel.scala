@@ -59,6 +59,20 @@ final case class NerModel(
     val n = transitions.length
     Array.tabulate(n, n)((to, from) => transitions(from)(to))
   }
+
+  /** Per-executor word-representation memo (token → wordRep output). A word's
+    * rep (embedding ⧺ char CNN/LSTM) depends only on the token string, never
+    * on context, and corpora are Zipf-distributed — so virtually every scored
+    * token after warmup is a cache hit that skips the whole char extractor.
+    * This is the single biggest lever on annotate throughput AND on its
+    * 32-thread scaling (the char extractor dominated the kernel's 165 KB/doc
+    * allocation churn — tools/AllocProbe). Entries are written once and never
+    * mutated (Scorer.features only reads reps into dot products; Backprop has
+    * its own forward pass). Bounded: past `RepCacheCap` distinct tokens new
+    * misses just recompute, so a pathological vocab can't grow the heap.
+    * @transient — rebuilt empty on each executor after broadcast. */
+  @transient lazy val repCache: java.util.concurrent.ConcurrentHashMap[String, Array[Float]] =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]](1 << 12)
 }
 
 /** One LSTM direction's parameters: gates ordered [i, f, g, o]. */

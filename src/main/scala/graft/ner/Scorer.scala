@@ -23,7 +23,17 @@ import scala.collection.mutable.ArrayBuffer
 object Scorer {
 
   /** B1: fold digits to 0 (number_normalized). */
-  def normalizeWord(w: String): String = w.map(c => if (c.isDigit) '0' else c)
+  def normalizeWord(w: String): String = {
+    // fast path: most tokens carry no digit — don't allocate a copy for them
+    var i = 0
+    while (i < w.length && !w.charAt(i).isDigit) i += 1
+    if (i == w.length) w
+    else {
+      val a = w.toCharArray
+      while (i < a.length) { if (a(i).isDigit) a(i) = '0'; i += 1 }
+      new String(a)
+    }
+  }
 
   // ---------- low-level math ----------
 
@@ -48,36 +58,81 @@ object Scorer {
     val h = w.wh(0).length
     val out = Array.ofDim[Array[Float]](xs.length)
     var hPrev = new Array[Float](h)
+    // gates and the cell state are double-buffered SCRATCH (only h_t escapes
+    // this function): per-step `new` here was 5h floats × steps × directions
+    // × layers of garbage per sentence — allocation bandwidth, not compute,
+    // is what caps the annotate kernel's 32-thread scaling (tools/AllocProbe)
     var cPrev = new Array[Float](h)
+    var cNext = new Array[Float](h)
+    val gates = new Array[Float](4 * h)
     val idx = if (reverse) xs.indices.reverse else xs.indices
     for (t <- idx) {
-      val gates = new Array[Float](4 * h)
       var g = 0
       while (g < 4 * h) { gates(g) = dot(w.wi(g), xs(t)) + dot(w.wh(g), hPrev) + w.b(g); g += 1 }
       val hNew = new Array[Float](h)
-      val cNew = new Array[Float](h)
       var j = 0
       while (j < h) {
         val i = sigmoid(gates(j))
         val f = sigmoid(gates(h + j))
         val gg = tanhF(gates(2 * h + j))
         val o = sigmoid(gates(3 * h + j))
-        cNew(j) = f * cPrev(j) + i * gg
-        hNew(j) = o * tanhF(cNew(j))
+        cNext(j) = f * cPrev(j) + i * gg
+        hNew(j) = o * tanhF(cNext(j))
         j += 1
       }
-      out(t) = hNew; hPrev = hNew; cPrev = cNew
+      out(t) = hNew; hPrev = hNew
+      val tmp = cPrev; cPrev = cNext; cNext = tmp
     }
     out
+  }
+
+  /** [[lstmRun]] writing each h_t into `out(t)` at `offset` — lets the
+    * BiLSTM layer materialize fwd‖bwd directly into ONE 2h row per step
+    * instead of two h rows plus a concat row (the concat was ~9% of the
+    * annotate kernel's allocation churn — JFR). h_t is computed in
+    * double-buffered scratch and copied (h floats ≪ one allocation). */
+  private def lstmRunInto(w: LstmCellWeights, xs: Array[Array[Float]], n: Int,
+                          reverse: Boolean, out: Array[Array[Float]], offset: Int): Unit = {
+    val h = w.wh(0).length
+    var hPrev = new Array[Float](h)
+    var hNext = new Array[Float](h)
+    var cPrev = new Array[Float](h)
+    var cNext = new Array[Float](h)
+    val gates = new Array[Float](4 * h)
+    // explicit n: xs/out may be pooled arrays longer than the sequence
+    var t = if (reverse) n - 1 else 0
+    val step = if (reverse) -1 else 1
+    var remaining = n
+    while (remaining > 0) {
+      var g = 0
+      while (g < 4 * h) { gates(g) = dot(w.wi(g), xs(t)) + dot(w.wh(g), hPrev) + w.b(g); g += 1 }
+      var j = 0
+      while (j < h) {
+        val i = sigmoid(gates(j))
+        val f = sigmoid(gates(h + j))
+        val gg = tanhF(gates(2 * h + j))
+        val o = sigmoid(gates(3 * h + j))
+        cNext(j) = f * cPrev(j) + i * gg
+        hNext(j) = o * tanhF(cNext(j))
+        j += 1
+      }
+      System.arraycopy(hNext, 0, out(t), offset, h)
+      var tmp = cPrev; cPrev = cNext; cNext = tmp
+      tmp = hPrev; hPrev = hNext; hNext = tmp
+      t += step
+      remaining -= 1
+    }
   }
 
   /** Char CNN (F4): char embeds → 1-D conv (same pad) → global max pool. */
   def charCnn(m: NerModel, word: String): Array[Float] = {
     val cfg = m.config
     val k = cfg.charKernel
-    val chars = word.map(c => m.charAlphabet.get(c.toString)).toArray
-    val L = math.max(chars.length, 1)
-    val embs = Array.tabulate(L)(i => if (i < chars.length) m.charEmb(chars(i)) else new Array[Float](cfg.charEmbDim))
+    val L = math.max(word.length, 1)
+    val embs = new Array[Array[Float]](L)
+    var ci = 0
+    while (ci < word.length) { embs(ci) = m.charEmb(m.charAlphabet.getChar(word.charAt(ci))); ci += 1 }
+    if (word.isEmpty) embs(0) = new Array[Float](cfg.charEmbDim)
     val out = new Array[Float](cfg.charHidden)
     java.util.Arrays.fill(out, Float.MinValue)
     var pos = 0
@@ -106,25 +161,39 @@ object Scorer {
   /** Char BiLSTM (F5): last hidden of each direction, concatenated. */
   def charLstm(m: NerModel, word: String): Array[Float] = {
     val ws = m.charLstm.get
-    val chars = word.map(c => m.charAlphabet.get(c.toString)).toArray
-    val L = math.max(chars.length, 1)
-    val embs = Array.tabulate(L)(i => if (i < chars.length) m.charEmb(chars(i)) else new Array[Float](m.config.charEmbDim))
+    val L = math.max(word.length, 1)
+    val embs = new Array[Array[Float]](L)
+    var ci = 0
+    while (ci < word.length) { embs(ci) = m.charEmb(m.charAlphabet.getChar(word.charAt(ci))); ci += 1 }
+    if (word.isEmpty) embs(0) = new Array[Float](m.config.charEmbDim)
     val fwd = lstmRun(ws(0), embs, reverse = false)
     val bwd = lstmRun(ws(1), embs, reverse = true)
     fwd(L - 1) ++ bwd(0)
   }
 
-  /** Word representation (F3+F4/F5): wordEmb(id) ⧺ charRep. */
+  /** Word representation (F3+F4/F5): wordEmb(id) ⧺ charRep. Memoized per
+    * executor in [[NerModel.repCache]] (context-free + Zipf ⇒ ~every token is
+    * a hit after warmup); entries are treated as immutable by all callers. */
   def wordRep(m: NerModel, token: String): Array[Float] = {
+    val cache = m.repCache
+    val hit = cache.get(token)
+    if (hit != null) return hit
     val norm = if (m.config.numberNormalized) normalizeWord(token) else token
     val wid = m.wordAlphabet.get(norm)
     val we = m.wordEmb(if (wid >= 0 && wid < m.wordEmb.length) wid else m.wordAlphabet.unkIndex)
-    m.config.charExtractor match {
+    val rep = m.config.charExtractor match {
       case "NONE" => we
       case "LSTM" => we ++ charLstm(m, token)
       case _      => we ++ charCnn(m, token)
     }
+    if (cache.size < RepCacheCap) cache.put(token, rep)
+    rep
   }
+
+  /** Rep-cache bound: ~10⁶ tokens × (repDim floats + key) ≈ low hundreds of
+    * MB worst-case on a real model — a deliberate executor-memory budget;
+    * past it, misses recompute instead of growing the heap. */
+  private val RepCacheCap = 1 << 20
 
   /** Sequence feature extractor (F6) up to the feature layer (pre-hidden2tag):
     * stacked BiLSTM or 1-layer word CNN (NCRF++ word_feature_extractor).
@@ -173,16 +242,70 @@ object Scorer {
     } else {
       var layer = 0
       while (layer < m.lstm.length) {
-        val fwd = lstmRun(m.lstm(layer)(0), reps, reverse = false)
-        val bwd = lstmRun(m.lstm(layer)(1), reps, reverse = true)
+        val h = m.lstm(layer)(0).wh(0).length
         val merged = new Array[Array[Float]](reps.length)
         var t = 0
-        while (t < reps.length) { merged(t) = fwd(t) ++ bwd(t); t += 1 }
+        while (t < reps.length) { merged(t) = new Array[Float](2 * h); t += 1 }
+        lstmRunInto(m.lstm(layer)(0), reps, reps.length, reverse = false, merged, 0)
+        lstmRunInto(m.lstm(layer)(1), reps, reps.length, reverse = true, merged, h)
         reps = merged
         layer += 1
       }
     }
     reps
+  }
+
+  /** [[features]] on pooled per-thread rows — the decode hot path. The
+    * returned array is pool-backed (length ≥ tokens.length; valid until the
+    * next decode on this thread); only indices < tokens.length are defined.
+    * Same dots in the same order as [[features]] (pinned by ScorerSpec's
+    * decodeBatch-equality property). */
+  private def featuresPooled(m: NerModel, tokens: IndexedSeq[String],
+                             s: DecodeScratch): Array[Array[Float]] = {
+    val n = tokens.length
+    val reps = s.ptrs(n)
+    var i = 0
+    while (i < n) { reps(i) = wordRep(m, tokens(i)); i += 1 }
+    if (m.config.wordExtractor == "CNN") {
+      val k = if (m.cnnW.nonEmpty) m.cnnW(0).length else 1
+      val inDim = if (m.cnnW.nonEmpty) m.cnnW(0)(0).length else 0
+      val out = s.rows(0, n, m.cnnW.length)
+      var pos = 0
+      while (pos < n) {
+        val row = out(pos)
+        var h = 0
+        while (h < m.cnnW.length) {
+          var acc = m.cnnB(h)
+          val wh = m.cnnW(h)
+          var kk = 0
+          while (kk < k) {
+            val p = pos + kk - k / 2
+            if (p >= 0 && p < n) {
+              val e = reps(p); val wk = wh(kk)
+              var d = 0
+              while (d < inDim) { acc += wk(d) * e(d); d += 1 }
+            }
+            kk += 1
+          }
+          row(h) = math.max(acc, 0f)
+          h += 1
+        }
+        pos += 1
+      }
+      out
+    } else {
+      var cur: Array[Array[Float]] = reps
+      var layer = 0
+      while (layer < m.lstm.length) {
+        val h = m.lstm(layer)(0).wh(0).length
+        val merged = s.rows(layer, n, 2 * h)
+        lstmRunInto(m.lstm(layer)(0), cur, n, reverse = false, merged, 0)
+        lstmRunInto(m.lstm(layer)(1), cur, n, reverse = true, merged, h)
+        cur = merged
+        layer += 1
+      }
+      cur
+    }
   }
 
   /** Per-token tag scores: hidden2tag over the extracted features. */
@@ -420,6 +543,108 @@ object Scorer {
 
   // ---------- decode driver (F1 + F10) ----------
 
+  /** Per-thread scratch for the decode hot path: emissions land in one flat
+    * L×T float buffer and the Viterbi DP rows/backpointers are reused across
+    * sentences. Per-sentence `new` at these three sites was ~20% of the
+    * annotate kernel's allocation churn (JFR via tools/AllocProbe) — and
+    * allocation bandwidth, not compute, is what caps 32-thread scaling. */
+  private final class DecodeScratch {
+    var emit: Array[Float] = new Array[Float](0)
+    var bp: Array[Int] = new Array[Int](0)
+    var prev: Array[Float] = new Array[Float](0)
+    var cur: Array[Float] = new Array[Float](0)
+    def ensure(cells: Int, t: Int): Unit = {
+      if (emit.length < cells) { // grow with headroom; never shrink
+        emit = new Array[Float](cells * 2)
+        bp = new Array[Int](cells * 2)
+      }
+      if (prev.length < t) { prev = new Array[Float](t); cur = new Array[Float](t) }
+    }
+    // Feature-extractor row pools. `inPtrs` holds borrowed references (layer
+    // inputs: cached wordReps); `rowPool(key)` owns reusable float rows for
+    // one (layer, width) — the BiLSTM merged rows were the single largest
+    // allocation site left after the first scratch pass (~27% — JFR). Rows
+    // are valid until the next decode call on this thread; decodeSentence
+    // consumes them into the emit buffer immediately.
+    var inPtrs: Array[Array[Float]] = new Array[Array[Float]](0)
+    private val rowPools = new java.util.HashMap[Long, Array[Array[Float]]]()
+    def ptrs(n: Int): Array[Array[Float]] = {
+      if (inPtrs.length < n) inPtrs = new Array[Array[Float]](n * 2)
+      inPtrs
+    }
+    def rows(layer: Int, n: Int, width: Int): Array[Array[Float]] = {
+      val key = (layer.toLong << 32) | width.toLong
+      var r = rowPools.get(key)
+      if (r == null || r.length < n) {
+        r = new Array[Array[Float]](math.max(n * 2, 64))
+        var i = 0
+        while (i < r.length) { r(i) = new Array[Float](width); i += 1 }
+        rowPools.put(key, r)
+      }
+      r
+    }
+  }
+  private val decodeScratch: ThreadLocal[DecodeScratch] =
+    ThreadLocal.withInitial(() => new DecodeScratch)
+
+  /** Decode one sentence on the scratch path. Bit-identical to
+    * `viterbi(m, emissions(m, toks))` (pinned by ScorerSpec): same dots, same
+    * DP, same tie-breaks — only the intermediates live in reused buffers. */
+  private def decodeSentence(m: NerModel, toks: IndexedSeq[String]): Array[Int] = {
+    val L = toks.length
+    if (L == 0) return Array.empty
+    val s = decodeScratch.get()
+    val reps = featuresPooled(m, toks, s) // pool-backed: indices < L only
+    val t = m.numTags
+    s.ensure(L * t, t)
+    val emit = s.emit
+    var i = 0
+    while (i < L) { // hidden2tag columns ≥ t exist (START/STOP) but the
+      val x = reps(i) // decoder never reads them — skip their dot products
+      val base = i * t
+      var o = 0
+      while (o < t) { emit(base + o) = dot(m.hidden2tag(o), x) + m.hidden2tagB(o); o += 1 }
+      i += 1
+    }
+    val tr = m.transitions; val trT = m.transitionsT
+    val start = m.startTag; val stop = m.stopTag
+    var prev = s.prev; var cur = s.cur
+    val bp = s.bp
+    var j = 0
+    while (j < t) { prev(j) = tr(start)(j) + emit(j); j += 1 }
+    i = 1
+    while (i < L) {
+      val base = i * t
+      var to = 0
+      while (to < t) {
+        val trTo = trT(to)
+        var best = Float.NegativeInfinity; var arg = 0
+        var from = 0
+        while (from < t) {
+          val sc = prev(from) + trTo(from)
+          if (sc > best) { best = sc; arg = from }
+          from += 1
+        }
+        cur(to) = best + emit(base + to); bp(base + to) = arg
+        to += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    var best = Float.NegativeInfinity; var arg = 0
+    j = 0
+    while (j < t) {
+      val sc = prev(j) + tr(j)(stop)
+      if (sc > best) { best = sc; arg = j }
+      j += 1
+    }
+    val out = new Array[Int](L)
+    out(L - 1) = arg
+    i = L - 1
+    while (i > 0) { out(i - 1) = bp(i * t + out(i)); i -= 1 }
+    out
+  }
+
   /** Decode a batch of sentences: sort desc by length (F1), score, restore
     * input order (F10 recover), map tag ids to label strings. */
   def decodeBatch(m: NerModel, sents: IndexedSeq[IndexedSeq[String]]): IndexedSeq[IndexedSeq[String]] = {
@@ -428,7 +653,7 @@ object Scorer {
       val labs =
         if (toks.isEmpty) IndexedSeq.empty[String]
         else {
-          val ids = viterbi(m, emissions(m, toks))
+          val ids = decodeSentence(m, toks)
           val arr = new Array[String](ids.length)
           var i = 0
           while (i < ids.length) { arr(i) = m.labelAlphabet.instance(ids(i)); i += 1 }
@@ -443,7 +668,7 @@ object Scorer {
       val labs =
         if (toks.isEmpty) IndexedSeq.empty[String]
         else {
-          val ids = viterbi(m, emissions(m, toks))
+          val ids = decodeSentence(m, toks)
           val arr = new Array[String](ids.length)
           var k = 0
           while (k < ids.length) { arr(k) = m.labelAlphabet.instance(ids(k)); k += 1 }

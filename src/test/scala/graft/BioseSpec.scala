@@ -131,4 +131,49 @@ class BioseSpec extends AnyFunSuite {
       assert(spans.length === bio.count(_.startsWith("B-")))
     }
   }
+
+  test("property: scan-based shape predicates equal the reference regexes (fixedForValidBiose + validity)") {
+    // the five languages of nemo.py:147-151, as regexes — the original
+    // implementation these scans replaced; every random letter string must
+    // classify identically
+    val validRe = "^O*BI*$|^O*BI*EO*$|^I+$|^I*EO*$|^O*SO*$".r
+    val oRe = "^O+$".r
+    val sRe = "^O*SO*$|^O*BI*EO*$".r
+    val bRe = "^O*BI*$".r
+    val iRe = "^I+$".r
+    val eRe = "^I*EO*$".r
+    def regexFixed(s: String): Option[String] =
+      if (oRe.findFirstIn(s).isDefined) Some("O")
+      else if (sRe.findFirstIn(s).isDefined) Some("S")
+      else if (bRe.findFirstIn(s).isDefined) Some("B")
+      else if (iRe.findFirstIn(s).isDefined) Some("I")
+      else if (eRe.findFirstIn(s).isDefined) Some("E")
+      else None
+    val letters = "OBIES".toCharArray
+    val r = new Random(77)
+    val cases = Seq("", "O", "I", "OBI", "OBIEO", "IEO", "OSO", "S", "B", "E",
+      "BE", "OB", "IE", "SS", "OSOS", "BIB", "OOO", "III", "BIIE") ++
+      (0 until 3000).map(_ => (0 until (1 + r.nextInt(8))).map(_ => letters(r.nextInt(5))).mkString)
+    for (c <- cases) {
+      val exp = regexFixed(c)
+      val gotValid = scala.util.Try(Biose.fixedForValidBiose(c)).toOption
+      assert(gotValid === exp, s"fixedForValidBiose('$c')")
+      // validity via validateBioseSequence on the expanded atoms
+      val atoms = c.map(ch => if (ch == 'O') "O" else s"$ch-PER").toIndexedSeq
+      val (valid, _, _) = Biose.validateBioseSequence(atoms)
+      assert(valid === validRe.findFirstIn(c).isDefined, s"validity('$c')")
+    }
+  }
+
+  test("validateBioseSequence quirks survive the imperative rewrite: dash-less atoms, mixed cats, empty") {
+    // dash-less non-O atom records category "" (splitAtom semantics) and a
+    // trailing-dash fixed label is produced, exactly as before the rewrite
+    assert(Biose.validateBioseSequence(Seq("B", "I-PER")) ===
+      (true, false, "B-"))
+    // first category wins the fixed label; mixed cats flip the single flag
+    assert(Biose.validateBioseSequence(Seq("B-ORG", "E-PER")) ===
+      (true, false, "S-ORG"))
+    assert(Biose.validateBioseSequence(Seq.empty) === (false, true, "O"))
+    assert(Biose.validateBioseSequence(Seq("O", "O")) === (false, true, "O")) // "OO" is outside all five languages, exactly as the reference regexes had it
+  }
 }

@@ -394,4 +394,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set("mentions", "inDoc", "label", "category", "sameAs").subsetOf(preds))
     assert(triples.filter(!col("subj").startsWith("ent:")).count() === 0)
   }
+
+  test("per-token memoized lattice->prune->MD chain equals the sentence-level chain (both pruning modes)") {
+    // annotateDoc now computes morpheme forms per TOKEN through
+    // Models.formsCache; this recomputes every fixture sentence through the
+    // original whole-sentence chain and demands identical forms per token
+    import graft.lattice.{Analyzer, Prune, Disambig}
+    import scala.collection.immutable.ArraySeq
+    val m = Pipeline.fixtureModels()
+    val lex: String => Boolean = m.lexicon.contains _
+    for (usePruning <- Seq(true, false); i <- 0 until 40) {
+      val fd = Fixtures.doc(i)
+      val doc = Pipeline.annotateDoc(m, lex, graft.schema.InputDoc(fd.docId, fd.spans.toArray), usePruning)
+      for (sent <- doc.sents) {
+        val toks = sent.tokens.map(_.text).toIndexedSeq
+        val multi = sent.tokens.map(_.nemoMulti).toIndexedSeq
+        // skip unscored sentences (annotateDoc's B3 fallback never runs the lattice)
+        if (toks.nonEmpty && toks.length < m.maxSentenceLength) {
+          val lattice = Analyzer.sentenceLattice(toks, lex).toIndexedSeq
+          val pruned = if (usePruning) Prune.pruneSentence(lattice, multi, nonOOnly = false) else lattice
+          val md = Disambig.disambiguate(pruned, lex)
+          val byTid = md.groupBy(_.tokenId)
+          val expected = toks.indices.map { t =>
+            byTid.get(t + 1).map(_.map(_.form).toSeq).getOrElse(Seq(toks(t)))
+          }
+          val got = sent.tokens.map(_.morphs.map(_.form).toSeq).toIndexedSeq
+          assert(got === expected, s"doc=${fd.docId} sent=${sent.sent_id} usePruning=$usePruning")
+        }
+      }
+    }
+  }
 }

@@ -202,4 +202,31 @@ class ScorerSpec extends AnyFunSuite {
     assert(loss === 0.0 && dEmit.isEmpty && dTr.forall(_.forall(_ === 0.0)))
     assert(Scorer.negLogLikelihood(m, empty, Array.empty) === 0.0)
   }
+
+  test("property: decodeBatch (scratch fast path) equals viterbi(emissions) label-for-label") {
+    // decodeBatch routes through the thread-local-scratch decodeSentence —
+    // this pins it to the public reference composition on random models,
+    // random vocab overlap, and both char extractors
+    val r = new Random(41)
+    val labels = Seq("O", "B-PER", "I-PER", "E-PER", "S-ORG")
+    val vocab = Seq("אא", "בב", "גג", "דד", "x1", "yy")
+    for (trial <- 0 until 30) {
+      val ext = if (trial % 2 == 0) "CNN" else "LSTM"
+      val m = NerModel.synthesize(
+        NerConfig("token-single", wordEmbDim = 5, charEmbDim = 3, charHidden = 4,
+          hidden = 6, lstmLayers = 1 + trial % 2, charExtractor = ext),
+        vocab, labels, seed = 1000 + trial)
+      val sents = (0 until (1 + r.nextInt(4))).map { _ =>
+        (0 until (1 + r.nextInt(7))).map(_ =>
+          if (r.nextBoolean()) vocab(r.nextInt(vocab.length)) else "oov" + r.nextInt(3))
+          .toIndexedSeq
+      }.toIndexedSeq
+      val fast = Scorer.decodeBatch(m, sents)
+      val ref = sents.map { toks =>
+        Scorer.viterbi(m, Scorer.emissions(m, toks))
+          .map(m.labelAlphabet.instance).toIndexedSeq
+      }
+      assert(fast === ref, s"trial=$trial ext=$ext")
+    }
+  }
 }
