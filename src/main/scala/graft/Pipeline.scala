@@ -38,15 +38,23 @@ object Pipeline {
       maxSentenceLength: Int = 250) {
 
     /** Per-executor memo of the per-token lattice→prune→MD chain
-      * ([[Pipeline.tokenForms]]): key `tokenlabel` (pruned) or `token`
-      * (unpruned) → chosen morpheme forms. The chain is a pure function of
+      * ([[Pipeline.tokenForms]]). The chain is a pure function of
       * (token, multi label, lexicon) — every stage is token-local and
       * shift-invariant in node ids — and corpora are Zipf-distributed, so
       * post-warmup hits skip the whole lattice build + DFS + DP (it was ~25%
-      * of the annotate kernel's allocation — tools/AllocProbe/JFR). Values
-      * are written once and treated as immutable. @transient: rebuilt empty
-      * per executor after broadcast. */
-    @transient lazy val formsCache: java.util.concurrent.ConcurrentHashMap[String, Array[String]] =
+      * of the annotate kernel's allocation — tools/AllocProbe/JFR).
+      * Two-level (token → label → forms) for the pruned path so a hit
+      * allocates NOTHING (the earlier single map built a composite key
+      * string per lookup — itself ~4% of kernel churn); inner maps are
+      * label-space-small. Values are written once and treated as immutable.
+      * @transient: rebuilt empty per executor after broadcast. */
+    @transient lazy val formsCacheP: java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.ConcurrentHashMap[String, Array[String]]] =
+      new java.util.concurrent.ConcurrentHashMap(1 << 12)
+
+    /** Unpruned-path twin of [[formsCacheP]] (key = token only — the chain
+      * never sees the label when pruning is off). */
+    @transient lazy val formsCacheU: java.util.concurrent.ConcurrentHashMap[String, Array[String]] =
       new java.util.concurrent.ConcurrentHashMap[String, Array[String]](1 << 12)
 
     /** Content fingerprint over every weight tensor + config + lexicon.
@@ -113,7 +121,7 @@ object Pipeline {
   // ---------- G1-G6: document annotation (one mapPartitions) ----------
 
   /** The per-token D1→D2/D3→D4 chain (lattice construction → multi-label
-    * pruning → MD Viterbi), memoized in [[Models.formsCache]]. Single-token
+    * pruning → MD Viterbi), memoized in [[Models.formsCacheP]]/[[Models.formsCacheU]]. Single-token
     * equivalence with the sentence-level chain: Analyzer emits each token's
     * sub-DAG between its own start/end nodes, pruneSentence and disambiguate
     * both iterate contiguous tokenId runs independently, and every step is
@@ -122,11 +130,25 @@ object Pipeline {
     */
   private def tokenForms(m: Models, lex: String => Boolean, token: String,
                          multiLabel: String, usePruning: Boolean): Array[String] = {
-    // length-prefixed key: unambiguous even for tokens containing the
-    // separator (cheap vs the chain it replaces)
-    val key = if (usePruning) s"P${token.length}:$token:$multiLabel" else s"U:$token"
-    val cached = m.formsCache.get(key)
-    if (cached != null) return cached
+    // two-level lookup (token → label → forms): a hit allocates nothing
+    var inner: java.util.concurrent.ConcurrentHashMap[String, Array[String]] = null
+    if (usePruning) {
+      inner = m.formsCacheP.get(token)
+      if (inner == null) {
+        if (m.formsCacheP.size < (1 << 20)) {
+          m.formsCacheP.putIfAbsent(token,
+            new java.util.concurrent.ConcurrentHashMap[String, Array[String]](2))
+          inner = m.formsCacheP.get(token)
+        }
+      }
+      if (inner != null) {
+        val hit = inner.get(multiLabel)
+        if (hit != null) return hit
+      }
+    } else {
+      val hit = m.formsCacheU.get(token)
+      if (hit != null) return hit
+    }
     val lattice = Analyzer.sentenceLattice(IndexedSeq(token), lex).toIndexedSeq
     val pruned =
       if (usePruning) Prune.pruneSentence(lattice, IndexedSeq(multiLabel), nonOOnly = false)
@@ -140,7 +162,8 @@ object Pipeline {
         while (i < md.length) { a(i) = md(i).form; i += 1 }
         a
       }
-    if (m.formsCache.size < (1 << 20)) m.formsCache.put(key, forms)
+    if (usePruning) { if (inner != null) inner.put(multiLabel, forms) }
+    else if (m.formsCacheU.size < (1 << 20)) m.formsCacheU.put(token, forms)
     forms
   }
 
@@ -208,7 +231,7 @@ object Pipeline {
     while (bi < scoreIdx.length) {
       val toks = tokArrs(scoreIdx(bi))
       val multi = multiB(bi)
-      // per-TOKEN lattice→prune→MD via the Models.formsCache memo: every
+      // per-TOKEN lattice→prune→MD via the Models.formsCacheP/U memo: every
       // stage of the chain is token-local (pruneSentence/disambiguate walk
       // contiguous tokenId runs) and shift-invariant in node ids, so the
       // sentence-level chain ≡ the per-token chain (pinned by PipelineSpec
@@ -257,7 +280,6 @@ object Pipeline {
         // A11/C10: arc-standard dependency parse over the sentence's
         // morpheme sequence; (head, deprel) zip positionally onto morphemes
         val nFlat = morphFlats(slot).length
-        val flatForms = morphFlats(slot)
         val flatPos = {
           val a = new Array[String](nFlat)
           var off = 0; var i = 0
@@ -269,8 +291,9 @@ object Pipeline {
           }
           ArraySeq.unsafeWrapArray(a)
         }
-        val depNodes = graft.lattice.DepParser.parse(
-          flatForms, flatForms, flatPos, feats = null)
+        // heads+rels only — the assembly reads nothing else from the parse
+        // (full DepNodes copied form/lemma/xpos per morpheme: ~6% of churn)
+        val (depHeads, depRels) = graft.lattice.DepParser.parseHeadsRels(flatPos)
         val tokens = new Array[Token](toks.length)
         var off = 0
         var i = 0
@@ -278,16 +301,16 @@ object Pipeline {
           val forms = formsPerTok(i)
           val len = forms.length
           // G5 multi_align_hybrid: soft-merge multi atoms onto morphemes (C4)
-          val align = Align.softMergeToken(ArraySeq.unsafeWrapArray(forms), multi(i))._2
+          // — label side only, memoized (length forms.length in every branch)
+          val alignLabs = Align.softMergeLabels(len, multi(i))
           val morphs = new Array[Morpheme](len)
           var j = 0
           while (j < len) {
-            val dep = depNodes(off + j)
             morphs(j) = Morpheme(forms(j), forms(j), if (j < len - 1) "IN" else "NN", "_",
               i + 1,
               nemoMorph = morphLabels(off + j),
-              nemoMultiAlignMorph = if (j < align.length) align(j)._2 else "O",
-              head = dep.head, deprel = dep.deprel)
+              nemoMultiAlignMorph = alignLabs(j),
+              head = depHeads(off + j + 1), deprel = depRels(off + j + 1))
             j += 1
           }
           // G6/C6: per-token morph labels for the fixed token label

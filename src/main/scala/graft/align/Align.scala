@@ -56,6 +56,37 @@ object Align {
   def fixedTokenLabel(morphLabels: Seq[String]): String =
     Biose.fixedBioSequence(morphLabels)
 
+  /** The label side of [[softMergeToken]] — all the annotate assembly
+    * consumes (it reads only `._2` of each aligned pair). The aligned labels
+    * depend ONLY on (multiLabel, forms.length): every branch zips positions,
+    * never form contents, and every branch returns exactly forms.length
+    * pairs. So the memo keys on the label with a per-length slot — zero
+    * allocation on a hit (the tuple-seq construction was ~10% of the
+    * annotate kernel's churn — JFR). Values are computed THROUGH
+    * [[softMergeToken]] so the semantics cannot drift, and treated
+    * immutable by all callers. Label-space-bounded; lengths > 16 (vanishing
+    * at fixture and corpus scale) bypass the memo. */
+  private val mergeLabelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicReferenceArray[Array[String]]](1 << 10)
+
+  def softMergeLabels(nForms: Int, multiLabel: String): Array[String] = {
+    def compute(): Array[String] = {
+      val placeholder = scala.collection.immutable.ArraySeq.fill(nForms)("")
+      softMergeToken(placeholder, multiLabel)._2.map(_._2).toArray
+    }
+    if (nForms > 16) return compute()
+    var slot = mergeLabelMemo.get(multiLabel)
+    if (slot == null) {
+      if (mergeLabelMemo.size >= (1 << 14)) return compute() // cap: stop admitting labels, keep serving existing
+      mergeLabelMemo.putIfAbsent(multiLabel,
+        new java.util.concurrent.atomic.AtomicReferenceArray[Array[String]](17))
+      slot = mergeLabelMemo.get(multiLabel)
+    }
+    val hit = slot.get(nForms)
+    if (hit != null) hit
+    else { val r = compute(); slot.set(nForms, r); r }
+  }
+
   /** C7/C8: regroup a flat (tokenId, value) list into per-token sublists,
     * preserving order (itertools.groupby semantics — consecutive runs). */
   def groupByToken[T](tokenIds: Seq[Int], values: Seq[T]): Seq[(Int, Seq[T])] = {

@@ -188,8 +188,37 @@ object Biose {
     (valid, singleCat, fixed)
   }
 
+  /** Memos for [[fixedBioSequence]] — a pure function over a tiny label
+    * space called once per token in the annotate assembly (~14% of the
+    * kernel's allocation churn as StringBuilder + tuple + byte[] per call —
+    * JFR). Single-atom sequences (most tokens have one morpheme) key on the
+    * atom itself: zero allocation on a hit; longer sequences pay one joined
+    * key (≪ the computation it replaces). Capped like the other label memos
+    * so an adversarial stream cannot grow the heap. */
+  private val fixedSeq1 = new java.util.concurrent.ConcurrentHashMap[String, String](1 << 10)
+  private val fixedSeqN = new java.util.concurrent.ConcurrentHashMap[String, String](1 << 10)
+
   /** reference nemo.py:212-214 (get_fixed_bio_sequence). */
-  def fixedBioSequence(fullBioSeq: Seq[String]): String = validateBioseSequence(fullBioSeq)._3
+  def fixedBioSequence(fullBioSeq: Seq[String]): String =
+    if (fullBioSeq.length == 1) {
+      val a = fullBioSeq.head
+      val hit = fixedSeq1.get(a)
+      if (hit != null) hit
+      else {
+        val r = validateBioseSequence(fullBioSeq)._3
+        if (fixedSeq1.size < (1 << 16)) fixedSeq1.put(a, r)
+        r
+      }
+    } else {
+      val key = fullBioSeq.mkString("\u0001") // unambiguous join (atoms never contain U+0001)
+      val hit = fixedSeqN.get(key)
+      if (hit != null) hit
+      else {
+        val r = validateBioseSequence(fullBioSeq)._3
+        if (fixedSeqN.size < (1 << 16)) fixedSeqN.put(key, r)
+        r
+      }
+    }
 
   // ---- span extraction (E1/E6) ----
 

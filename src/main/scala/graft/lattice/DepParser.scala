@@ -43,7 +43,7 @@ object DepParser {
   /** Transition scores for stack top pair (s1, s0) — a linear model with
     * synthesized weights. Greedy argmax with a fixed tie-break order
     * (LEFT > RIGHT > SHIFT) makes the parse fully deterministic. */
-  private[lattice] def actionScores(s1Pos: String, s0Pos: String,
+  private[graft] def actionScores(s1Pos: String, s0Pos: String,
                                     s1IsRoot: Boolean, bufferNonEmpty: Boolean)
       : (Double, Double, Double) = {
     val left =
@@ -57,6 +57,72 @@ object DepParser {
     (left, right, shift)
   }
 
+  /** Argmax over [[actionScores]] with the fixed LEFT > RIGHT > SHIFT
+    * tie-break, allocation-free (the tupled scores boxed three Doubles per
+    * transition on the annotate hot path). 0 = LEFT-ARC, 1 = RIGHT-ARC,
+    * 2 = SHIFT. Pinned to actionScores by a DepParserSpec property. */
+  private[graft] def actionCode(s1Pos: String, s0Pos: String,
+                                  s1IsRoot: Boolean, bufferNonEmpty: Boolean): Int = {
+    val left =
+      if (s1IsRoot) Double.NegativeInfinity
+      else if (isFunction(s1Pos) && !isFunction(s0Pos)) 4.0
+      else -1.0
+    val right = if (bufferNonEmpty) 0.5 else 2.0
+    val shift = if (bufferNonEmpty) 1.0 else Double.NegativeInfinity
+    if (left >= right && left >= shift) 0 else if (right >= shift) 1 else 2
+  }
+
+  /** The transition machine: fills 1-based head/rel arrays (index 0 = the
+    * artificial root sentinel, unused on output). Int-array stack — the List
+    * stack allocated a cons cell per shift, ~3% of the annotate kernel's
+    * churn (JFR). After the run: head(k) == -1 ⇔ unattached (clamped to 0,
+    * deprel "root" when rel is empty, by the callers). */
+  private def runMachine(xpos: IndexedSeq[String], n: Int): (Array[Int], Array[String]) = {
+    val head = Array.fill(n + 1)(-1)
+    val rel = Array.fill(n + 1)("")
+    val stack = new Array[Int](n + 2)
+    var sp = 0 // stack(0) = 0 = artificial root sentinel
+    var buffer = 1
+    def pos(i: Int) = if (i == 0) "ROOT" else xpos(i - 1)
+    while (buffer <= n || sp > 0) {
+      if (sp < 1) {
+        sp += 1; stack(sp) = buffer; buffer += 1
+      } else {
+        val s0 = stack(sp); val s1 = stack(sp - 1)
+        actionCode(pos(s1), pos(s0), s1 == 0, buffer <= n) match {
+          case 0 =>                     // LEFT-ARC: s0 heads s1
+            head(s1) = s0; rel(s1) = relOf(pos(s1))
+            stack(sp - 1) = s0; sp -= 1
+          case 1 =>                     // RIGHT-ARC: s1 heads s0
+            head(s0) = s1
+            rel(s0) = if (s1 == 0) "root"
+                      else if (isFunction(pos(s0))) relOf(pos(s0))
+                      else "dep"
+            sp -= 1
+          case _ =>                     // SHIFT
+            sp += 1; stack(sp) = buffer; buffer += 1
+        }
+      }
+    }
+    (head, rel)
+  }
+
+  /** Heads + deprels only, 1-based arrays (entry k = morpheme k) — the
+    * annotate assembly consumes just (head, deprel); building full DepNodes
+    * with copied form/lemma/xpos strings was ~6% of the kernel's allocation
+    * churn. Same machine, same output fields as [[parse]]. */
+  def parseHeadsRels(xpos: IndexedSeq[String]): (Array[Int], Array[String]) = {
+    val n = xpos.length
+    val (head, rel) = if (n == 0) (new Array[Int](1), Array("")) else runMachine(xpos, n)
+    var k = 1
+    while (k <= n) {
+      if (head(k) <= 0 && rel(k).isEmpty) rel(k) = "root"
+      if (head(k) < 0) head(k) = 0
+      k += 1
+    }
+    (head, rel)
+  }
+
   /** Parse a sentence given parallel (form, lemma, xpos, feats) morpheme
     * attributes. Returns one DepNode per morpheme, ids 1-based, head 0 = root.
     * `feats = null` means "all underscore" (saves the caller an allocation on
@@ -65,37 +131,12 @@ object DepParser {
             xpos: IndexedSeq[String], feats: IndexedSeq[String]): IndexedSeq[DepNode] = {
     val n = forms.length
     if (n == 0) return IndexedSeq.empty
-    val head = Array.fill(n + 1)(-1)
-    val rel = Array.fill(n + 1)("")
-    var stack = List(0)                 // 0 = artificial root sentinel
-    var buffer = 1
-    def pos(i: Int) = if (i == 0) "ROOT" else xpos(i - 1)
-    while (buffer <= n || stack.length > 1) {
-      if (stack.length < 2) {
-        stack = buffer :: stack; buffer += 1
-      } else {
-        val s0 :: s1 :: rest = stack: @unchecked
-        val (l, r, s) = actionScores(pos(s1), pos(s0), s1 == 0, buffer <= n)
-        if (l >= r && l >= s) {         // LEFT-ARC: s0 heads s1
-          head(s1) = s0; rel(s1) = relOf(pos(s1))
-          stack = s0 :: rest
-        } else if (r >= s) {            // RIGHT-ARC: s1 heads s0
-          head(s0) = s1
-          rel(s0) = if (s1 == 0) "root"
-                    else if (isFunction(pos(s0))) relOf(pos(s0))
-                    else "dep"
-          stack = s1 :: rest
-        } else {                        // SHIFT
-          stack = buffer :: stack; buffer += 1
-        }
-      }
-    }
+    val (head, rel) = parseHeadsRels(xpos)
     val out = new Array[DepNode](n)
     var k = 1
     while (k <= n) {
       out(k - 1) = DepNode(k, forms(k - 1), lemmas(k - 1), xpos(k - 1),
-        if (feats == null) "_" else feats(k - 1),
-        math.max(head(k), 0), if (head(k) <= 0 && rel(k).isEmpty) "root" else rel(k))
+        if (feats == null) "_" else feats(k - 1), head(k), rel(k))
       k += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)

@@ -33,8 +33,16 @@ object AllocProbe {
         .map(s => graft.text.HebTokenizer.tokenize(s.text).toArray).toArray
     }
 
+    // pre-materialized pool for the pooled stage — annotate-only churn, the
+    // shape the scaling probes measure (AnnotateKernel.pooledAnnotator)
+    val pool = Array.tabulate(nDocs) { i =>
+      val fd = graft.fixtures.Fixtures.doc(i)
+      graft.schema.InputDoc(fd.docId, fd.spans.toArray)
+    }
+
     final case class Stage(name: String, run: Int => Unit)
     val stages = Seq(
+      Stage("gen", i => { graft.fixtures.Fixtures.doc(i); () }),
       Stage("tok", i => { docToks(i); () }),
       Stage("single", i => {
         val b = docToks(i).filter(t => t.nonEmpty && t.length < m.maxSentenceLength)
@@ -63,7 +71,8 @@ object AllocProbe {
         val fd = graft.fixtures.Fixtures.doc(i)
         graft.Pipeline.annotateDoc(m, lex, graft.schema.InputDoc(fd.docId, fd.spans.toArray))
         ()
-      })
+      }),
+      Stage("pooled", i => { graft.Pipeline.annotateDoc(m, lex, pool(i)); () })
     )
 
     // JIT warm everything once

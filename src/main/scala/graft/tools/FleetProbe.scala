@@ -33,7 +33,7 @@ object FleetProbe {
     val start = args(1).toInt
     val n = args(2).toInt
     val threads = args(3).toInt
-    val annotate = AnnotateKernel.annotator()
+    val annotate = AnnotateKernel.pooledAnnotator(start, n)
     AnnotateKernel.warm(annotate, start)
     val r = AnnotateKernel.run(annotate, threads, n, start)
     println("WORKER " + r.wall + " " + r.cpuSec)

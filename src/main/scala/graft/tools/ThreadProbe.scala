@@ -15,7 +15,7 @@ object ThreadProbe {
     val genOnly = sys.env.contains("THREADPROBE_GEN_ONLY")
     val annotate: Int => Int =
       if (genOnly) (i: Int) => graft.fixtures.Fixtures.doc(i).sentences.length
-      else AnnotateKernel.annotator()
+      else AnnotateKernel.pooledAnnotator(0, docsPerLevel)
     AnnotateKernel.warm(annotate)
     val gcBeans = ManagementFactory.getGarbageCollectorMXBeans
     def gcMs = { var s = 0L; gcBeans.forEach(b => s += b.getCollectionTime); s }

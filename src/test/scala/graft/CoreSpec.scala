@@ -169,6 +169,32 @@ class CoreSpec extends AnyFunSuite {
     assert(graft.io.ConllFiles.readConll(text) === Seq(s1, s2))
   }
 
+  test("property: allocation-free actionCode equals argmax over actionScores on every input") {
+    import graft.lattice.DepParser
+    val poses = Seq("ROOT", "IN", "DT", "CC", "REL", "NN", "VB", "JJ")
+    for (s1 <- poses; s0 <- poses; s1Root <- Seq(true, false); buf <- Seq(true, false)) {
+      val (l, r, s) = DepParser.actionScores(s1, s0, s1Root, buf)
+      val expected = if (l >= r && l >= s) 0 else if (r >= s) 1 else 2
+      assert(DepParser.actionCode(s1, s0, s1Root, buf) === expected,
+        s"s1=$s1 s0=$s0 root=$s1Root buf=$buf")
+    }
+  }
+
+  test("property: parseHeadsRels equals the DepNode parse on random POS sequences") {
+    import graft.lattice.DepParser
+    val r = new Random(42)
+    val poses = IndexedSeq("IN", "DT", "CC", "REL", "NN", "VB")
+    for (_ <- 0 until 200) {
+      val n = r.nextInt(9)
+      val xpos = IndexedSeq.fill(n)(poses(r.nextInt(poses.length)))
+      val forms = IndexedSeq.tabulate(n)(i => s"f$i")
+      val full = DepParser.parse(forms, forms, xpos, feats = null)
+      val (heads, rels) = DepParser.parseHeadsRels(xpos)
+      assert(full.map(_.head) === (1 to n).map(heads(_)))
+      assert(full.map(_.deprel) === (1 to n).map(rels(_)))
+    }
+  }
+
   // ---- mention eval (E1-E3) ----
 
   test("sentenceMentions assigns occurrence indices") {

@@ -397,7 +397,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("per-token memoized lattice->prune->MD chain equals the sentence-level chain (both pruning modes)") {
     // annotateDoc now computes morpheme forms per TOKEN through
-    // Models.formsCache; this recomputes every fixture sentence through the
+    // Models.formsCacheP/U; this recomputes every fixture sentence through the
     // original whole-sentence chain and demands identical forms per token
     import graft.lattice.{Analyzer, Prune, Disambig}
     import scala.collection.immutable.ArraySeq
