@@ -313,16 +313,14 @@ object Pipeline {
               head = depHeads(off + j + 1), deprel = depRels(off + j + 1))
             j += 1
           }
-          // G6/C6: per-token morph labels for the fixed token label
-          val mlabs = new Array[String](len)
-          j = 0
-          while (j < len) { mlabs(j) = morphLabels(off + j); j += 1 }
           tokens(i) = Token(
             text = toks(i),
             nemoSingle = single(i),
             nemoMulti = multi(i),
             nemoMultiAlignToken = Biose.fixMultiBiose(multi(i)),       // G2/B5
-            nemoMorphAlignToken = Align.fixedTokenLabel(ArraySeq.unsafeWrapArray(mlabs)), // G6/C6
+            // G6/C6: fixed token label over this token's slice of the flat
+            // morph labels — no per-token array materialization
+            nemoMorphAlignToken = Align.fixedTokenLabelSlice(morphLabels, off, len),
             morphs = morphs)
           off += len
           i += 1

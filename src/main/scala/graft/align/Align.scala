@@ -56,6 +56,18 @@ object Align {
   def fixedTokenLabel(morphLabels: Seq[String]): String =
     Biose.fixedBioSequence(morphLabels)
 
+  /** [[fixedTokenLabel]] over a slice [off, off+len) of a flat label
+    * sequence — the annotate assembly's shape; skips the per-token array +
+    * wrapper for the dominant single-morpheme case. */
+  def fixedTokenLabelSlice(labels: IndexedSeq[String], off: Int, len: Int): String =
+    if (len == 1) Biose.fixedBioSequence1(labels(off))
+    else {
+      val a = new Array[String](len)
+      var j = 0
+      while (j < len) { a(j) = labels(off + j); j += 1 }
+      Biose.fixedBioSequence(scala.collection.immutable.ArraySeq.unsafeWrapArray(a))
+    }
+
   /** The label side of [[softMergeToken]] — all the annotate assembly
     * consumes (it reads only `._2` of each aligned pair). The aligned labels
     * depend ONLY on (multiLabel, forms.length): every branch zips positions,

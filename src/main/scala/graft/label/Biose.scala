@@ -199,17 +199,21 @@ object Biose {
   private val fixedSeqN = new java.util.concurrent.ConcurrentHashMap[String, String](1 << 10)
 
   /** reference nemo.py:212-214 (get_fixed_bio_sequence). */
+  /** [[fixedBioSequence]] of a single atom — the most common shape (one
+    * morpheme per token); zero allocation on a memo hit. */
+  def fixedBioSequence1(a: String): String = {
+    val hit = fixedSeq1.get(a)
+    if (hit != null) hit
+    else {
+      val r = validateBioseSequence(a :: Nil)._3
+      if (fixedSeq1.size < (1 << 16)) fixedSeq1.put(a, r)
+      r
+    }
+  }
+
   def fixedBioSequence(fullBioSeq: Seq[String]): String =
-    if (fullBioSeq.length == 1) {
-      val a = fullBioSeq.head
-      val hit = fixedSeq1.get(a)
-      if (hit != null) hit
-      else {
-        val r = validateBioseSequence(fullBioSeq)._3
-        if (fixedSeq1.size < (1 << 16)) fixedSeq1.put(a, r)
-        r
-      }
-    } else {
+    if (fullBioSeq.length == 1) fixedBioSequence1(fullBioSeq.head)
+    else {
       val key = fullBioSeq.mkString("\u0001") // unambiguous join (atoms never contain U+0001)
       val hit = fixedSeqN.get(key)
       if (hit != null) hit

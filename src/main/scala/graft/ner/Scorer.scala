@@ -560,6 +560,13 @@ object Scorer {
       }
       if (prev.length < t) { prev = new Array[Float](t); cur = new Array[Float](t) }
     }
+    // pooled Viterbi output ids — valid until the next decode on this thread;
+    // decodeBatch maps them to label strings immediately
+    var outIds: Array[Int] = new Array[Int](0)
+    def ids(n: Int): Array[Int] = {
+      if (outIds.length < n) outIds = new Array[Int](n * 2)
+      outIds
+    }
     // Feature-extractor row pools. `inPtrs` holds borrowed references (layer
     // inputs: cached wordReps); `rowPool(key)` owns reusable float rows for
     // one (layer, width) — the BiLSTM merged rows were the single largest
@@ -638,7 +645,7 @@ object Scorer {
       if (sc > best) { best = sc; arg = j }
       j += 1
     }
-    val out = new Array[Int](L)
+    val out = s.ids(L) // pooled: consumed by the caller before the next decode
     out(L - 1) = arg
     i = L - 1
     while (i > 0) { out(i - 1) = bp(i * t + out(i)); i -= 1 }
@@ -653,28 +660,45 @@ object Scorer {
       val labs =
         if (toks.isEmpty) IndexedSeq.empty[String]
         else {
-          val ids = decodeSentence(m, toks)
-          val arr = new Array[String](ids.length)
+          val ids = decodeSentence(m, toks) // pooled: may be longer than toks
+          val arr = new Array[String](toks.length)
           var i = 0
-          while (i < ids.length) { arr(i) = m.labelAlphabet.instance(ids(i)); i += 1 }
+          while (i < arr.length) { arr(i) = m.labelAlphabet.instance(ids(i)); i += 1 }
           scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
         }
       return IndexedSeq(labs)
     }
-    val order = sents.indices.sortBy(i => -sents(i).length) // F1 sort
+    // F1 sort: stable insertion sort on an int array, desc by length —
+    // batches are a handful of sentences; sortBy's boxed-Integer + Ordering
+    // machinery was measurable churn at 32 threads. Equivalent to
+    // indices.sortBy(-length) (both stable).
+    val order = new Array[Int](sents.length)
+    var ii = 0
+    while (ii < order.length) { order(ii) = ii; ii += 1 }
+    var a = 1
+    while (a < order.length) {
+      val v = order(a); val lv = sents(v).length
+      var b = a - 1
+      while (b >= 0 && sents(order(b)).length < lv) { order(b + 1) = order(b); b -= 1 }
+      order(b + 1) = v
+      a += 1
+    }
     val decoded = new Array[IndexedSeq[String]](sents.length)
-    for (i <- order) { // padding is a no-op for per-sentence JVM loops; the sort
-      val toks = sents(i) // is kept for fidelity of iteration order
+    var oi = 0
+    while (oi < order.length) { // padding is a no-op for per-sentence JVM
+      val i = order(oi)         // loops; the sort is kept for fidelity of
+      val toks = sents(i)       // iteration order
       val labs =
         if (toks.isEmpty) IndexedSeq.empty[String]
         else {
           val ids = decodeSentence(m, toks)
-          val arr = new Array[String](ids.length)
+          val arr = new Array[String](toks.length)
           var k = 0
-          while (k < ids.length) { arr(k) = m.labelAlphabet.instance(ids(k)); k += 1 }
+          while (k < arr.length) { arr(k) = m.labelAlphabet.instance(ids(k)); k += 1 }
           scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
         }
       decoded(i) = labs
+      oi += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(decoded) // index-addressed writes == recover permutation
   }

@@ -30,6 +30,31 @@ object SpinProbe {
       x
     }
 
+    // FP mode (SPINPROBE_FP=1): per-thread PRIVATE L1-resident float dot
+    // products — the annotate kernel's arithmetic shape (vectorized FP32 FMA)
+    // with ZERO shared memory and zero allocation. If CPU-per-iter inflates
+    // at 32 threads here while the integer kernel holds ~1.0, the inflation
+    // is all-core FP/AVX frequency droop — a property of the box, not of any
+    // job's memory behavior.
+    val fpMode = sys.env.contains("SPINPROBE_FP")
+    def spinFp(iters: Long): Float = {
+      val a = new Array[Float](256); val b = new Array[Float](256)
+      var k = 0
+      while (k < 256) { a(k) = k * 0.5f; b(k) = 1.0f / (k + 1); k += 1 }
+      var acc = 0.0f
+      var i = 0L
+      val n = iters / 256
+      while (i < n) {
+        var s = 0.0f
+        var j = 0
+        while (j < 256) { s += a(j) * b(j); j += 1 }
+        acc += s
+        a(0) = acc // serialize: keep the loop from folding away
+        i += 1
+      }
+      acc
+    }
+
     def run(threads: Int): (Double, Double) = {
       val per = itersTotal / threads
       val cpuNs = new AtomicLong(0)
@@ -39,7 +64,7 @@ object SpinProbe {
         new Thread(() => {
           val tid = Thread.currentThread().getId
           val c0 = bean.getThreadCpuTime(tid)
-          sink.addAndGet(spin(per))
+          sink.addAndGet(if (fpMode) spinFp(per).toLong else spin(per))
           cpuNs.addAndGet(bean.getThreadCpuTime(tid) - c0)
           ()
         })
@@ -49,7 +74,7 @@ object SpinProbe {
       (wall, cpuNs.get / 1e9)
     }
 
-    spin(itersTotal / 8) // JIT warm
+    if (fpMode) spinFp(itersTotal / 8) else spin(itersTotal / 8) // JIT warm
     for (r <- 1 to rounds; n <- levels) {
       val (wall, cpu) = run(n)
       val nsPerIter = cpu * 1e9 / itersTotal
