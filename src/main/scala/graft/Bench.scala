@@ -138,7 +138,7 @@ object Bench {
     // the primary deliverable); FleetProbe.run already skips dead-worker
     // rounds, this guards everything else (e.g. fork refused under mem limit)
     val fleet =
-      try tools.FleetProbe.run(fleetSizes, fleetThreads, fleetDocs, quiet = true)
+      try tools.FleetProbe.run(fleetSizes, fleetThreads, fleetDocs, rounds = 3, quiet = true)
       catch { case e: Throwable =>
         System.err.println(s"[bench] fleet probe failed: ${e.getMessage}"); Seq.empty
       }
@@ -149,6 +149,13 @@ object Bench {
       if (fleetSorted.size >= 2)
         (fleetSorted.last.dps / fleetSorted.head.dps) /
           (fleetSorted.last.workers.toDouble / fleetSorted.head.workers)
+      else 0.0
+    // intrinsic per-worker CPU ratio 1×T vs (cpus/T)×T — min CPU-us/doc over
+    // rounds per size (additive noise ⇒ min = intrinsic; wall aggregate is
+    // also overlap-sensitive, this isn't)
+    val fleetCpuEff =
+      if (fleetSorted.size >= 2 && fleetSorted.last.minCpuUsPerDoc > 0)
+        fleetSorted.head.minCpuUsPerDoc / fleetSorted.last.minCpuUsPerDoc
       else 0.0
 
     // --- per-query timings at the driver-requested parallelism ---
@@ -427,8 +434,8 @@ object Bench {
       s"""{"n":${p.n},"wall_sec":${f(p.wall)},"cpu_sec":${f(p.cpu)},"gc_sec":${f(p.gc)},"steal":${f(p.steal)},"docs_per_sec":${f(p.dps)},"cpu_us_per_doc":${f(p.usPerDoc)}}""")
       .mkString("[", ",", "]")
     val fleetJson = fleet.map(r =>
-      s"""{"workers":${r.workers},"threads":${r.threads},"wall_sec":${f(r.wall)},"docs":${r.docs},"docs_per_sec":${f(r.dps)},"cpu_us_per_doc":${f(r.cpuUsPerDoc)},"overlap":${f(r.overlap)}}""")
-      .mkString(s"""{"rows":[""", ",", s"""],"efficiency_low_to_high":${f(fleetEff)}}""")
+      s"""{"workers":${r.workers},"threads":${r.threads},"wall_sec":${f(r.wall)},"docs":${r.docs},"docs_per_sec":${f(r.dps)},"cpu_us_per_doc":${f(r.cpuUsPerDoc)},"min_cpu_us_per_doc":${f(r.minCpuUsPerDoc)},"overlap":${f(r.overlap)}}""")
+      .mkString(s"""{"rows":[""", ",", s"""],"efficiency_low_to_high":${f(fleetEff)},"cpu_intrinsic_low_to_high":${f(fleetCpuEff)}}""")
     val jsonLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","total_first_pass":${f(totalFirstPass)},"query_reps":$queryReps,"queries":$qs,"failed":$failed,"scaling_headline":{"primary_pair":"${pairLow}v$pairHigh","primary":${f(eff)},"secondary_pair":"${pairHigh}v$cpus","secondary":${f(secondaryHeadline)},"secondary_basis":"cpu","fleet_corroboration":${f(fleetEff)}},"scaling":$scaling,"thread_probe":$probeJson,"fleet_probe":$fleetJson,"skew":$skew,"e2e":{"docs":$e2eDocs,"sec":${f(e2eSec)},"reps":${e2eAll.size},"rep_secs":${jarr(e2eAll)},"docs_per_sec":${f(e2eDocs / e2eSec)},"triples":$e2eTriples,"stages":{${e2eStages.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString(",")}}},"sf":"$sfDir"}"""
     println(jsonLine)
@@ -581,7 +588,10 @@ object Bench {
          |${fleet.map(r => s"| ${r.workers} × ${r.threads} | ${f(r.wall)} | ${f(r.overlap)} | ${r.docs} | ${f(r.dps)} | ${f(r.cpuUsPerDoc)} |").mkString("\n         |")}
          |
          |Fleet scaling efficiency ${fleet.headOption.map(_.workers).getOrElse(1)}×$fleetThreads → ${fleet.lastOption.map(_.workers).getOrElse(4)}×$fleetThreads
-         |(aggregate-throughput ratio / worker ratio) = **${f(fleetEff)}**.
+         |(aggregate-throughput ratio / worker ratio) = **${f(fleetEff)}**;
+         |intrinsic per-worker CPU ratio (min CPU-µs/doc over rounds,
+         |1×$fleetThreads ÷ widest — overlap-insensitive, additive-noise-robust) =
+         |**${f(fleetCpuEff)}**.
          |Per-doubling: ${fleet.sortBy(_.workers).sliding(2).collect { case Seq(lo, hi) =>
              s"${lo.workers}×$fleetThreads→${hi.workers}×$fleetThreads **${f((hi.dps / lo.dps) / (hi.workers.toDouble / lo.workers))}**"
            }.mkString(" · ")}.

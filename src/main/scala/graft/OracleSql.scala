@@ -271,6 +271,29 @@ ${ccClosureCtes}
     * summed ONLY over (qid, id) pairs whose cells were probed — the exact
     * pruning gate ivfPqTopKEncoded puts in the plan. Same exact-integer
     * arithmetic as both parents, so the hash check is bit-stable. */
+  /** Recall@k of the IVF result vs the exact top-k: composes the two
+    * existing oracles as subqueries (DuckDB allows a WITH inside a derived
+    * table) and intersects on (qid, id). Integer per-mille via floor
+    * division, matching Spark's `div`. */
+  def annRecall: String =
+    s"""WITH exact AS (SELECT qid, id FROM ($annTopkSql) ex),
+       |approx AS (SELECT qid, id FROM ($annIvf) ap),
+       |hits AS (SELECT e.qid, COUNT(*) AS hits FROM exact e JOIN approx a ON e.qid = a.qid AND e.id = a.id GROUP BY e.qid),
+       |tot AS (SELECT qid, COUNT(*) AS k FROM exact GROUP BY qid)
+       |SELECT t.qid, COALESCE(h.hits, 0) AS hits, t.k,
+       |  (COALESCE(h.hits, 0) * 1000) // t.k AS recall_permille
+       |FROM tot t LEFT JOIN hits h ON t.qid = h.qid""".stripMargin
+
+  /** The d_ann_topk statement, shared verbatim with [[annRecall]]'s exact arm. */
+  val annTopkSql: String =
+    """SELECT qid, id, rk FROM (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rk
+      |  FROM embeddings c, embeddings q
+      |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
+      |WHERE rk <= 3""".stripMargin
+
   def annIvfPq: String = {
     def sqC(v: String) =
       s"(CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE)) * (CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE))"

@@ -966,6 +966,20 @@ object SparkEntry {
       Similarity.ivfPqTopKEncoded(encCells, "vec_id", q, "qid", "qvec", 3,
         cents, nProbe = 4, books)
     }),
+    "d_ann_recall" -> ((s, dir) => {
+      // recall@k of the IVF index vs the exact baseline — the index-quality
+      // gauge run whenever the write-time ANN artifacts are rebuilt (nProbe/
+      // nCells are tuned against this). Integer per-mille, per query.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") >= 5), "vec_id", "embedding", q, "qid", "qvec", 3)
+      val (cents, assigned) = ivfIndex(s, dir)
+      val approx = Similarity.ivfTopKAssigned(
+        assigned, "id", "vec", q, "qid", "qvec", 3, cents, nProbe = 4)
+      Similarity.recallAtK(approx.select("qid", "id"), exact.select("qid", "id"))
+    }),
     "d_minhash_neardup" -> ((s, dir) => {
       // MinHash+LSH near-dup pairs at Jaccard ≥ 0.25; the DuckDB oracle
       // replays the identical md5-48bit shingles + (a·x+b) mod 2^64
@@ -1510,14 +1524,7 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
-    "d_ann_topk" ->
-      """SELECT qid, id, rk FROM (
-        |  SELECT q.vec_id AS qid, c.vec_id AS id,
-        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rk
-        |  FROM embeddings c, embeddings q
-        |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
-        |WHERE rk <= 3""".stripMargin,
+    "d_ann_topk" -> OracleSql.annTopkSql, // shared with annRecall's exact arm
 
     // ---- fixture-gold oracles (aux tables; {{AUX}} substituted by Verify) ----
     // The NLP-core oracles re-derive the expected output from the generator's
@@ -1607,6 +1614,7 @@ object SparkEntry {
     "d_ann_ivf" -> OracleSql.annIvf,
     "d_ann_pq" -> OracleSql.annPq,
     "d_ann_ivfpq" -> OracleSql.annIvfPq,
+    "d_ann_recall" -> OracleSql.annRecall,
     "d_minhash_neardup" -> OracleSql.minhashNearDup,
     "d_simhash_neardup" -> OracleSql.simhashNearDup,
     "d_cosine_neardup" -> OracleSql.cosineNearDup,

@@ -409,4 +409,27 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Recall@k of an approximate ANN result against the exact baseline — the
+    * index-quality metric a production pipeline monitors whenever the IVF /
+    * PQ artifacts are rebuilt (probe count and cell count are tuned against
+    * exactly this number). Both inputs carry (qid, id) rows with ≤ k rows
+    * per qid (the shape of [[bruteForceTopK]] / [[ivfTopKAssigned]] /
+    * pqTopKEncoded output). Integer-exact per-mille recall (floor division)
+    * so the result is engine-reproducible bit-for-bit.
+    *
+    * Scale shape: one left-semi join on (qid, id) — both sides are
+    * (queries × k)-sized result tables, ≪ corpus — then two query-sized
+    * aggregates. Nothing corpus-sized moves. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select("qid", "id")
+      .join(approx.select("qid", "id"), Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    val totals = exact.groupBy("qid").agg(count(lit(1)).as("k"))
+    totals.join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k"),
+        expr("coalesce(hits, 0L) * 1000L div k").as("recall_permille"))
+  }
 }

@@ -41,7 +41,8 @@ object FleetProbe {
 
   final case class FleetRow(workers: Int, threads: Int, wall: Double,
                             cpuSec: Double, docs: Long, outerWall: Double,
-                            minWorkerWall: Double) {
+                            minWorkerWall: Double,
+                            minCpuUsPerDoc: Double = 0.0) {
     def dps: Double = docs / wall
     def cpuUsPerDoc: Double = cpuSec * 1e6 / docs
     /** min/max worker wall — well under 1.0 means the workers' measured
@@ -99,7 +100,12 @@ object FleetProbe {
           val outerWall = (System.nanoTime() - t0) / 1e9
           val row = FleetRow(w, threads, stats.map(_._1).max, stats.map(_._2).sum,
             w.toLong * docsPerWorker, outerWall, stats.map(_._1).min)
-          if (!best.contains(w) || row.dps > best(w).dps) best(w) = row
+          // per-size intrinsic CPU-us/doc: the MIN over rounds (additive
+          // noise ⇒ min = intrinsic, the same estimator as the Spark pair)
+          val prevMin = best.get(w).map(_.minCpuUsPerDoc).filter(_ > 0)
+          val minCpu = math.min(row.cpuUsPerDoc, prevMin.getOrElse(Double.MaxValue))
+          val kept = if (!best.contains(w) || row.dps > best(w).dps) row else best(w)
+          best(w) = kept.copy(minCpuUsPerDoc = minCpu)
           if (!quiet)
             println(f"[fleetprobe] round=$round workers=$w%2d x $threads threads  wall=${row.wall}%7.2f s (outer $outerWall%.2f, overlap ${row.overlap}%.2f)  docs=${row.docs}%7d  agg-docs/s=${row.dps}%8.0f  cpu-us/doc=${row.cpuUsPerDoc}%7.1f")
       }

@@ -670,6 +670,17 @@ class DatapipeSpec extends AnyFunSuite {
     assert(chainOut(1L) && !chainOut(2L) && !chainOut(3L))
   }
 
+  test("recallAtK: per-query integer per-mille against a known overlap") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+                    (2L, 20L), (2L, 21L), (2L, 22L)).toDF("qid", "id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L),   // 2/3 for qid 1
+                     (2L, 30L), (2L, 31L), (2L, 32L)).toDF("qid", "id") // 0/3 for qid 2
+    val got = Similarity.recallAtK(approx, exact)
+      .select("qid", "hits", "k", "recall_permille")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, 2L, 3L, 666L), (2L, 0L, 3L, 0L)))
+  }
+
   test("bpe merge pairs: counts weighted by word frequency, deterministic rank") {
     val df = Seq(
       (0L, "ab ab abc"),  // ab:2, abc:1 -> pairs ab:3, bc:1
