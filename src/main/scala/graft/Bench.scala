@@ -211,7 +211,15 @@ object Bench {
     // ratios commute with the noise — the round-4 variance fix is SHORTER
     // rounds × MORE rounds, same total cost, much tighter ratio spread.
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "40000").toInt
-    val parts = 8 * cpus // enough splits for both levels; identical input layout
+    // 2×cpus splits (identical input layout at every level): two balanced
+    // waves at the widest level with ~125 ms tasks. The old 8×cpus = 256
+    // splits made ~2 ms tasks whose fixed start-up cost (closure deser +
+    // broadcast-block read lock + metrics) CONTENDS at 32 concurrent starts
+    // — tools/ScaleWhere's gen-only variant showed ~1.2 s of pure
+    // task-machinery CPU inflation at the 32 level, ~10% of the job, billed
+    // to whichever level runs wider. A real executor fleet sizes partitions
+    // to ~128 MB of real work; task-per-2ms is a toy-scale artifact.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", (2 * cpus).toString).toInt
     // Warmup sized to settle each fresh session's JIT re-profiling + executor
     // pool + allocator before its timed run. Default = the timed size itself:
     // tools/ScaleWhere showed a full-size warm run in the same session reads
