@@ -294,6 +294,30 @@ ${ccClosureCtes}
       |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
       |WHERE rk <= 3""".stripMargin
 
+  /** SQ8 replay (Similarity.sq8Encode/sq8TopKEncoded): re-derive the int8
+    * codes from the raw floats (round is half-away-from-zero in BOTH engines,
+    * and the scale division is the same IEEE double expression), integer dot,
+    * rank by the de-quantized double score with id tiebreak. */
+  def annSq8: String = {
+    def enc(src: String, idAs: String) =
+      s"""SELECT $idAs, CASE WHEN m = 0 THEN 1.0 ELSE m END AS s,
+         |    list_transform(vec, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / (CASE WHEN m = 0 THEN 1.0 ELSE m END)) AS BIGINT)) AS cds
+         |  FROM (SELECT vec_id, embedding AS vec,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM embeddings WHERE $src)""".stripMargin
+    s"""WITH enc AS (${enc("vec_id >= 5", "vec_id AS id")}),
+       |qenc AS (${enc("vec_id < 5", "vec_id AS qid")}),
+       |sc AS (SELECT q.qid, e.id,
+       |    list_reduce(list_transform(range(1, len(e.cds)+1), j -> q.cds[j] * e.cds[j]), (a, b) -> a + b) AS idot,
+       |    q.s * e.s * list_reduce(list_transform(range(1, len(e.cds)+1), j -> q.cds[j] * e.cds[j]), (a, b) -> a + b) AS score
+       |  FROM enc e CROSS JOIN qenc q)
+       |SELECT qid, id, idot, rk FROM (
+       |  SELECT qid, id, idot,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+       |  FROM sc)
+       |WHERE rk <= 3""".stripMargin
+  }
+
   def annIvfPq: String = {
     def sqC(v: String) =
       s"(CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE)) * (CAST(ct.cent[j] AS DOUBLE) - CAST($v[j] AS DOUBLE))"
@@ -621,6 +645,37 @@ ${ccClosureCtes}
       |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok FROM documents)
       |  GROUP BY tok)
       |WHERE rk <= 20""".stripMargin
+
+  /** Bigram-LM surprise replay (TextQuality.lmPerplexity): same train slice
+    * (48-bit hash bucket < 8000 bp, salt "lmtrain"), same `['<s>'] ++ tokens`
+    * sequences, add-one bigram model, µ-log scoring. The log values come
+    * from the aux `lm_logtab` — the engine's own floor(1e6·ln n) table — so
+    * both sides share ONE log definition; everything downstream of the table
+    * lookup is integer arithmetic (difference, sum, floor division). */
+  def lmPerplexity: String =
+    s"""WITH seqs AS (SELECT doc_id,
+       |    list_concat(['<s>'], list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS seq
+       |  FROM documents),
+       |train AS (SELECT * FROM seqs WHERE ${h48("'lmtrain:' || CAST(doc_id AS VARCHAR)")} % 10000 < 8000),
+       |logt AS (SELECT n, l FROM read_parquet('{{AUX}}/lm_logtab/*.parquet')),
+       |uni0 AS (SELECT tok, COUNT(*) AS c1 FROM (SELECT unnest(seq) AS tok FROM train) GROUP BY tok),
+       |vv AS (SELECT COUNT(*) AS v FROM uni0),
+       |uni AS (SELECT tok, l AS lb FROM uni0, vv, logt WHERE logt.n = uni0.c1 + vv.v),
+       |tp AS (SELECT seq[i] AS w1, seq[i+1] AS w2 FROM train, unnest(generate_series(1, len(seq)-1)) AS t(i)),
+       |bi0 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tp GROUP BY w1, w2),
+       |bi AS (SELECT w1, w2, l AS la FROM bi0, logt WHERE logt.n = bi0.c2 + 1),
+       |lv AS (SELECT l AS lbv FROM logt, vv WHERE logt.n = vv.v),
+       |pairs AS (SELECT doc_id, seq[i] AS w1, seq[i+1] AS w2
+       |  FROM seqs, unnest(generate_series(1, len(seq)-1)) AS t(i)),
+       |scored AS (SELECT p.doc_id,
+       |    COALESCE(u.lb, (SELECT lbv FROM lv)) - COALESCE(b.la, 0) AS cost
+       |  FROM pairs p
+       |  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+       |  LEFT JOIN uni u ON p.w1 = u.tok)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(cost) AS BIGINT) AS nll_micro,
+       |  CAST(SUM(cost) // COUNT(*) AS BIGINT) AS ppl_micro
+       |FROM scored GROUP BY doc_id""".stripMargin
 
   def cosineNearDup: String =
     """WITH planes AS (SELECT plane_id, plane FROM read_parquet('{{AUX}}/lsh_planes/*.parquet')),

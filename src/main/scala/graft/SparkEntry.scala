@@ -861,6 +861,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextQuality.tokenCount(col("text")).as("n_tokens"))
     }),
+    "d_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style bigram-LM quality score: model trained on a deterministic
+      // 80% hash slice, every doc scored by integer µ-log NLL (add-one
+      // smoothing); filter high ppl_micro to drop OOD/gibberish docs
+      TextQuality.lmPerplexity(t(s, dir, "documents"))
+    }),
     "d_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextQuality.fingerprint(col("text")).as("fp"))
@@ -924,6 +930,17 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.bruteForceTopK(e.filter(col("vec_id") >= 5), "vec_id", "embedding", q, "qid", "qvec", 3)
         .select(col("qid"), col("id"), col("rk"))
+    }),
+    "d_ann_sq8" -> ((s, dir) => {
+      // int8 scalar-quantized top-3: codes+scale are the write-time artifact
+      // (4x smaller than float32); ranking is an integer dot product
+      // de-quantized by two per-row scales. Oracle re-derives the codes from
+      // the raw floats (round parity) and replays the integer ranking.
+      val e = t(s, dir, "embeddings")
+      val enc = Similarity.sq8Encode(e.filter(col("vec_id") >= 5), "embedding")
+        .select(col("vec_id"), col("sq8_scale"), col("sq8_codes"))
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.sq8TopKEncoded(enc, "vec_id", q, "vec_id", "embedding", k = 3)
     }),
     "d_ann_ivf" -> ((s, dir) => {
       // IVF approximate variant — the scale path: the k-means index (centroids
@@ -1370,6 +1387,11 @@ object SparkEntry {
       Similarity.centroids(corpus, "vec_id", "embedding", nCells = 16)
         .map { case (c, v) => (c, v.toSeq) }.toSeq.toDF("cell", "cent")
     }),
+    "lm_logtab" -> ((s, dir) => {
+      // µ-log table 1..(max c1 + V) — the engine's own fixed-point log values,
+      // so the d_lm_perplexity oracle never depends on DuckDB's ln ULP
+      TextQuality.lmLogTable(t(s, dir, "documents"))
+    }),
     "pq_codebooks" -> ((s, dir) => {
       import s.implicits._
       // THE books d_ann_pq used — the session-cached pqIndex artifact, not a
@@ -1525,6 +1547,7 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
     "d_ann_topk" -> OracleSql.annTopkSql, // shared with annRecall's exact arm
+    "d_ann_sq8" -> OracleSql.annSq8,
 
     // ---- fixture-gold oracles (aux tables; {{AUX}} substituted by Verify) ----
     // The NLP-core oracles re-derive the expected output from the generator's
@@ -1626,6 +1649,7 @@ object SparkEntry {
     "d_rep_topgram" -> OracleSql.repetitionSignals,
     "d_c4_filter" -> OracleSql.c4Filter,
     "d_hash_sample" -> OracleSql.hashSample,
+    "d_lm_perplexity" -> OracleSql.lmPerplexity,
     "d_exact_k_sample" -> OracleSql.exactKSample,
     "d_neardup_clusters" -> OracleSql.nearDupClusters,
     "d_vocab_topk" -> OracleSql.vocabTopK,

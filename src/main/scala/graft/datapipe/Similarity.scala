@@ -357,6 +357,52 @@ object Similarity {
       .select(col("qid"), col("id"), col("adc"), col("rk"))
   }
 
+  // ---------- scalar quantization (SQ8) ----------
+
+  /** INT8 scalar quantization of the embedding column — the memory-bound
+    * companion to PQ: one signed byte per dimension plus one per-vector
+    * scale (4× smaller than float32 and integer-SIMD-friendly, vs PQ's
+    * m bytes/row at coarser fidelity). `code_i = round(127 · v_i / s)` with
+    * `s = max_i |v_i|`, so codes span [-127, 127]; the all-zero vector gets
+    * s = 1 and all-zero codes. Write-time artifact: encode once at ingest,
+    * every query ranks from the codes — at 10^12 vectors the float32
+    * embeddings never need to be read again for search.
+    * Pure Catalyst HOFs (no UDF); round() is HALF_UP in both engines, so
+    * the DuckDB oracle re-derives identical codes from the same floats. */
+  def sq8Encode(corpus: DataFrame, vecCol: String): DataFrame = corpus
+    .withColumn("sq8_scale",
+      expr(s"aggregate($vecCol, 0D, (a, x) -> greatest(a, abs(cast(x as double))))"))
+    .withColumn("sq8_scale",
+      when(col("sq8_scale") === 0.0, lit(1.0)).otherwise(col("sq8_scale")))
+    .withColumn("sq8_codes",
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 127.0D / sq8_scale) as int))"))
+
+  /** Top-k per query over SQ8 codes: the integer dot product
+    * `idot = Σ qc_i · vc_i` is exact and order-independent; ranking uses
+    * `qs · vs · idot` (the de-quantized approximate dot — two per-row
+    * doubles whose product both engines compute identically), ties broken
+    * by id. Queries are quantized with the same encoder and broadcast;
+    * the corpus side streams codes only — the scan never touches the
+    * float32 column (`ReadSchema` prunes to id + scale + codes when the
+    * encoded table is materialized). */
+  def sq8TopKEncoded(encoded: DataFrame, idCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int): DataFrame = {
+    val q = sq8Encode(
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")), "qvec")
+      .select(col("qid"), col("sq8_scale").as("qs"), col("sq8_codes").as("qc"))
+    val c = encoded.select(col(idCol).as("id"),
+      col("sq8_scale").as("vs"), col("sq8_codes").as("vc"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("idot", expr(
+        "aggregate(zip_with(qc, vc, (x, y) -> cast(x as bigint) * cast(y as bigint)), 0L, (a, v) -> a + v)"))
+      .withColumn("score", col("qs") * col("vs") * col("idot"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("idot"), col("rk"))
+  }
+
   /** Deterministic seeded Gaussian hyperplanes (the LSH projection basis).
     * Exposed so Verify can dump them as an aux parquet — the DuckDB oracle
     * recomputes the exact signatures from the same planes. */

@@ -464,4 +464,93 @@ object TextQuality {
 
   def withLangId(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("lang_pred", langIdUdf(col(textCol)))
+
+  // ---------- bigram LM quality score (CCNet-style perplexity filter) ----------
+
+  /** µ-log: floor(1e6 · ln n) — the fixed-point log scale of the LM score.
+    * JVM-evaluated at MODEL build time only (one call per distinct
+    * token/bigram, never in the corpus-scale path); [[lmLogTable]] dumps the
+    * same values so the oracle shares one log definition instead of trusting
+    * cross-engine `ln` ULP agreement on floor boundaries. */
+  def logMicro(n: Long): Long = math.floor(math.log(n.toDouble) * 1e6).toLong
+  private val logMicroUdf = udf { (n: Long) => logMicro(n) }
+
+  /** `['<s>'] ++ whitespace-tokens(lower(text))` — the scored sequence.
+    * Same tokenization as [[vocabTopK]]/quality-basis (empties filtered). */
+  private def lmSeqs(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      concat(array(lit("<s>")),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("seq"))
+
+  /** Adjacent-token bigrams of each sequence: (id, w1, w2) rows. */
+  private def lmPairs(seqs: DataFrame, idCol: String): DataFrame = seqs
+    .select(col(idCol), explode(when(size(col("seq")) >= 2,
+        expr("transform(sequence(0, size(seq)-2), i -> struct(seq[i] AS w1, seq[i+1] AS w2))"))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+    .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Per-document bigram-LM "surprise" — the CCNet quality signal (Wenzek et
+    * al. 2020 §4.3, there via KenLM): train a count LM on a deterministic
+    * hash slice of the corpus (`trainBp` basis points, same 48-bit
+    * hash-bucket primitive as [[stratifiedHashSample]] — stable under
+    * retries/repartitioning), then score EVERY document by its mean
+    * per-bigram negative log-likelihood under add-one smoothing:
+    * `p(w2|w1) = (c2(w1,w2)+1) / (c1(w1)+V)`. Boilerplate, gibberish and
+    * out-of-distribution text score high `ppl_micro` and can be filtered.
+    *
+    * Integer-exact by construction: log-probabilities live on the µ-log
+    * scale ([[logMicro]]) ATTACHED TO THE MODEL ROWS at build time, and the
+    * per-pair cost is a difference of two integers,
+    * `L(c1(w1)+V) − L(c2(w1,w2)+1)` (≥ 0 since c2 ≤ c1 and V ≥ 1; unseen
+    * prefix costs the backoff constant L(V), unseen pair subtracts
+    * L(1) = 0). Per doc: `nll_micro = Σ cost`, `ppl_micro = nll_micro div
+    * n_bigrams` (floor division — both engines agree on non-negatives).
+    *
+    * Scale: the train slice is a narrow hash filter; both model builds are
+    * map-side-combined groupBys whose shuffles carry one row per DISTINCT
+    * token/bigram per partition; scoring is two equi-joins of the corpus
+    * bigram stream against vocab-sized models (AQE broadcasts them when
+    * small, sort-merge otherwise) and a per-doc partial agg — the full text
+    * never shuffles. At 10^12 docs prune the bigram model with `minCount`:
+    * unseen pairs already cost only the backoff term, so dropping
+    * low-count pairs perturbs scores minimally while bounding model size. */
+  def lmPerplexity(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                   trainBp: Int = 8000, minCount: Long = 1L,
+                   salt: String = "lmtrain"): DataFrame = {
+    require(trainBp > 0 && trainBp <= 10000, s"trainBp in (0, 10000], got $trainBp")
+    val seqs = lmSeqs(df, textCol, idCol)
+    val train = seqs.filter(hashBucket(col(idCol), salt) < lit(trainBp))
+    val uni0 = train.select(explode(col("seq")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    // V and the backoff constant L(V): two scalars (metadata-scale action)
+    val v = uni0.agg(count(lit(1))).first().getLong(0)
+    require(v > 0, "empty LM training slice — raise trainBp or check the corpus")
+    val lv = logMicro(v)
+    val uniM = uni0.select(col("tok").as("w1"), logMicroUdf(col("c1") + lit(v)).as("lb"))
+    val biM = lmPairs(train, idCol).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .select(col("w1"), col("w2"), logMicroUdf(col("c2") + lit(1L)).as("la"))
+    lmPairs(seqs, idCol)
+      .join(biM, Seq("w1", "w2"), "left")
+      .join(uniM, Seq("w1"), "left")
+      .withColumn("cost", coalesce(col("lb"), lit(lv)) - coalesce(col("la"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("nll_micro"))
+      .withColumn("ppl_micro", expr("nll_micro div n_bigrams"))
+  }
+
+  /** The µ-log table `1..(max c1 + V)` — every value [[lmPerplexity]] can
+    * look up. Oracle-parity scaffolding (dumped to `{{AUX}}/lm_logtab`):
+    * the engine computes L at model build time from the same [[logMicro]]. */
+  def lmLogTable(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                 trainBp: Int = 8000, salt: String = "lmtrain"): DataFrame = {
+    val train = lmSeqs(df, textCol, idCol).filter(hashBucket(col(idCol), salt) < lit(trainBp))
+    val uni0 = train.select(explode(col("seq")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val r = uni0.agg(count(lit(1)), max("c1")).first()
+    val maxN = r.getLong(1) + r.getLong(0)
+    df.sparkSession.range(1, maxN + 1)
+      .select(col("id").as("n"), logMicroUdf(col("id")).as("l"))
+  }
 }

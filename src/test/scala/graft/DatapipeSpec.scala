@@ -690,4 +690,132 @@ class DatapipeSpec extends AnyFunSuite {
       .select("pair", "cnt", "rk").as[(String, Long, Int)].collect().toList
     assert(out === List(("ab", 4L, 1), ("bc", 1L, 2)))
   }
+
+  test("sq8: encode bounds, zero-vector guard, top-k matches scalar re-derivation") {
+    val r = new Random(17)
+    val dim = 16
+    val corpus = (10L until 40L).map(i => (i, Array.fill(dim)((r.nextFloat() - 0.5f) * 2f)))
+    val zero = Seq((99L, Array.fill(dim)(0f)))
+    val queries = (0L until 3L).map(i => (i, Array.fill(dim)((r.nextFloat() - 0.5f) * 2f)))
+    val cdf = (corpus ++ zero).toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+
+    val enc = Similarity.sq8Encode(cdf, "embedding")
+      .select("vec_id", "sq8_scale", "sq8_codes")
+      .as[(Long, Double, Seq[Int])].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // scalar encoder (same formula)
+    def encode(v: Array[Float]): (Double, Seq[Int]) = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      val s = if (m == 0.0) 1.0 else m
+      (s, v.toSeq.map(x => BigDecimal(x.toDouble * 127.0 / s)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt))
+    }
+    (corpus ++ zero).foreach { case (id, v) =>
+      val (s, codes) = encode(v)
+      assert(enc(id)._1 === s)
+      assert(enc(id)._2 === codes)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+    }
+    assert(enc(99L) === ((1.0, Seq.fill(dim)(0))))
+
+    val got = Similarity.sq8TopKEncoded(
+        Similarity.sq8Encode(cdf, "embedding").select(col("vec_id"), col("sq8_scale"), col("sq8_codes")),
+        "vec_id", qdf, "vec_id", "embedding", k = 3)
+      .select("qid", "id", "idot", "rk").as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toList).toMap
+    val expected = queries.map { case (qid, qv) =>
+      val (qs, qc) = encode(qv)
+      val scored = (corpus ++ zero).map { case (id, v) =>
+        val (vs, vc) = encode(v)
+        val idot = qc.zip(vc).map { case (a, b) => a.toLong * b }.sum
+        (id, idot, qs * vs * idot)
+      }
+      qid -> scored.sortBy { case (id, _, sc) => (-sc, id) }.take(3)
+        .map(t => (t._1, t._2)).toList
+    }.toMap
+    assert(got === expected)
+  }
+
+  /** Independent scalar re-derivation of the bigram-LM score: add-one
+    * smoothing over `['<s>'] ++ tokens`, µ-log cost per pair. */
+  private def naiveLm(rows: Seq[(Long, String)], trainIds: Set[Long])
+      : Map[Long, (Long, Long, Long)] = {
+    def sq(t: String): Seq[String] =
+      "<s>" +: t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    rows.filter(r => trainIds(r._1)).foreach { case (_, t) =>
+      val s = sq(t)
+      s.foreach(w => uni(w) += 1)
+      s.sliding(2).filter(_.length == 2).foreach(p => bi((p(0), p(1))) += 1)
+    }
+    val v = uni.size.toLong
+    rows.flatMap { case (id, t) =>
+      val pairs = sq(t).sliding(2).filter(_.length == 2).toSeq
+      if (pairs.isEmpty) None
+      else {
+        val costs = pairs.map { p =>
+          TextQuality.logMicro(uni(p(0)) + v) - TextQuality.logMicro(bi((p(0), p(1))) + 1)
+        }
+        Some(id -> ((pairs.size.toLong, costs.sum, costs.sum / pairs.size)))
+      }
+    }.toMap
+  }
+
+  /** An id PROVABLY outside the 80% train slice (same hash as the engine),
+    * so its doc contributes nothing to the model — pure backoff costs. */
+  private lazy val oodId: Long = (300L until 400L)
+    .find(i => Dedup.hash48(s"lmtrain:$i") % 10000L >= 8000L).get
+
+  private lazy val lmCorpus: Seq[(Long, String)] = {
+    val r = new Random(11)
+    val vocab = (0 until 25).map(i => s"t$i")
+    (0 until 60).map { i =>
+      (i.toLong, (0 until 5 + r.nextInt(20)).map(_ => vocab(r.nextInt(vocab.length))).mkString(" "))
+    } ++ Seq(
+      (200L, ""),                      // no tokens -> excluded from the output
+      (201L, "   "),                   // whitespace-only -> excluded
+      (oodId, "zz qq zz"))             // held-out AND fully unseen tokens
+  }
+
+  test("lm perplexity matches a scalar re-derivation (counts, backoff, integer div)") {
+    val df = lmCorpus.toDF("doc_id", "text")
+    val trainIds = df
+      .filter(org.apache.spark.sql.functions.pmod(
+        Dedup.hash48Col(concat(lit("lmtrain:"), col("doc_id").cast("string"))), lit(10000L)) < 8000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(trainIds.nonEmpty && trainIds.size < lmCorpus.size) // a real split
+    val expected = naiveLm(lmCorpus, trainIds)
+    val got = TextQuality.lmPerplexity(df)
+      .select("doc_id", "n_bigrams", "nll_micro", "ppl_micro")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected)
+    assert(!got.contains(200L) && !got.contains(201L)) // token-free docs drop out
+    // held-out OOD doc: unseen prefixes cost exactly the backoff constant L(V)
+    val v = trainIds.toSeq.flatMap(id => lmCorpus.find(_._1 == id)).flatMap { case (_, t) =>
+      "<s>" +: t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.distinct.size.toLong
+    val (nb, nll, _) = got(oodId)
+    assert(nb === 3L) // <s>-zz, zz-qq, qq-zz
+    // pairs 2 and 3 have unseen prefixes (zz, qq): cost = L(0 + V) - L(0 + 1)
+    assert(nll >= 2 * TextQuality.logMicro(v))
+  }
+
+  test("lm log table covers every lookup and matches logMicro") {
+    val df = lmCorpus.toDF("doc_id", "text")
+    val tab = TextQuality.lmLogTable(df).as[(Long, Long)].collect().sortBy(_._1)
+    assert(tab.head === ((1L, 0L)))
+    tab.foreach { case (n, l) => assert(l === TextQuality.logMicro(n)) }
+    // bound: covers max unigram count + V of the same train slice
+    val trainIds = df
+      .filter(org.apache.spark.sql.functions.pmod(
+        Dedup.hash48Col(concat(lit("lmtrain:"), col("doc_id").cast("string"))), lit(10000L)) < 8000)
+      .select("doc_id").as[Long].collect().toSet
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    lmCorpus.filter(r => trainIds(r._1)).foreach { case (_, t) =>
+      ("<s>" +: t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).foreach(w => uni(w) += 1)
+    }
+    assert(tab.last._1 === uni.values.max + uni.size)
+  }
 }
