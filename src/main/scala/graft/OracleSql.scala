@@ -492,6 +492,14 @@ ${ccClosureCtes}
   /** Deterministic stratified hash sample: md5-fold bucket of 'sample:doc_id'
     * under a per-language rate (en downsampled 4×) — TextQuality
     * .stratifiedHashSample semantics. */
+  /** Epoch-shuffle replay: the same seeded 48-bit hash ("epoch0:" salt),
+    * shard = h mod nShards, within-shard (h, id) rank. */
+  def shuffleEpoch(nShards: Int = 8): String =
+    s"""SELECT doc_id, CAST(h % $nShards AS INT) AS shard,
+       |  ROW_NUMBER() OVER (PARTITION BY h % $nShards ORDER BY h, doc_id) AS pos
+       |FROM (SELECT doc_id, ${h48("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS h
+       |      FROM documents)""".stripMargin
+
   def hashSample: String =
     s"""SELECT doc_id, lang, source
        |FROM documents

@@ -886,6 +886,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("dup_count"), min("doc_id").as("keep_id"))
         .filter(col("dup_count") > 1)
     }),
+    "d_incr_dedup" -> ((s, dir) => {
+      // incremental ingest dedup: the batch (doc_id >= 250) is admitted
+      // against the fingerprint STORE of already-ingested history
+      // (doc_id < 250, hashes only); same prefix fingerprint as
+      // d_exact_dup_groups so the overlap is real. Admitted (doc_id, fp)
+      // rows are the store delta for the next epoch.
+      val docs = t(s, dir, "documents")
+      val fpx = md5(substring(col("text"), 1, 30))
+      val history = docs.filter(col("doc_id") < 250).select(fpx.as("fp"))
+      val batch = docs.filter(col("doc_id") >= 250).select(col("doc_id"), col("text"))
+      Dedup.incrementalDedup(history, batch, "doc_id", fpx)
+        .select(col("doc_id"), col("fp"))
+    }),
     "d_exact_dedup_keep" -> ((s, dir) => {
       // keep-one-representative dedup (window form; min doc_id wins) on the
       // same prefix fingerprint as d_exact_dup_groups
@@ -1178,6 +1191,18 @@ object SparkEntry {
       Mix.apply(docs, "doc_id", "lang",
           Mix.plan(docs, "lang", "text", mixWeights, 20000L))
         .select("doc_id", "lang", "source")
+    }),
+    "d_shuffle_epoch" -> ((s, dir) => {
+      // deterministic epoch shuffle: seeded-hash permutation into 8 shards
+      // (shard = hash mod 8, pos = within-shard (hash, id) rank) — the
+      // reproducible training-order shuffle; no global window by design
+      TextQuality.epochShuffle(t(s, dir, "documents"), "doc_id", nShards = 8, epoch = 0)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+    "d_mix_temperature" -> ((s, dir) => {
+      // temperature-scaled mixture weights (α = 1/2 via IEEE sqrt): flattens
+      // head languages, boosts the tail; output feeds Mix.plan as weightsBp
+      Mix.temperatureWeightsBp(t(s, dir, "documents"), "lang", "text", sqrtIters = 1)
     }),
     "d_pack_fill" -> ((s, dir) => {
       // per-chunk fill: docs contributing and slots filled (bounded explode —
@@ -1649,7 +1674,30 @@ object SparkEntry {
     "d_rep_topgram" -> OracleSql.repetitionSignals,
     "d_c4_filter" -> OracleSql.c4Filter,
     "d_hash_sample" -> OracleSql.hashSample,
+    "d_shuffle_epoch" -> OracleSql.shuffleEpoch(8),
     "d_lm_perplexity" -> OracleSql.lmPerplexity,
+    "d_mix_temperature" ->
+      """WITH stats AS (
+        |  SELECT lang AS stratum,
+        |    CAST(SUM(COALESCE(len(string_split_regex(trim(text), '\s+')), 0)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |s2 AS (SELECT stratum, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM stats),
+        |d AS (SELECT list_reduce(
+        |        list_prepend(0.0, list_transform(
+        |          list_sort(list(struct_pack(stratum := stratum, w := w))), s -> s.w)),
+        |        (a, b) -> a + b) AS denom FROM s2)
+        |SELECT stratum, n_tokens,
+        |  CASE WHEN d.denom > 0 THEN CAST(floor(10000.0 * w / d.denom) AS BIGINT)
+        |       ELSE 0 END AS weight_bp
+        |FROM s2, d""".stripMargin,
+    "d_incr_dedup" ->
+      """WITH h AS (SELECT DISTINCT md5(substr(text, 1, 30)) AS fp
+        |           FROM documents WHERE doc_id < 250),
+        |k AS (SELECT doc_id, fp FROM (
+        |  SELECT doc_id, md5(substr(text, 1, 30)) AS fp,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 30)) ORDER BY doc_id) AS rk
+        |  FROM documents WHERE doc_id >= 250) WHERE rk = 1)
+        |SELECT k.doc_id, k.fp FROM k LEFT JOIN h ON k.fp = h.fp WHERE h.fp IS NULL""".stripMargin,
     "d_exact_k_sample" -> OracleSql.exactKSample,
     "d_neardup_clusters" -> OracleSql.nearDupClusters,
     "d_vocab_topk" -> OracleSql.vocabTopK,

@@ -37,6 +37,30 @@ object Dedup {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
   }
 
+  // ---------- incremental ingest dedup ----------
+
+  /** Incremental ingest dedup — the production shape at 10^12 docs: the
+    * corpus is NEVER re-deduped; each ingest batch is admitted against the
+    * historical FINGERPRINT store (hashes only, never text). A batch row is
+    * admitted iff its fingerprint is (a) first within the batch (min id
+    * wins) and (b) absent from `history`. Returns the admitted rows with
+    * their `fp` column — exactly the delta to append back to the store, so
+    * per-batch cost is O(batch) regardless of corpus size.
+    *
+    * Scale: the keep-one window shuffles (fp, id, row) per BATCH row only;
+    * the anti-join is fp-equi — keep the fingerprint store bucketed on fp
+    * (TableFormat) so the sort-merge co-locates without re-shuffling
+    * history, or let AQE broadcast the batch side (the small side of an
+    * ingest by construction). Composes with the snapshot log: admitted fps
+    * append as one new dir per epoch (`Snapshots.commit`). */
+  def incrementalDedup(history: DataFrame, batch: DataFrame,
+                       idCol: String, fp: Column): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    batch.withColumn("fp", fp)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+      .join(history.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+  }
+
   // ---------- shingling + MinHash ----------
 
   /** Tokenization shared by every shingling op: lowercase, whitespace split,

@@ -53,6 +53,39 @@ object Mix {
         "rate_bp", "planned_tokens", "capped")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * rebalance of mT5/XLM-R (Xue et al. 2021 §3.1; Conneau et al. 2020
+    * §3.1): `weight_s ∝ n_tokens_s^α` flattens the head strata and boosts
+    * the tail, with α = (1/2)^sqrtIters. α is restricted to powers of 1/2
+    * because k-fold `sqrt` is IEEE correctly-rounded in EVERY engine —
+    * bit-identical and DuckDB-replayable — while `pow(x, 0.3)` is
+    * libm-dependent. Output is floored basis points (Σ ≤ 10⁴), exactly the
+    * `weightsBp` input of [[plan]].
+    *
+    * Scale shape: one map-side-combined groupBy to stratum stats (≪
+    * corpus); the normalizing sum folds a SINGLE strata-sized collected
+    * array in sorted-stratum order, so the double addition order is fixed
+    * and engine-stable (the "sequential double fold" convention). */
+  def temperatureWeightsBp(df: DataFrame, stratumCol: String, textCol: String,
+                           sqrtIters: Int = 1): DataFrame = {
+    require(sqrtIters >= 0 && sqrtIters <= 4, s"sqrtIters in [0,4], got $sqrtIters")
+    val wExpr = (0 until sqrtIters)
+      .foldLeft("cast(n_tokens as double)")((e, _) => s"sqrt($e)")
+    val scaled = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(coalesce(TextQuality.tokenCount(col(textCol)).cast("long"), lit(0L)))
+        .as("n_tokens"))
+      .withColumn("w", expr(wExpr))
+    val denom = scaled.agg(expr(
+      "aggregate(array_sort(collect_list(struct(stratum, w))), 0D, (a, s) -> a + s.w)")
+      .as("denom"))
+    scaled.crossJoin(broadcast(denom))
+      .withColumn("weight_bp",
+        when(col("denom") > 0.0,
+          floor(lit(10000.0) * col("w") / col("denom")).cast("long"))
+          .otherwise(lit(0L)))
+      .select("stratum", "n_tokens", "weight_bp")
+  }
+
   /** Apply a plan: keep each doc iff its deterministic hash bucket clears its
     * stratum's rate. Docs in unplanned strata are dropped (rate 0). */
   def apply(df: DataFrame, idCol: String, stratumCol: String,

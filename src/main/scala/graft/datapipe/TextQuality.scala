@@ -208,6 +208,30 @@ object TextQuality {
   private def hashBucketRaw(id: Column, salt: String): Column =
     Dedup.hash48Col(concat(lit(salt + ":"), id.cast("string")))
 
+  /** Deterministic epoch shuffle — the training-data "random shuffle" that
+    * is reproducible, retry-stable and resumable: each doc draws a seeded
+    * 48-bit hash; the permutation is `(shard, pos)` with
+    * `shard = hash mod nShards` and `pos` = the rank of (hash, id) within
+    * the shard — the order a loader consuming shard files sequentially
+    * sees. Different epochs salt the hash differently → independent
+    * permutations from the same immutable corpus, no stored state.
+    *
+    * Scale: deliberately NOT a global `row_number` (an unpartitioned window
+    * serializes the corpus through one task — the classic trap): one
+    * Exchange on `shard` + per-shard sort, with nShards sized to the
+    * cluster so each shard is corpus/nShards docs and becomes one output
+    * file. Only (id, hash) pairs shuffle; text stays columnar. */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int, epoch: Int = 0,
+                   salt: String = "epoch"): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_es_h").asc, col(idCol).asc)
+    df.withColumn("_es_h", hashBucketRaw(col(idCol), s"$salt$epoch"))
+      .withColumn("shard", pmod(col("_es_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("_es_h")
+  }
+
   /** Stratified deterministic sample: keep a row iff its hash bucket falls
     * under the per-row rate (basis points), which may depend on strata
     * columns — e.g. downsample a dominant language while keeping the tail

@@ -691,6 +691,83 @@ class DatapipeSpec extends AnyFunSuite {
     assert(out === List(("ab", 4L, 1), ("bc", 1L, 2)))
   }
 
+  test("epoch shuffle: permutation is deterministic, complete, epoch-independent") {
+    val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val e0 = TextQuality.epochShuffle(df, "doc_id", nShards = 4, epoch = 0)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // complete: every doc exactly once; per-shard positions contiguous from 1
+    assert(e0.map(_._1).sorted.toSeq === (0L until 200L))
+    e0.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // matches the scalar re-derivation from the same hash
+    val expected = (0L until 200L).map { i =>
+      (i, Dedup.hash48(s"epoch0:$i"))
+    }.groupBy(_._2 % 4).flatMap { case (sh, rows) =>
+      rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case ((id, _), k) => (id, sh.toInt, k + 1) }
+    }.toSet
+    assert(e0.toSet === expected)
+    // re-run identical; a different epoch is a different permutation
+    val e0b = TextQuality.epochShuffle(df, "doc_id", nShards = 4, epoch = 0)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(e0b.toSet === e0.toSet)
+    val e1 = TextQuality.epochShuffle(df, "doc_id", nShards = 4, epoch = 1)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(e1.toSet !== e0.toSet)
+    assert(e1.map(_._1).sorted.toSeq === (0L until 200L))
+  }
+
+  test("temperature mixture weights: sqrt flattening matches scalar math, feeds plan") {
+    import graft.datapipe.Mix
+    // head stratum 16x the tail: α=1/2 compresses the ratio to 4x
+    val df = Seq(
+      (0L, "big", ("w " * 1600).trim),
+      (1L, "mid", ("w " * 400).trim),
+      (2L, "sml", ("w " * 100).trim)).toDF("doc_id", "lang", "text")
+    val got = Mix.temperatureWeightsBp(df, "lang", "text", sqrtIters = 1)
+      .select("stratum", "n_tokens", "weight_bp")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // scalar: sqrt sums folded in sorted-stratum order (big, mid, sml)
+    val ws = Seq("big" -> 1600L, "mid" -> 400L, "sml" -> 100L)
+      .map { case (s, n) => (s, n, math.sqrt(n.toDouble)) }
+    val denom = ws.sortBy(_._1).foldLeft(0.0)((a, t) => a + t._3)
+    ws.foreach { case (s, n, w) =>
+      assert(got(s) === ((n, math.floor(10000.0 * w / denom).toLong)))
+    }
+    // 40:20:10 -> 5714/2857/1428 bp; ratio head:tail is 4x, not 16x
+    assert(got("big")._2 === 5714L && got("mid")._2 === 2857L && got("sml")._2 === 1428L)
+    assert(got.values.map(_._2).sum <= 10000L)
+    // α=1 (sqrtIters=0) degenerates to proportional weights
+    val prop = Mix.temperatureWeightsBp(df, "lang", "text", sqrtIters = 0)
+      .select("stratum", "weight_bp").as[(String, Long)].collect().toMap
+    assert(prop("big") === 7619L && prop("sml") === 476L) // 1600/2100, 100/2100
+    // the output is plan()'s weightsBp input
+    val plan = Mix.plan(df, "lang", "text",
+      got.map { case (s, (_, bp)) => s -> bp }, budgetTokens = 1000L)
+    assert(plan.count() === 3L)
+  }
+
+  test("incremental dedup: batch-first wins, history fingerprints block admission") {
+    // history texts A,B already ingested; batch has a dup-of-A, an internal
+    // dup pair (C,C), and a fresh D
+    val history = Seq((0L, "AAAA"), (1L, "BBBB")).toDF("doc_id", "text")
+      .select(md5(col("text")).as("fp"))
+    val batch = Seq((10L, "AAAA"), (11L, "CCCC"), (12L, "CCCC"), (13L, "DDDD"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(history, batch, "doc_id", md5(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(11L, 13L)) // A blocked by history; 11 beats 12; D fresh
+    // the returned fp column is the store delta: re-running the NEXT batch
+    // against history + delta blocks re-admission of C and D
+    val delta = Dedup.incrementalDedup(history, batch, "doc_id", md5(col("text")))
+      .select("fp")
+    val batch2 = Seq((20L, "CCCC"), (21L, "DDDD"), (22L, "EEEE")).toDF("doc_id", "text")
+    val got2 = Dedup.incrementalDedup(history.union(delta), batch2, "doc_id", md5(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 === Set(22L))
+  }
+
   test("sq8: encode bounds, zero-vector guard, top-k matches scalar re-derivation") {
     val r = new Random(17)
     val dim = 16
