@@ -500,6 +500,24 @@ ${ccClosureCtes}
        |FROM (SELECT doc_id, ${h48("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS h
        |      FROM documents)""".stripMargin
 
+  /** Winnowing replay (Dedup.winnowFingerprints k=3, w=4): token 3-gram
+    * 48-bit hashes, 4-wide sliding min with rightmost tie-break via
+    * min(struct(h, -pos)), full windows only, distinct selections. */
+  def winnow: String =
+    s"""WITH seq AS (SELECT doc_id, toks FROM (
+       |    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+       |    FROM documents) WHERE len(toks) >= 3),
+       |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+2], ' ') AS gram
+       |      FROM seq, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+       |hx AS (SELECT doc_id, pos, ${h48("gram")} AS hv FROM g),
+       |wm AS (SELECT doc_id, pos,
+       |    MIN(struct_pack(h := hv, np := -pos)) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+       |  FROM hx)
+       |SELECT DISTINCT doc_id, sel.h AS fp_hash, CAST(-sel.np AS INT) AS fp_pos
+       |FROM wm WHERE pos >= 3""".stripMargin
+
   def hashSample: String =
     s"""SELECT doc_id, lang, source
        |FROM documents

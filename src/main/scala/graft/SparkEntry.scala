@@ -886,6 +886,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("dup_count"), min("doc_id").as("keep_id"))
         .filter(col("dup_count") > 1)
     }),
+    "d_chunk_overlap" -> ((s, dir) => {
+      // RAG/long-context overlapping windows (size 128, stride 96): boundary
+      // manifest per doc; narrow per-row explode, no shuffle
+      Pack.overlapChunks(t(s, dir, "documents"), "doc_id", "text", size = 128, stride = 96)
+    }),
+    "d_winnow" -> ((s, dir) => {
+      // MOSS winnowing fingerprints (k=3-gram hashes, w=4 windows): the
+      // partial-overlap dedup index — ~2/(w+1) of grams kept with the
+      // shared-run guarantee; per-doc sliding window, never global
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+    }),
     "d_incr_dedup" -> ((s, dir) => {
       // incremental ingest dedup: the batch (doc_id >= 250) is admitted
       // against the fingerprint STORE of already-ingested history
@@ -1675,6 +1686,18 @@ object SparkEntry {
     "d_c4_filter" -> OracleSql.c4Filter,
     "d_hash_sample" -> OracleSql.hashSample,
     "d_shuffle_epoch" -> OracleSql.shuffleEpoch(8),
+    "d_winnow" -> OracleSql.winnow,
+    "d_chunk_overlap" ->
+      """WITH nn AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n, CAST(i AS INT) AS chunk_id
+        |      FROM (SELECT * FROM nn WHERE n > 0),
+        |           unnest(generate_series(0, greatest(0, (n - 128 + 96 - 1) // 96))) AS t(i))
+        |SELECT doc_id, chunk_id,
+        |  CAST(chunk_id * 96 AS INT) AS start_tok,
+        |  CAST(least(chunk_id * 96 + 128, n) AS INT) AS end_tok,
+        |  CAST(least(chunk_id * 96 + 128, n) - chunk_id * 96 AS INT) AS n_toks
+        |FROM c""".stripMargin,
     "d_lm_perplexity" -> OracleSql.lmPerplexity,
     "d_mix_temperature" ->
       """WITH stats AS (

@@ -61,6 +61,42 @@ object Dedup {
       .join(history.select(col("fp")).distinct(), Seq("fp"), "left_anti")
   }
 
+  // ---------- winnowing fingerprints (MOSS) ----------
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    * §3, the MOSS algorithm): hash every token k-gram, slide a w-wide
+    * window over the hash sequence, keep each window's MINIMUM hash
+    * (rightmost occurrence on ties), emit the distinct (hash, pos)
+    * selections. The winnowing guarantee: any shared run of ≥ w+k-1 tokens
+    * yields at least one IDENTICAL selected fingerprint in both documents,
+    * while only ~2/(w+1) of all grams are kept — so the partial-overlap
+    * index at 10^12 docs is w-fold smaller than an all-grams posting list
+    * and the cross-doc join runs on the winnowed set only.
+    *
+    * Scale: the sliding window is PARTITIONED BY doc (per-doc state, never
+    * a global window); selections shuffle as (doc, hash, pos) longs; the
+    * gram hash is the same md5-fold 48-bit hash as the LSH family — pure
+    * Catalyst, DuckDB-replayable. Docs with < w+k-1 tokens emit nothing
+    * (no full window exists). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k, w >= 1, got k=$k w=$w")
+    val toks = s"filter(split(lower($textCol), '\\\\s+'), t -> t <> '')"
+    val grams =
+      s"""CASE WHEN size($toks) >= $k
+         |  THEN transform(sequence(0, size($toks) - $k),
+         |                 i -> concat_ws(' ', slice($toks, i + 1, $k)))
+         |  ELSE array() END""".stripMargin
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    df.selectExpr(idCol, s"posexplode($grams) AS (pos, gram)")
+      .withColumn("h", hash48Col(col("gram")))
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col(idCol), col("sel.h").as("fp_hash"), (-col("sel.np")).as("fp_pos"))
+      .distinct()
+  }
+
   // ---------- shingling + MinHash ----------
 
   /** Tokenization shared by every shingling op: lowercase, whitespace split,

@@ -172,4 +172,33 @@ object Pack {
           - greatest(col("tok_offset"), col("chunk_id") * capacity))
       .groupBy("chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("tokens_in_chunk").as("tokens_filled"))
+
+  /** Per-document OVERLAPPING window chunking — the RAG / long-context
+    * preprocessing twin of [[concatChunks]]' packing: each doc is cut into
+    * windows of `size` tokens starting every `stride` tokens (overlap =
+    * size − stride), with the last window clipped at the doc end. Start
+    * positions: 0, stride, …, stride·ceil((n−size)/stride) — so every token
+    * is covered, the final window reaches exactly the doc end, and no start
+    * begins past it. Docs with 0 tokens emit nothing.
+    * Emits (doc_id, chunk_id, start_tok, end_tok, n_toks) boundaries —
+    * token-slice materialization composes downstream.
+    * Scale: narrow per-row explode bounded by n/stride + 1 rows per doc; no
+    * shuffle, no window, text never leaves the row. */
+  def overlapChunks(df: DataFrame, idCol: String, textCol: String,
+                    size: Int = 128, stride: Int = 96): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    val n = s"size(filter(split(lower($textCol), '\\\\s+'), t -> t <> ''))"
+    // ceil((n - size)/stride) in integer math, clamped at 0
+    val lastStartIdx = s"greatest(0, ($n - $size + $stride - 1) div $stride)"
+    df.selectExpr(idCol, s"$n AS n_doc_toks")
+      .filter(col("n_doc_toks") > 0)
+      .select(col(idCol), col("n_doc_toks"),
+        posexplode(expr(s"sequence(0, greatest(0, (n_doc_toks - $size + $stride - 1) div $stride))"))
+          .as(Seq("chunk_id", "start_idx")))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("end_tok", least(col("start_tok") + size, col("n_doc_toks")))
+      .withColumn("n_toks", col("end_tok") - col("start_tok"))
+      .select(col(idCol), col("chunk_id"), col("start_tok"), col("end_tok"), col("n_toks"))
+  }
 }

@@ -691,6 +691,51 @@ class DatapipeSpec extends AnyFunSuite {
     assert(out === List(("ab", 4L, 1), ("bc", 1L, 2)))
   }
 
+  test("winnowing: selections match scalar algorithm; shared-run guarantee holds") {
+    val r = new Random(23)
+    val vocab = (0 until 40).map(i => s"v$i")
+    def sentence(n: Int) = (0 until n).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
+    val shared = sentence(8) // >= w+k-1 = 6 tokens -> guarantee applies
+    val docs = Seq(
+      (0L, s"${sentence(12)} $shared ${sentence(7)}"),
+      (1L, s"${sentence(5)} $shared"),
+      (2L, sentence(20)),
+      (3L, "a b c d e"),   // 5 toks -> 3 grams < w -> no full window -> empty
+      (4L, "x y"))         // < k toks -> empty
+      .toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .select("doc_id", "fp_hash", "fp_pos").as[(Long, Long, Int)].collect().toSet
+
+    // scalar winnowing: rightmost-min over each w-window of k-gram hashes
+    def scalar(id: Long, text: String): Set[(Long, Long, Int)] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) return Set.empty
+      val hs = (0 to toks.length - k).map(i => Dedup.hash48(toks.slice(i, i + k).mkString(" ")))
+      (w - 1 until hs.length).map { j =>
+        val win = (j - w + 1 to j).map(i => (hs(i), i))
+        val m = win.minBy { case (h, i) => (h, -i) } // min hash, rightmost
+        (id, m._1, m._2)
+      }.toSet
+    }
+    val expected = Seq(0L, 1L, 2L, 3L, 4L).flatMap { id =>
+      val text = docs.filter(col("doc_id") === id).select("text").as[String].head()
+      scalar(id, text)
+    }.toSet
+    assert(got === expected)
+    assert(!got.exists(t => t._1 == 3L || t._1 == 4L)) // short docs emit nothing
+    // guarantee: docs 0 and 1 share an 8-token run >= w+k-1 -> at least one
+    // common fingerprint HASH
+    val h0 = got.filter(_._1 == 0L).map(_._2)
+    val h1 = got.filter(_._1 == 1L).map(_._2)
+    assert(h0.intersect(h1).nonEmpty)
+    // density: ~2/(w+1) of grams selected (loose upper bound: every window
+    // can add at most one NEW selection)
+    val grams2 = docs.filter(col("doc_id") === 2L).select("text").as[String].head()
+      .split("\\s+").length - k + 1
+    assert(got.count(_._1 == 2L) <= grams2 - w + 1)
+  }
+
   test("epoch shuffle: permutation is deterministic, complete, epoch-independent") {
     val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val e0 = TextQuality.epochShuffle(df, "doc_id", nShards = 4, epoch = 0)

@@ -242,4 +242,42 @@ class PackGraphSpec extends AnyFunSuite {
     }
     assert(got === rank)
   }
+
+  test("overlap chunks: coverage, clipping, stride math vs scalar loop") {
+    import org.apache.spark.sql.functions.col
+    // sizes straddling every edge: 0 toks (drop), < size (one clipped chunk),
+    // exactly size, size+1 (two chunks), long multi-chunk
+    val docs = Seq(
+      (0L, ""),
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 9).map(i => s"t$i").mkString(" ")),
+      (4L, (1 to 50).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val (size, stride) = (8, 6)
+    val got = Pack.overlapChunks(docs, "doc_id", "text", size, stride)
+      .select("doc_id", "chunk_id", "start_tok", "end_tok", "n_toks")
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    def scalar(id: Long, n: Int): Set[(Long, Int, Int, Int, Int)] = {
+      if (n == 0) return Set.empty
+      val lastIdx = math.max(0, (n - size + stride - 1) / stride)
+      (0 to lastIdx).map { c =>
+        val st = c * stride; val en = math.min(st + size, n)
+        (id, c, st, en, en - st)
+      }.toSet
+    }
+    val expected = Seq((0L, 0), (1L, 5), (2L, 8), (3L, 9), (4L, 50))
+      .flatMap { case (id, n) => scalar(id, n) }.toSet
+    assert(got === expected)
+    // invariants: every token covered; last chunk ends at doc end; no start past end
+    Seq((1L, 5), (2L, 8), (3L, 9), (4L, 50)).foreach { case (id, n) =>
+      val cs = got.filter(_._1 == id).toSeq.sortBy(_._2)
+      assert(cs.head._3 === 0 && cs.last._4 === n)
+      assert(cs.forall(c => c._3 < n))
+      val covered = cs.flatMap(c => c._3 until c._4).toSet
+      assert(covered === (0 until n).toSet)
+    }
+    // doc 3 (size+1): exactly two chunks, second clipped to stride overlap
+    assert(got.count(_._1 == 3L) === 2)
+  }
 }
