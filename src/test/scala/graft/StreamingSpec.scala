@@ -404,4 +404,48 @@ class StreamingSpec extends AnyFunSuite {
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
     rm(new java.io.File(tbl).getParentFile); rm(new java.io.File(ckpt))
   }
+
+  test("streaming dedup admission: persistent store blocks cross-epoch dups, equals batch") {
+    import graft.io.Snapshots
+    import graft.streaming.StreamDedup
+    import graft.datapipe.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("graft-sdedup").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdedup-ckpt").toString
+    val stream = MemoryStream[(Long, String)]
+    val fp = md5(col("text"))
+    val q = StreamDedup.run(spark, stream.toDS().toDF("doc_id", "text"),
+      tbl, "doc_id", fp, ckpt, buckets = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    // epoch 1: an internal dup pair (1,2) and a unique doc
+    stream.addData((1L, "AAAA"), (2L, "AAAA"), (3L, "BBBB"))
+    q.processAllAvailable()
+    // epoch 2: a cross-EPOCH dup of A (must be blocked by the STORE — this
+    // is precisely what watermarked stream dedup cannot promise), plus fresh
+    stream.addData((10L, "AAAA"), (11L, "CCCC"))
+    q.processAllAvailable(); q.stop()
+    val got = Snapshots.load(spark, tbl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L, 11L))
+    // equals the batch incremental admission run epoch-by-epoch
+    val e1 = Seq((1L, "AAAA"), (2L, "AAAA"), (3L, "BBBB")).toDF("doc_id", "text")
+    val e2 = Seq((10L, "AAAA"), (11L, "CCCC")).toDF("doc_id", "text")
+    val b1 = Dedup.incrementalDedup(
+      Seq.empty[String].toDF("fp"), e1, "doc_id", fp)
+    val b2 = Dedup.incrementalDedup(b1.select("fp"), e2, "doc_id", fp)
+    assert(b1.select("doc_id").as[Long].collect().toSet
+      ++ b2.select("doc_id").as[Long].collect().toSet === got)
+    // exactly-once: replaying a committed epoch's stage is a no-op
+    val snaps = Snapshots.snapshots(tbl)
+    assert(snaps.length === 2 && snaps.forall(_.stage.startsWith("dedup-")))
+    assert(!StreamDedup.admitBatch(e2, tbl, "doc_id", fp, 2, snaps.last.stage))
+    assert(Snapshots.snapshots(tbl).map(_.id) === snaps.map(_.id))
+    // an all-duplicate batch admits nothing and commits nothing
+    assert(!StreamDedup.admitBatch(
+      Seq((20L, "AAAA"), (21L, "BBBB")).toDF("doc_id", "text"),
+      tbl, "doc_id", fp, 2, "manual-dups"))
+    assert(Snapshots.snapshots(tbl).length === 2)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(tbl).getParentFile); rm(new java.io.File(ckpt))
+  }
 }
