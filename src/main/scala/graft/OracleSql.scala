@@ -307,10 +307,10 @@ ${ccClosureCtes}
          |        FROM embeddings WHERE $src)""".stripMargin
     s"""WITH enc AS (${enc("vec_id >= 5", "vec_id AS id")}),
        |qenc AS (${enc("vec_id < 5", "vec_id AS qid")}),
-       |sc AS (SELECT q.qid, e.id,
-       |    list_reduce(list_transform(range(1, len(e.cds)+1), j -> q.cds[j] * e.cds[j]), (a, b) -> a + b) AS idot,
-       |    q.s * e.s * list_reduce(list_transform(range(1, len(e.cds)+1), j -> q.cds[j] * e.cds[j]), (a, b) -> a + b) AS score
-       |  FROM enc e CROSS JOIN qenc q)
+       |dot AS (SELECT q.qid, e.id, q.s AS qs, e.s AS es,
+       |    list_reduce(list_transform(range(1, len(e.cds)+1), j -> q.cds[j] * e.cds[j]), (a, b) -> a + b) AS idot
+       |  FROM enc e CROSS JOIN qenc q),
+       |sc AS (SELECT qid, id, idot, qs * es * idot AS score FROM dot)
        |SELECT qid, id, idot, rk FROM (
        |  SELECT qid, id, idot,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk

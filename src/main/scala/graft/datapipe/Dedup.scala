@@ -54,12 +54,9 @@ object Dedup {
     * ingest by construction). Composes with the snapshot log: admitted fps
     * append as one new dir per epoch (`Snapshots.commit`). */
   def incrementalDedup(history: DataFrame, batch: DataFrame,
-                       idCol: String, fp: Column): DataFrame = {
-    val w = Window.partitionBy("fp").orderBy(col(idCol))
-    batch.withColumn("fp", fp)
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+                       idCol: String, fp: Column): DataFrame =
+    exactDedupBy(batch.withColumn("fp", fp), idCol, col("fp"))
       .join(history.select(col("fp")).distinct(), Seq("fp"), "left_anti")
-  }
 
   // ---------- winnowing fingerprints (MOSS) ----------
 

@@ -544,9 +544,14 @@ object TextQuality {
                    salt: String = "lmtrain"): DataFrame = {
     require(trainBp > 0 && trainBp <= 10000, s"trainBp in (0, 10000], got $trainBp")
     val seqs = lmSeqs(df, textCol, idCol)
+    // materialize the tokenized train slice ONCE: three consumers below
+    // (V scalar, unigram model, bigram model) would otherwise each re-read
+    // and re-tokenize the 80% slice; uni0 likewise feeds both V and uniM
     val train = seqs.filter(hashBucket(col(idCol), salt) < lit(trainBp))
+      .localCheckpoint()
     val uni0 = train.select(explode(col("seq")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .localCheckpoint() // vocab-sized
     // V and the backoff constant L(V): two scalars (metadata-scale action)
     val v = uni0.agg(count(lit(1))).first().getLong(0)
     require(v > 0, "empty LM training slice — raise trainBp or check the corpus")
@@ -573,6 +578,8 @@ object TextQuality {
     val uni0 = train.select(explode(col("seq")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
     val r = uni0.agg(count(lit(1)), max("c1")).first()
+    require(r.getLong(0) > 0,
+      "empty LM training slice — raise trainBp or check the corpus")
     val maxN = r.getLong(1) + r.getLong(0)
     df.sparkSession.range(1, maxN + 1)
       .select(col("id").as("n"), logMicroUdf(col("id")).as("l"))

@@ -35,11 +35,12 @@ object StreamDedup {
     * direct reuse/testing; [[run]] wires it under foreachBatch. */
   def admitBatch(batch: DataFrame, tableDir: String, idCol: String,
                  fp: Column, buckets: Int, stage: String): Boolean = {
-    if (Snapshots.snapshots(tableDir).exists(_.stage == stage))
+    val snaps = Snapshots.snapshots(tableDir) // one log read per epoch
+    if (snaps.exists(_.stage == stage))
       return false // replayed epoch — already committed exactly once
     val spark = batch.sparkSession
     val history =
-      if (Snapshots.snapshots(tableDir).isEmpty)
+      if (snaps.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("fp",
