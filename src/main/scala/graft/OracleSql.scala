@@ -703,6 +703,31 @@ ${ccClosureCtes}
        |  CAST(SUM(cost) // COUNT(*) AS BIGINT) AS ppl_micro
        |FROM scored GROUP BY doc_id""".stripMargin
 
+  /** DSIR importance-weight replay (TextQuality.dsirWeights, target
+    * lang='en', B=1024, salt "dsir"): same tokenization, same 48-bit hash
+    * buckets, add-one smoothed bucket models; every log value comes from
+    * the aux `dsir_logtab` (the engine's own floor(1e6·ln n) table), so
+    * downstream is pure integer arithmetic in both engines. */
+  def dsirWeights(buckets: Int = 1024): String =
+    s"""WITH toks AS (SELECT doc_id, lang = 'en' AS is_tgt,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |bx AS (SELECT doc_id, is_tgt, ${h48("'dsir:' || tok")} % $buckets AS b FROM toks),
+       |logt AS (SELECT n, l FROM read_parquet('{{AUX}}/dsir_logtab/*.parquet')),
+       |dc AS (SELECT doc_id, is_tgt, b, COUNT(*) AS cnt FROM bx GROUP BY doc_id, is_tgt, b),
+       |bc AS (SELECT b, SUM(cnt) AS cr,
+       |         SUM(CASE WHEN is_tgt THEN cnt ELSE 0 END) AS ct FROM dc GROUP BY b),
+       |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bc),
+       |k AS (SELECT lt.l - lr.l AS k FROM tot, logt lt, logt lr
+       |      WHERE lt.n = tot.tt + $buckets AND lr.n = tot.tr + $buckets),
+       |lam AS (SELECT bc.b, lt.l - lr.l AS lam FROM bc
+       |        JOIN logt lt ON lt.n = bc.ct + 1
+       |        JOIN logt lr ON lr.n = bc.cr + 1)
+       |SELECT dc.doc_id, CAST(SUM(dc.cnt) AS BIGINT) AS n_tok,
+       |  CAST(SUM(dc.cnt * lam.lam) - SUM(dc.cnt) * (SELECT k FROM k) AS BIGINT) AS logw_micro
+       |FROM dc JOIN lam ON dc.b = lam.b
+       |GROUP BY dc.doc_id""".stripMargin
+
   def cosineNearDup: String =
     """WITH planes AS (SELECT plane_id, plane FROM read_parquet('{{AUX}}/lsh_planes/*.parquet')),
       |e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

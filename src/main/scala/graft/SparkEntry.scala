@@ -867,6 +867,12 @@ object SparkEntry {
       // smoothing); filter high ppl_micro to drop OOD/gibberish docs
       TextQuality.lmPerplexity(t(s, dir, "documents"))
     }),
+    "d_dsir_weights" -> ((s, dir) => {
+      // DSIR hashed importance weights: target = English docs, raw = whole
+      // pool; 1024 hash buckets (model size fixed regardless of corpus),
+      // integer µ-log weights — high logw_micro docs look target-like
+      TextQuality.dsirWeights(t(s, dir, "documents"), col("lang") === "en")
+    }),
     "d_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextQuality.fingerprint(col("text")).as("fp"))
@@ -1428,6 +1434,10 @@ object SparkEntry {
       // so the d_lm_perplexity oracle never depends on DuckDB's ln ULP
       TextQuality.lmLogTable(t(s, dir, "documents"))
     }),
+    "dsir_logtab" -> ((s, dir) => {
+      // µ-log table 1..(total tokens + buckets) for the d_dsir_weights replay
+      TextQuality.dsirLogTable(t(s, dir, "documents"))
+    }),
     "pq_codebooks" -> ((s, dir) => {
       import s.implicits._
       // THE books d_ann_pq used — the session-cached pqIndex artifact, not a
@@ -1699,6 +1709,7 @@ object SparkEntry {
         |  CAST(least(chunk_id * 96 + 128, n) - chunk_id * 96 AS INT) AS n_toks
         |FROM c""".stripMargin,
     "d_lm_perplexity" -> OracleSql.lmPerplexity,
+    "d_dsir_weights" -> OracleSql.dsirWeights(),
     "d_mix_temperature" ->
       """WITH stats AS (
         |  SELECT lang AS stratum,

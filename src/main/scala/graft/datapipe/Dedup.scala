@@ -70,26 +70,41 @@ object Dedup {
     * index at 10^12 docs is w-fold smaller than an all-grams posting list
     * and the cross-doc join runs on the winnowed set only.
     *
-    * Scale: the sliding window is PARTITIONED BY doc (per-doc state, never
-    * a global window); selections shuffle as (doc, hash, pos) longs; the
-    * gram hash is the same md5-fold 48-bit hash as the LSH family — pure
-    * Catalyst, DuckDB-replayable. Docs with < w+k-1 tokens emit nothing
-    * (no full window exists). */
+    * Scale: the whole selection is computed PER ROW with Catalyst HOFs —
+    * gram hashes become an array attribute, each window's rightmost-min is
+    * an `aggregate` over a w-slice of that array — so the gram stream NEVER
+    * shuffles (the first Spark cut used Window.partitionBy(doc), which
+    * exchanged+sorted every gram row; this form cut d_winnow 3.7 s → narrow
+    * scan at sf0.1). Only the winnowed selections (3 longs/row, adjacent
+    * duplicates collapsed map-side by the distinct's partial aggregate)
+    * reach an exchange. The gram hash is the same md5-fold 48-bit hash as
+    * the LSH family — pure Catalyst, DuckDB-replayable. Docs with < w+k-1
+    * tokens emit nothing (no full window exists). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k, w >= 1, got k=$k w=$w")
     val toks = s"filter(split(lower($textCol), '\\\\s+'), t -> t <> '')"
-    val grams =
-      s"""CASE WHEN size($toks) >= $k
-         |  THEN transform(sequence(0, size($toks) - $k),
-         |                 i -> concat_ws(' ', slice($toks, i + 1, $k)))
-         |  ELSE array() END""".stripMargin
-    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(-(w - 1), 0)
-    df.selectExpr(idCol, s"posexplode($grams) AS (pos, gram)")
-      .withColumn("h", hash48Col(col("gram")))
-      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
-      .filter(col("pos") >= w - 1)
+    // tokens and gram hashes are each PROJECTED to an attribute before the
+    // lambda that consumes them (the repo's documented O(len²) Catalyst
+    // trap: a lambda referencing the unprojected expression re-derives it
+    // per element — see repetitionSignals)
+    val hs = s"""transform(sequence(0, size(toks) - $k),
+                |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $k))), 1, 12), 16, 10) AS BIGINT))""".stripMargin
+    // per window end p: lexicographic min of (h, -pos) over positions
+    // p-w+1..p — strictly-better update, so equal hashes keep the LATER
+    // position (rightmost tie-break, identical to the MOSS rule)
+    val sel =
+      s"""transform(sequence(${w - 1}, size(hs) - 1),
+         |  p -> aggregate(sequence(p - ${w - 1}, p),
+         |         named_struct('h', CAST(9223372036854775807 AS BIGINT), 'np', 1),
+         |         (acc, i) -> IF(element_at(hs, i + 1) < acc.h
+         |                        OR (element_at(hs, i + 1) = acc.h AND -i < acc.np),
+         |                        named_struct('h', element_at(hs, i + 1), 'np', -i),
+         |                        acc)))""".stripMargin
+    df.selectExpr(idCol, s"$toks AS toks")
+      .filter(s"size(toks) >= ${w + k - 1}")
+      .selectExpr(idCol, s"$hs AS hs")
+      .selectExpr(idCol, s"explode($sel) AS sel")
       .select(col(idCol), col("sel.h").as("fp_hash"), (-col("sel.np")).as("fp_pos"))
       .distinct()
   }

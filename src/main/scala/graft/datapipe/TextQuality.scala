@@ -584,4 +584,70 @@ object TextQuality {
     df.sparkSession.range(1, maxN + 1)
       .select(col("id").as("n"), logMicroUdf(col("id")).as("l"))
   }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): estimate the TARGET
+    * domain's and the RAW pool's unigram distributions over `buckets` fixed
+    * hash buckets, then score every document by its log importance weight
+    * `log p_target(doc) − log p_raw(doc)` under the hashed bag-of-buckets
+    * model with add-one smoothing. High-weight docs look like the target
+    * domain and get upweighted/resampled when assembling a pretraining mix.
+    *
+    * Hashing into a FIXED bucket count is the published algorithm's own
+    * scale trick — both model tables are ≤ `buckets` rows by construction
+    * regardless of corpus size, so they broadcast at any scale.
+    *
+    * Integer-exact by construction (same µ-log device as [[lmPerplexity]]):
+    * with per-bucket counts ct/cr and totals Tt/Tr,
+    * `logw = Σ_tok [L(ct(b)+1) − L(cr(b)+1)] − n_tok·[L(Tt+B) − L(Tr+B)]`
+    * where every L is a [[logMicro]] value attached at model-build time —
+    * the corpus-scale path is pure integer arithmetic.
+    *
+    * Scale: per-doc bucket counts are ONE map-side-combined groupBy whose
+    * shuffle rows are (id, bucket, cnt) — text never shuffles; the λ join is
+    * a B-row broadcast; Tt/Tr are a 2-scalar metadata action. */
+  def dsirWeights(df: DataFrame, targetPred: Column,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  buckets: Int = 1024, salt: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val tokB = df.select(col(idCol), targetPred.as("is_tgt"),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("is_tgt"), explode(col("toks")).as("tok"))
+      .select(col(idCol), col("is_tgt"),
+        (Dedup.hash48Col(concat(lit(salt + ":"), col("tok"))) % buckets).as("b"))
+    // (doc, bucket) counts materialized ONCE: the bucket models below are a
+    // second-level fold of this aggregate, so tokenize+md5 runs one time
+    val docB = tokB.groupBy(col(idCol), col("is_tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val bc = docB.groupBy("b").agg(
+        sum("cnt").as("cr"),
+        sum(when(col("is_tgt"), col("cnt")).otherwise(lit(0L))).as("ct"))
+      .localCheckpoint() // ≤ B rows
+    val r = bc.agg(sum("cr"), sum("ct")).first()
+    val tr = r.getLong(0)
+    val tt = r.getLong(1)
+    require(tt > 0, "empty DSIR target slice — check targetPred")
+    val kMicro = logMicro(tt + buckets) - logMicro(tr + buckets)
+    val lam = bc.select(col("b"),
+      (logMicroUdf(col("ct") + lit(1L)) - logMicroUdf(col("cr") + lit(1L))).as("lam"))
+    docB.join(lam, Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_tok"), sum(col("cnt") * col("lam")).as("s"))
+      .select(col(idCol), col("n_tok"),
+        (col("s") - col("n_tok") * lit(kMicro)).as("logw_micro"))
+  }
+
+  /** µ-log table `1..(Tr + buckets)` covering every value [[dsirWeights]]
+    * looks up (ct+1, cr+1 ≤ Tr+1; the two total terms are Tt+B ≤ Tr+B).
+    * Oracle-parity scaffolding (dumped to `{{AUX}}/dsir_logtab`). */
+  def dsirLogTable(df: DataFrame, textCol: String = "text",
+                   buckets: Int = 1024): DataFrame = {
+    val tr = df.select(size(filter(split(lower(col(textCol)), "\\s+"),
+        t => t =!= "")).cast("long").as("n"))
+      .agg(sum("n")).first().getLong(0)
+    df.sparkSession.range(1, tr + buckets + 1)
+      .select(col("id").as("n"), logMicroUdf(col("id")).as("l"))
+  }
 }

@@ -924,6 +924,43 @@ class DatapipeSpec extends AnyFunSuite {
     assert(nll >= 2 * TextQuality.logMicro(v))
   }
 
+  test("dsir weights match a scalar re-derivation (hashed buckets, add-one, integer µ-log)") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "der hund lief im park", "de"),
+      (2L, "the dog ran in the park", "en"),
+      (3L, "el gato grande", "es"),
+      (4L, "the the the cat", "en"),
+      (5L, "   ", "en"), // token-free -> drops out
+      (6L, "park cat hund", "de"))
+    val df = corpus.toDF("doc_id", "text", "lang")
+    val B = 64
+    val got = TextQuality.dsirWeights(df, col("lang") === "en", buckets = B)
+      .select("doc_id", "n_tok", "logw_micro").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bkt(w: String) = Dedup.hash48("dsir:" + w) % B
+    val all = corpus.flatMap { case (_, t, _) => toks(t).map(bkt) }
+    val tgt = corpus.filter(_._3 == "en").flatMap { case (_, t, _) => toks(t).map(bkt) }
+    val cr = all.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val ct = tgt.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      .withDefaultValue(0L)
+    val (tr, tt) = (all.size.toLong, tgt.size.toLong)
+    val k = TextQuality.logMicro(tt + B) - TextQuality.logMicro(tr + B)
+    val expected = corpus.collect { case (id, t, _) if toks(t).nonEmpty =>
+      val bs = toks(t).map(bkt)
+      val s = bs.map(b => TextQuality.logMicro(ct(b) + 1) - TextQuality.logMicro(cr(b) + 1)).sum
+      id -> ((bs.size.toLong, s - bs.size * k))
+    }.toMap
+    assert(got === expected)
+    assert(!got.contains(5L))
+    // directional sanity: per-token weight of a target-vocab doc beats a
+    // non-target one (target tokens have ct == cr -> λ = 0 plus the positive
+    // −k correction; non-target tokens cost −L(cr+1))
+    assert(got(4L)._2.toDouble / got(4L)._1 > got(1L)._2.toDouble / got(1L)._1)
+  }
+
   test("lm log table covers every lookup and matches logMicro") {
     val df = lmCorpus.toDF("doc_id", "text")
     val tab = TextQuality.lmLogTable(df).as[(Long, Long)].collect().sortBy(_._1)
