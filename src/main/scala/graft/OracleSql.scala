@@ -678,8 +678,10 @@ ${ccClosureCtes}
     * from the aux `lm_logtab` — the engine's own floor(1e6·ln n) table — so
     * both sides share ONE log definition; everything downstream of the table
     * lookup is integer arithmetic (difference, sum, floor division). */
-  def lmPerplexity: String =
-    s"""WITH seqs AS (SELECT doc_id,
+  /** The shared CTE chain up to per-pair costs — [[lmPerplexity]] aggregates
+    * it per doc; [[pplBuckets]] additionally tiers the aggregate. */
+  private def lmScoredCtes: String =
+    s"""seqs AS (SELECT doc_id,
        |    list_concat(['<s>'], list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS seq
        |  FROM documents),
        |train AS (SELECT * FROM seqs WHERE ${h48("'lmtrain:' || CAST(doc_id AS VARCHAR)")} % 10000 < 8000),
@@ -697,11 +699,35 @@ ${ccClosureCtes}
        |    COALESCE(u.lb, (SELECT lbv FROM lv)) - COALESCE(b.la, 0) AS cost
        |  FROM pairs p
        |  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
-       |  LEFT JOIN uni u ON p.w1 = u.tok)
+       |  LEFT JOIN uni u ON p.w1 = u.tok)""".stripMargin
+
+  def lmPerplexity: String =
+    s"""WITH $lmScoredCtes
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |  CAST(SUM(cost) AS BIGINT) AS nll_micro,
        |  CAST(SUM(cost) // COUNT(*) AS BIGINT) AS ppl_micro
        |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** CCNet head/middle/tail replay (TextQuality.pplBuckets): the same
+    * per-doc ppl_micro as [[lmPerplexity]], joined to lang, then per-lang
+    * percentile_disc tertile thresholds by rank arithmetic (t1 = smallest
+    * value with 3·rank ≥ n, t2 with 3·rank ≥ 2n) and the ≤-threshold CASE. */
+  def pplBuckets: String =
+    s"""WITH $lmScoredCtes,
+       |ppl AS (SELECT doc_id, CAST(SUM(cost) // COUNT(*) AS BIGINT) AS ppl_micro
+       |        FROM scored GROUP BY doc_id),
+       |pl AS (SELECT p.doc_id, d.lang, p.ppl_micro
+       |       FROM ppl p JOIN documents d USING (doc_id)),
+       |rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl_micro) AS rk,
+       |               COUNT(*) OVER (PARTITION BY lang) AS n FROM pl),
+       |thr AS (SELECT lang, MIN(CASE WHEN rk * 3 >= n THEN ppl_micro END) AS t1,
+       |               MIN(CASE WHEN rk * 3 >= n * 2 THEN ppl_micro END) AS t2
+       |        FROM rkd GROUP BY lang)
+       |SELECT pl.doc_id, pl.lang, pl.ppl_micro,
+       |  CASE WHEN pl.ppl_micro <= t.t1 THEN 'head'
+       |       WHEN pl.ppl_micro <= t.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM pl JOIN thr t USING (lang)""".stripMargin
 
   /** DSIR importance-weight replay (TextQuality.dsirWeights, target
     * lang='en', B=1024, salt "dsir"): same tokenization, same 48-bit hash
@@ -1052,6 +1078,98 @@ ${ccClosureCtes}
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM sc)
        |WHERE rk <= 10""".stripMargin
   }
+
+  /** Okapi BM25 replay (InvertedIndex.searchBM25, k1 = 6/5, b = 3/4,
+    * Lucene idf): same postings/df, per-doc lengths from Σ tf, pre-truncated
+    * nd_bp = (dl·10⁴·N) // S, idf_micro = L(2N+2) − L(2df+1) from the aux
+    * `bm25_logtab` (the engine's own floor(1e6·ln n) values), and the
+    * cleared-fraction weight (idf·440000·tf) // (200000·tf + 60000 +
+    * 18·nd_bp) — every operand non-negative, so truncating and flooring
+    * division agree. */
+  def bm25TopK: String = {
+    val vals = graft.datapipe.InvertedIndex.fixtureQueries
+      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term FROM documents),
+       |post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1),
+       |stot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |nd AS (SELECT doc_id, CAST((dl.dl * 10000 * n.n_docs) // stot.s AS BIGINT) AS nd_bp
+       |       FROM dl CROSS JOIN stot CROSS JOIN n),
+       |q(query_id, term) AS (VALUES $vals),
+       |logt AS (SELECT n, l FROM read_parquet('{{AUX}}/bm25_logtab/*.parquet')),
+       |dft AS (SELECT term, COUNT(*) AS df FROM post WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |idf AS (SELECT dft.term, lc.l - lt.l AS idf_micro
+       |        FROM dft CROSS JOIN n
+       |        JOIN logt lt ON lt.n = 2 * dft.df + 1
+       |        JOIN logt lc ON lc.n = 2 * n.n_docs + 2),
+       |sc AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(SUM((i.idf_micro * 440000 * p.tf) // (200000 * p.tf + 60000 + 18 * nd.nd_bp)) AS BIGINT) AS score
+       |  FROM q JOIN post p ON p.term = q.term
+       |  JOIN idf i ON i.term = q.term
+       |  JOIN nd ON nd.doc_id = p.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score, rk FROM (
+       |  SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM sc)
+       |WHERE rk <= 10""".stripMargin
+  }
+
+  /** Multi-source BFS replay (kg.Bfs.levels over the co-purchase graph,
+    * seeds = parts ≡ 0 mod 997): a level-capped recursive CTE discovers
+    * every (node, level) pair reachable within the cap; MIN(level) is the
+    * hop distance — exactly the frontier iteration's first-discovery
+    * round. */
+  def bfsLevels(maxRounds: Int): String =
+    s"""WITH RECURSIVE pp AS (
+       |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS pa, CAST(b.l_partkey AS BIGINT) AS pb
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  WHERE a.l_partkey < 10000 AND b.l_partkey < 10000
+       |),
+       |sym AS (SELECT pa AS src, pb AS dst FROM pp UNION ALL SELECT pb, pa FROM pp),
+       |seeds AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+       |          WHERE p_partkey % 997 = 0 AND p_partkey < 10000),
+       |bfs(id, level) AS (
+       |  SELECT id, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, b.level + 1 FROM bfs b JOIN sym e ON e.src = b.id
+       |  WHERE b.level < $maxRounds
+       |)
+       |SELECT id, CAST(MIN(level) AS INT) AS level FROM bfs GROUP BY id""".stripMargin
+
+  /** Leakage-safe split replay (TextQuality.leakageSafeSplit on source):
+    * the same 48-bit "split:" salted hash of the GROUP, bucketed to 10⁴,
+    * test < testBp ≤ val < testBp+valBp ≤ train. */
+  def splitLeakage(valBp: Int, testBp: Int): String =
+    s"""SELECT doc_id, source,
+       |  CASE WHEN h < $testBp THEN 'test'
+       |       WHEN h < ${testBp + valBp} THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM (SELECT doc_id, source, ${h48("'split:' || source")} % 10000 AS h
+       |      FROM documents)""".stripMargin
+
+  /** Per-domain triage replay (TextQuality.domainStats on source, prefix
+    * fingerprint): corpus-wide fingerprint multiplicities, per-group doc and
+    * token mass, short-doc and dup-doc counts, basis-point fractions with
+    * flooring division on non-negatives. */
+  def domainStats(shortTokens: Int): String =
+    s"""WITH d AS (SELECT source AS grp, md5(substr(text, 1, 30)) AS fp,
+       |    COALESCE(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 0) AS n_tok
+       |  FROM documents),
+       |m AS (SELECT fp, COUNT(*) AS fp_n FROM d GROUP BY fp),
+       |g AS (SELECT grp, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+       |        SUM(CASE WHEN m.fp_n >= 2 THEN 1 ELSE 0 END) AS dup_docs,
+       |        SUM(CASE WHEN d.n_tok < $shortTokens THEN 1 ELSE 0 END) AS short_docs
+       |      FROM d JOIN m USING (fp) GROUP BY grp)
+       |SELECT grp AS source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens,
+       |  CAST(dup_docs AS BIGINT) AS dup_docs,
+       |  CAST((dup_docs * 10000) // n_docs AS BIGINT) AS dup_bp,
+       |  CAST(short_docs AS BIGINT) AS short_docs,
+       |  CAST((short_docs * 10000) // n_docs AS BIGINT) AS short_bp
+       |FROM g""".stripMargin
 
   /** HyperLogLog replay (datapipe.Sketch.hllDistinct, p=8): identical
     * hash48 → register/rank-window split → max(v & −v) registers →

@@ -617,6 +617,16 @@ object SparkEntry {
       // graph analytics; fixed-iteration contract, oracle unrolls the same
       // 3 rounds as CTEs. Shares the ppEdges stage artifact.
       kg.KCore.run(s, ppEdges(s, dir), k = 3, rounds = 3)),
+    "q_bfs_levels" -> ((s, dir) => {
+      // multi-source BFS hop distance over the co-purchase graph (shares
+      // the ppEdges stage artifact): neighborhood extraction around seed
+      // entities — frontier iteration with early exit, capped at 6 hops;
+      // the oracle replays it as a level-capped recursive CTE + MIN(level)
+      val seeds = t(s, dir, "part")
+        .filter(col("p_partkey") % 997 === 0 && col("p_partkey") < 10000)
+        .select(col("p_partkey").cast("long").as("id"))
+      kg.Bfs.levels(s, ppEdges(s, dir), seeds, maxRounds = 6)
+    }),
     "q_link_predict" -> ((s, dir) => {
       // KG densification from second-order structure: non-edges of the
       // co-purchase graph scored by capped-pivot common-neighbor count +
@@ -1132,6 +1142,39 @@ object SparkEntry {
       val qs = InvertedIndex.fixtureQueries.toDF("query_id", "term")
       InvertedIndex.searchTopK(post, qs, nDocs = docs.count(), k = 10)
     }),
+    "d_bm25_topk" -> ((s, dir) => {
+      // Okapi BM25 top-10 (k1=1.2, b=0.75, Lucene idf) — the production
+      // retrieval scorer; raw tf·idf d_invidx_topk is the baseline. Scores
+      // are exact integers via the µ-log table + cleared-fraction length
+      // norm, so DuckDB replays them bit-for-bit
+      import graft.datapipe.InvertedIndex
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val post = InvertedIndex.postings(docs, "doc_id", "text")
+      val qs = InvertedIndex.fixtureQueries.toDF("query_id", "term")
+      InvertedIndex.searchBM25(post, qs, nDocs = docs.count(), k = 10)
+    }),
+    "d_split_leakage" -> ((s, dir) => {
+      // leakage-safe train/val/test split: hashed on SOURCE (the domain
+      // proxy), never the doc — all pages of a site share one split, so
+      // near-dups can't straddle train/eval; 20%/10% of GROUPS to val/test
+      TextQuality.leakageSafeSplit(t(s, dir, "documents"), "source",
+          valBp = 2000, testBp = 1000)
+        .select("doc_id", "source", "split")
+    }),
+    "d_ppl_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail tiers: per-language perplexity tertiles over
+      // the d_lm_perplexity score (rank-arithmetic thresholds, integer-exact)
+      TextQuality.pplBuckets(t(s, dir, "documents"))
+    }),
+    "d_domain_stats" -> ((s, dir) => {
+      // per-domain triage table (C4/RefinedWeb): doc/token mass, short-doc
+      // and CORPUS-WIDE exact-dup fractions per source — the blocklist input;
+      // prefix fingerprint (the d_exact_dup_groups convention) so the
+      // unique-text fixture exercises the dup math
+      TextQuality.domainStats(t(s, dir, "documents"), "source",
+        md5(substring(col("text"), 1, 30)))
+    }),
     "d_len_percentiles" -> ((s, dir) => {
       // exact per-language token-count percentiles via rank arithmetic
       // (percentile_disc semantics — engine-stable integers, no
@@ -1437,6 +1480,10 @@ object SparkEntry {
     "dsir_logtab" -> ((s, dir) => {
       // µ-log table 1..(total tokens + buckets) for the d_dsir_weights replay
       TextQuality.dsirLogTable(t(s, dir, "documents"))
+    }),
+    "bm25_logtab" -> ((s, dir) => {
+      // µ-log table 1..(2N+2) for the d_bm25_topk idf replay
+      graft.datapipe.InvertedIndex.bm25LogTable(s, t(s, dir, "documents").count())
     }),
     "pq_codebooks" -> ((s, dir) => {
       import s.implicits._
@@ -1750,6 +1797,11 @@ object SparkEntry {
     "q_kcore" -> OracleSql.kcore,
     "q_link_predict" -> OracleSql.linkPredict,
     "d_invidx_topk" -> OracleSql.invIdxTopK,
+    "d_bm25_topk" -> OracleSql.bm25TopK,
+    "q_bfs_levels" -> OracleSql.bfsLevels(6),
+    "d_split_leakage" -> OracleSql.splitLeakage(valBp = 2000, testBp = 1000),
+    "d_ppl_buckets" -> OracleSql.pplBuckets,
+    "d_domain_stats" -> OracleSql.domainStats(shortTokens = 10),
     "nemo_salience" -> OracleSql.salience(5),
     "d_hll_distinct" -> OracleSql.hllDistinct,
     "d_kmv_overlap" -> OracleSql.kmvOverlap,

@@ -73,4 +73,72 @@ object InvertedIndex {
       .filter(col("rk") <= k)
       .select("query_id", "doc_id", "score", "rk")
   }
+
+  private val logMicroUdf = udf { (n: Long) => TextQuality.logMicro(n) }
+
+  /** Okapi BM25 top-k (Robertson & Walker; the Lucene-default ranking
+    * function) with the standard k1 = 1.2, b = 0.75 — the production
+    * retrieval scorer; [[searchTopK]]'s raw tf·idf is the validation
+    * baseline. Per query term:
+    *
+    *   score_t = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with the non-negative Lucene idf `ln(1 + (N − df + 0.5)/(df + 0.5))
+    * = ln((N+1)/(df+0.5))`.
+    *
+    * Integer-exact by construction (the [[TextQuality.logMicro]] µ-log
+    * device): `idf_micro = L(2N+2) − L(2df+1)` (both arguments odd/even
+    * integers after clearing the 0.5 halves), the length norm is cleared to
+    * integers by pre-truncating `nd_bp = (dl·10⁴·N) div S` (S = Σ dl) and
+    * scaling the fraction by 2·10⁵ — with k1 = 6/5, b = 3/4:
+    *
+    *   w = (idf_micro · 440000 · tf) div (200000·tf + 60000 + 18·nd_bp)
+    *
+    * Every operand is a non-negative integer, so Spark's truncating `div`
+    * and DuckDB's flooring `//` agree, and the DuckDB oracle replays scores
+    * bit-for-bit from the shared `bm25_logtab` µ-log table. Magnitudes:
+    * idf_micro ≤ 10⁶·ln(2N+2) ≈ 3·10⁷ at N = 10¹², ×(4.4·10⁵·tf) stays
+    * far under Long range for any real tf.
+    *
+    * Scale shape = [[searchTopK]] plus per-doc lengths: dl (= Σ tf per doc)
+    * is the write-time doc-stats artifact every index build materializes —
+    * here derived from the postings in one map-side-combined groupBy; S is
+    * a 1-row action; scoring joins the Σ_t df(t)-row matched stream against
+    * dl on doc_id (AQE broadcasts the matched side when the query term set
+    * is selective). */
+  def searchBM25(postings: DataFrame, queries: DataFrame,
+                 nDocs: Long, k: Int = 10): DataFrame = {
+    require(nDocs > 0 && k > 0)
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint(false) // doc-stats artifact: feeds S and the nd join
+    val s = dl.agg(sum("dl")).first().getLong(0) // total corpus tokens
+    require(s > 0, "empty posting list — no tokens to rank")
+    val nd = dl.select(col("doc_id"),
+      expr(s"(dl * 10000L * ${nDocs}L) div ${s}L").as("nd_bp"))
+    val lnConst = TextQuality.logMicro(2L * nDocs + 2L)
+    val qterms = queries.select("term").distinct()
+    val matched = postings.join(broadcast(qterms), Seq("term"), "left_semi")
+      .localCheckpoint(false)
+    val df = matched.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        (lit(lnConst) - logMicroUdf(lit(2L) * col("df") + lit(1L))).as("idf_micro"))
+    val scored = broadcast(queries.select(col("query_id"), col("term")))
+      .join(matched, "term")
+      .join(broadcast(df), "term")
+      .join(nd, "doc_id")
+      .withColumn("w", expr(
+        "(idf_micro * 440000L * tf) div (200000L * tf + 60000L + 18L * nd_bp)"))
+      .groupBy("query_id", "doc_id").agg(sum("w").as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "score", "rk")
+  }
+
+  /** µ-log table `1..(2N+2)` covering every value [[searchBM25]] looks up
+    * (2df+1 ≤ 2N+1 and the constant 2N+2). Oracle-parity scaffolding
+    * (dumped to `{{AUX}}/bm25_logtab`). */
+  def bm25LogTable(spark: org.apache.spark.sql.SparkSession, nDocs: Long): DataFrame =
+    spark.range(1, 2L * nDocs + 3L)
+      .select(col("id").as("n"), logMicroUdf(col("id")).as("l"))
 }

@@ -241,6 +241,106 @@ object TextQuality {
                            salt: String = "sample"): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < rateBp)
 
+  /** Leakage-safe train/val/test split: the split is a deterministic hash
+    * of the GROUP column (domain / source / site), never of the document —
+    * so every doc of a group lands in the SAME split and near-duplicate
+    * pages from one site can never straddle train and eval (the standard
+    * contamination guard; the complement of [[graft.datapipe.Dedup
+    * .contaminationCheck]], which audits a split after the fact). Rates in
+    * basis points of GROUPS, not docs: `test` gets buckets `[0, testBp)`,
+    * `val` gets `[testBp, testBp+valBp)`, `train` the rest. Deterministic,
+    * narrow and shuffle-free (one hash + CASE per row); resuming or growing
+    * the corpus never moves an existing group across splits. */
+  def leakageSafeSplit(df: DataFrame, groupCol: String,
+                       valBp: Int = 100, testBp: Int = 100,
+                       salt: String = "split"): DataFrame = {
+    require(valBp >= 0 && testBp >= 0 && valBp + testBp <= 10000,
+      s"rates must satisfy 0 <= valBp + testBp <= 10000, got $valBp + $testBp")
+    val b = hashBucket(col(groupCol), salt)
+    df.withColumn("split",
+      when(b < lit(testBp.toLong), lit("test"))
+        .when(b < lit((testBp + valBp).toLong), lit("val"))
+        .otherwise(lit("train")))
+  }
+
+  /** CCNet head/middle/tail quality buckets (Wenzek et al. 2020 §4.3): per
+    * language, documents are split into three equal-population tiers by
+    * their [[lmPerplexity]] score — `head` (lowest perplexity, cleanest),
+    * `middle`, `tail` (likely gibberish/boilerplate); pretraining mixes
+    * sample the tiers at different rates. Thresholds use percentile_disc
+    * RANK ARITHMETIC ([[tokenLenPercentiles]] device): t1 = smallest ppl
+    * with 3·rank ≥ n, t2 = smallest with 3·rank ≥ 2n; bucket = head iff
+    * ppl ≤ t1, middle iff ppl ≤ t2, else tail — deterministic integers,
+    * tie-invariant, engine-replayable.
+    *
+    * Shape: the ppl scores ride [[lmPerplexity]]'s plan; the threshold pass
+    * shuffles (lang, ppl) longs only — the standard stats-per-stratum job —
+    * and the per-language threshold table (2 longs per language) broadcast
+    * joins back. At 10^12 docs swap the exact rank pass for the mergeable
+    * quantile-histogram sketch ([[graft.datapipe.Sketch]]), identical
+    * downstream. */
+  def pplBuckets(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", langCol: String = "lang",
+                 trainBp: Int = 8000, salt: String = "lmtrain"): DataFrame = {
+    val ppl = lmPerplexity(df, textCol, idCol, trainBp = trainBp, salt = salt)
+      .join(df.select(col(idCol), col(langCol)), idCol)
+      .localCheckpoint(false) // threshold pass + final labeling share one scoring run
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy("ppl_micro")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+    val thr = ppl
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(langCol).agg(
+        min(when(col("rk") * 3 >= col("n"), col("ppl_micro"))).as("t1"),
+        min(when(col("rk") * 3 >= col("n") * 2, col("ppl_micro"))).as("t2"))
+    ppl.join(broadcast(thr), langCol)
+      .select(col(idCol), col(langCol), col("ppl_micro"),
+        when(col("ppl_micro") <= col("t1"), lit("head"))
+          .when(col("ppl_micro") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Per-domain curation snapshot (the C4/RefinedWeb domain-triage table):
+    * one row per group (source / registrable domain) with exact-integer
+    * corpus-health signals — doc count, token mass, mean doc length,
+    * short-doc fraction, and the exact-duplicate fraction (docs whose
+    * content fingerprint occurs ≥ 2× CORPUS-WIDE, so a domain mirroring
+    * another domain's pages is charged for it). Pipelines read this table
+    * to blocklist mirror-heavy or boilerplate domains BEFORE the per-doc
+    * passes run — at 10^12 docs, dropping a domain here is free; filtering
+    * its docs one by one later is not.
+    *
+    * `fp` is the caller's fingerprint expression (full-text md5 in
+    * production; tests/fixtures may pass a prefix fingerprint to exercise
+    * the dup math on unique-text corpora). Fractions are basis points with
+    * truncating division — engine-replayable integers.
+    *
+    * Shape: one narrow per-doc projection (group, fp, n_tokens); fingerprint
+    * multiplicities are a map-side-combined groupBy on fp whose shuffle rows
+    * are (fp, count) pairs; the join back is fp-keyed (hash or SMJ via AQE)
+    * carrying (group, fp, n_tokens) longs; the final per-group rollup is
+    * again map-side combined. Text never shuffles. */
+  def domainStats(df: DataFrame, groupCol: String, fp: Column,
+                  textCol: String = "text", shortTokens: Int = 10): DataFrame = {
+    val docs = df.select(col(groupCol).as("grp"), fp.as("fp"),
+      coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tok"))
+    val mult = docs.groupBy("fp").agg(count(lit(1)).as("fp_n"))
+    docs.join(mult, "fp")
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(when(col("fp_n") >= 2, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("n_tok") < shortTokens, 1L).otherwise(0L)).as("short_docs"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
+        expr("n_tokens div n_docs").as("mean_tokens"),
+        col("dup_docs"),
+        expr("(dup_docs * 10000L) div n_docs").as("dup_bp"),
+        col("short_docs"),
+        expr("(short_docs * 10000L) div n_docs").as("short_bp"))
+  }
+
   // ---------- corpus vocabulary ----------
 
   /** Corpus-level top-k vocabulary by occurrence count with a deterministic

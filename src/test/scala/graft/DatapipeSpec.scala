@@ -1,6 +1,6 @@
 package graft
 
-import graft.datapipe.{Dedup, Similarity, TextQuality, Multimodal}
+import graft.datapipe.{Dedup, InvertedIndex, Similarity, TextQuality, Multimodal}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
@@ -976,5 +976,120 @@ class DatapipeSpec extends AnyFunSuite {
       ("<s>" +: t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).foreach(w => uni(w) += 1)
     }
     assert(tab.last._1 === uni.values.max + uni.size)
+  }
+
+  test("bm25: scores match a scalar re-derivation (µ-log idf, cleared length norm)") {
+    val corpus = Seq(
+      (0L, "spark engine join join"),
+      (1L, "join"),
+      (2L, "hash table scan engine"),
+      (3L, "join hash join hash join hash"),
+      (4L, "totally unrelated words here"))
+    val docs = corpus.toDF("doc_id", "text")
+    val post = InvertedIndex.postings(docs, "doc_id", "text")
+    val qs = Seq(("q0", "join"), ("q0", "hash"), ("q1", "engine"))
+      .toDF("query_id", "term")
+    val n = corpus.size.toLong
+    val got = InvertedIndex.searchBM25(post, qs, nDocs = n, k = 10)
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val tf = corpus.flatMap { case (id, t) => toks(t).map(w => (w, id)) }
+      .groupBy(identity).map { case ((w, id), xs) => (w, id) -> xs.size.toLong }
+    val dl = corpus.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val s = dl.values.sum
+    val ndBp = dl.map { case (id, d) => id -> d * 10000L * n / s }
+    val df = tf.keys.groupBy(_._1).map { case (w, ks) => w -> ks.size.toLong }
+    def idf(w: String) =
+      TextQuality.logMicro(2 * n + 2) - TextQuality.logMicro(2 * df(w) + 1)
+    val queries = Seq("q0" -> Seq("join", "hash"), "q1" -> Seq("engine"))
+    val expected = (for {
+      (qid, terms) <- queries
+      id <- corpus.map(_._1)
+      ws = terms.flatMap(w => tf.get((w, id)).map(f =>
+        idf(w) * 440000L * f / (200000L * f + 60000L + 18L * ndBp(id))))
+      if ws.nonEmpty
+    } yield (qid, id, ws.sum)).groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).zipWithIndex
+        .map { case ((q, id, sc), i) => (q, id) -> ((sc, i + 1)) }
+    }
+    assert(got === expected)
+    // ranking sanity: same-tf shorter doc outranks the longer one — doc 1
+    // ("join", dl 1) must beat doc 0 per join-occurrence despite tf 2 there
+    assert(got(("q0", 1L))._1 > 0L)
+  }
+
+  test("leakage-safe split: group-atomic, hash-rule exact, degenerate rates") {
+    val df = (0 until 40).map(i => (i.toLong, s"site${i % 10}"))
+      .toDF("doc_id", "source")
+    val got = TextQuality.leakageSafeSplit(df, "source", valBp = 3000, testBp = 3000)
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect()
+    // every group maps to exactly one split
+    assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+    // the rule is exactly the salted group hash
+    def exp(src: String): String = {
+      val b = Dedup.hash48("split:" + src) % 10000
+      if (b < 3000) "test" else if (b < 6000) "val" else "train"
+    }
+    got.foreach { case (_, src, sp) => assert(sp === exp(src), src) }
+    // this fixture exercises all three labels at 30/30/40 (sites 1 and 3
+    // hash under 3000, site 8 lands in [3000, 6000))
+    assert(got.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
+    // degenerate rates: everything trains
+    val all = TextQuality.leakageSafeSplit(df, "source", valBp = 0, testBp = 0)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(all === Seq("train"))
+  }
+
+  test("domain stats: corpus-wide dup charging, short/dup fractions, integer means") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "a.com"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "b.com"), // mirror of 0
+      (2L, "short doc", "a.com"),
+      (3L, "short doc", "a.com"), // in-domain dup, also short
+      (4L, "one two three four five six seven eight nine ten eleven", "b.com"),
+      (5L, "unique little page", "c.com"))
+      .toDF("doc_id", "text", "source")
+    val got = TextQuality.domainStats(df, "source", md5(col("text")), shortTokens = 10)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // a.com: docs 0,2,3 — doc 0 duplicated cross-domain, 2&3 in-domain; all of 2,3 short
+    assert(got("a.com") === (("a.com", 3L, 14L, 4L, 3L, 10000L, 2L, 6666L)))
+    // b.com: doc 1 (dup of 0 — charged despite living elsewhere), doc 4 clean
+    assert(got("b.com") === (("b.com", 2L, 21L, 10L, 1L, 5000L, 0L, 0L)))
+    // c.com: one unique short doc
+    assert(got("c.com") === (("c.com", 1L, 3L, 3L, 0L, 0L, 1L, 10000L)))
+  }
+
+  test("ppl buckets: tertile thresholds match rank arithmetic; tiers are ordered") {
+    val df = lmCorpus.toDF("doc_id", "text")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("he"))
+    val ppl = TextQuality.lmPerplexity(df)
+      .join(df.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "ppl_micro")
+      .as[(Long, String, Long)].collect()
+    val expected = ppl.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val vs = rows.map(_._3).sorted
+      val n = vs.length
+      val t1 = vs.zipWithIndex.collectFirst { case (v, i) if 3 * (i + 1) >= n => v }.get
+      val t2 = vs.zipWithIndex.collectFirst { case (v, i) if 3 * (i + 1) >= 2 * n => v }.get
+      rows.toSeq.map { case (id, lang, p) =>
+        id -> ((lang, p, if (p <= t1) "head" else if (p <= t2) "middle" else "tail"))
+      }
+    }.toMap
+    val got = TextQuality.pplBuckets(df)
+      .as[(Long, String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected)
+    // tiers are value-ordered within each language
+    got.values.groupBy(_._1).foreach { case (_, rows) =>
+      val byTier = rows.groupBy(_._3).map { case (t, rs) => t -> rs.map(_._2) }
+      for (h <- byTier.get("head"); m <- byTier.get("middle"))
+        assert(h.max <= m.min)
+      for (m <- byTier.get("middle"); t <- byTier.get("tail"))
+        assert(m.max < t.min)
+    }
   }
 }

@@ -207,4 +207,28 @@ class GraphOpsSpec extends AnyFunSuite {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)) // max degree 2
     assert(kcoreRun(path, 3, 2) === Map.empty)
   }
+
+  private def bfsRun(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     maxRounds: Int = 8): Map[Long, Int] =
+    graft.kg.Bfs.levels(spark, edges.toDF("src", "dst"), seeds.toDF("id"),
+        maxRounds)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfs: chain distances, isolated seed at level 0, early exit past the far end") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+    assert(bfsRun(g, Seq(1L, 9L)) ===
+      Map(1L -> 0, 9L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfs: reversed edges traverse (symmetrized), cap bounds discovery, nearest seed wins") {
+    val rev = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)) // chain 1–5, all reversed
+    assert(bfsRun(rev, Seq(1L), maxRounds = 2) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(bfsRun(rev, Seq(1L, 5L)) ===
+      Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfs: a seed reachable from another seed stays level 0; cycles terminate") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(bfsRun(cyc, Seq(1L, 2L)) === Map(1L -> 0, 2L -> 0, 3L -> 1))
+  }
 }
