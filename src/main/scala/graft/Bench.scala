@@ -315,7 +315,10 @@ object Bench {
     // of per-round ratios. Wall and CPU ratios are both reported; CPU-basis
     // (docs-per-CPU-second from Spark task metrics) additionally removes
     // scheduler idle and steal, isolating intrinsic work inflation.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "7").toInt
+    // 9 interleaved rounds: the per-level min sharpens with more rounds
+    // (additive noise ⇒ each extra round can only lower a level's estimate
+    // toward intrinsic), and two more rounds cost ~15 s of a ~15 min run
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "9").toInt
     val trips = (1 to rounds).map { _ =>
       (sampleLevel(pairLow), sampleLevel(pairHigh), sampleLevel(cpus))
     }

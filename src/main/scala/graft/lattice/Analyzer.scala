@@ -76,4 +76,37 @@ object Analyzer {
     }
     edges.toArray
   }
+
+  /** Load a wide-coverage lexicon from a table into the `lexicon` hook —
+    * the pluggable answer to the YAP-hebma coverage gap (SURVEY §7.5: the
+    * analyzer's RULES are complete; breadth is a data problem). The
+    * returned predicate is a plain serializable closure, so it ships once
+    * per executor inside the annotate `mapPartitions` broadcast like the
+    * NER models.
+    *
+    * Exact variant: collects the DISTINCT surface forms to a driver-side
+    * Set — a real lexicon is 10⁵–10⁶ forms (metadata-scale; the collect is
+    * lexicon-sized, never corpus-sized). */
+  def lexiconFromTable(df: org.apache.spark.sql.DataFrame,
+                       column: String): String => Boolean = {
+    val forms = df.select(org.apache.spark.sql.functions.col(column).cast("string"))
+      .na.drop().distinct()
+      .collect().map(_.getString(0)).toSet
+    forms
+  }
+
+  /** Bloom variant for lexicons too large to hold exactly (10⁷+ forms):
+    * constant memory per executor at a chosen false-positive rate. The FP
+    * direction is SAFE here by construction — a false positive only ADMITS
+    * an extra split reading into the lattice, which the downstream MD
+    * Viterbi can still reject; a member form is never dropped (no false
+    * negatives), so coverage is exact and over-generation is bounded by
+    * `fpp`. */
+  def lexiconBloom(df: org.apache.spark.sql.DataFrame, column: String,
+                   expectedForms: Long, fpp: Double = 0.001): String => Boolean = {
+    val bf = df.select(org.apache.spark.sql.functions.col(column).cast("string"))
+      .na.drop()
+      .stat.bloomFilter(column, expectedForms, fpp)
+    (s: String) => bf.mightContain(s)
+  }
 }

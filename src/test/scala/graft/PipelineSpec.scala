@@ -424,4 +424,25 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lexicon loaders: table-backed set equals inline set; bloom admits all members") {
+    import graft.lattice.Analyzer
+    val forms = Seq("גדנק", "צצצ", "שלום")
+    val tab = forms.toDF("form")
+    val exact = Analyzer.lexiconFromTable(tab, "form")
+    forms.foreach(f => assert(exact(f), f))
+    assert(!exact("בבב"))
+    // a table-backed lexicon drives the analyzer identically to an inline set
+    val inline = forms.toSet
+    val toks = IndexedSeq("בגדנק", "בצצצ", "בבבב")
+    assert(Analyzer.sentenceLattice(toks, exact).toSeq ===
+      Analyzer.sentenceLattice(toks, inline.contains _).toSeq)
+    // bloom: never a false negative (members always admitted); FPs only ADD
+    // lattice readings — the safe degrade direction documented on the loader
+    val bloom = Analyzer.lexiconBloom(tab, "form", expectedForms = 100L)
+    forms.foreach(f => assert(bloom(f), s"bloom dropped member $f"))
+    val exactEdges = Analyzer.sentenceLattice(toks, exact)
+    val bloomEdges = Analyzer.sentenceLattice(toks, bloom)
+    assert(exactEdges.map(_.form).toSet.subsetOf(bloomEdges.map(_.form).toSet))
+  }
 }
