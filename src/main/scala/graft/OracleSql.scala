@@ -1149,6 +1149,24 @@ ${ccClosureCtes}
        |FROM (SELECT doc_id, source, ${h48("'split:' || source")} % 10000 AS h
        |      FROM documents)""".stripMargin
 
+  /** Reciprocal-rank-fusion replay (InvertedIndex.rrfFuse of the BM25 and
+    * tf·idf top-10 rankings): each system's full replay rides as a nested-
+    * WITH CTE subquery; contributions are the same integer
+    * `1000000 // (k + rk)`, fused ties break on doc_id. */
+  def hybridRrf(k: Int, topK: Int): String =
+    s"""WITH a AS ($bm25TopK),
+       |b AS ($invIdxTopK),
+       |u AS (SELECT query_id, doc_id, 1000000 // ($k + rk) AS c FROM a
+       |      UNION ALL
+       |      SELECT query_id, doc_id, 1000000 // ($k + rk) AS c FROM b),
+       |f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+       |      FROM u GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score_micro, rk FROM (
+       |  SELECT query_id, doc_id, score_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rk
+       |  FROM f)
+       |WHERE rk <= $topK""".stripMargin
+
   /** Per-domain triage replay (TextQuality.domainStats on source, prefix
     * fingerprint): corpus-wide fingerprint multiplicities, per-group doc and
     * token mass, short-doc and dup-doc counts, basis-point fractions with

@@ -1154,6 +1154,21 @@ object SparkEntry {
       val qs = InvertedIndex.fixtureQueries.toDF("query_id", "term")
       InvertedIndex.searchBM25(post, qs, nDocs = docs.count(), k = 10)
     }),
+    "d_hybrid_rrf" -> ((s, dir) => {
+      // reciprocal-rank fusion of two heterogeneous rankers over the same
+      // probe queries (BM25 + raw tf·idf here; BM25 + dense ANN in a RAG
+      // stack): only ranks cross systems, so incomparable score scales fuse
+      // without normalization; integer 10⁶ div (60 + rk) contributions
+      import graft.datapipe.InvertedIndex
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val post = InvertedIndex.postings(docs, "doc_id", "text")
+      val qs = InvertedIndex.fixtureQueries.toDF("query_id", "term")
+      val n = docs.count()
+      InvertedIndex.rrfFuse(Seq(
+        InvertedIndex.searchBM25(post, qs, nDocs = n, k = 10),
+        InvertedIndex.searchTopK(post, qs, nDocs = n, k = 10)))
+    }),
     "d_split_leakage" -> ((s, dir) => {
       // leakage-safe train/val/test split: hashed on SOURCE (the domain
       // proxy), never the doc — all pages of a site share one split, so
@@ -1802,6 +1817,7 @@ object SparkEntry {
     "d_split_leakage" -> OracleSql.splitLeakage(valBp = 2000, testBp = 1000),
     "d_ppl_buckets" -> OracleSql.pplBuckets,
     "d_domain_stats" -> OracleSql.domainStats(shortTokens = 10),
+    "d_hybrid_rrf" -> OracleSql.hybridRrf(k = 60, topK = 10),
     "nemo_salience" -> OracleSql.salience(5),
     "d_hll_distinct" -> OracleSql.hllDistinct,
     "d_kmv_overlap" -> OracleSql.kmvOverlap,

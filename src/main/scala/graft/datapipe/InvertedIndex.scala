@@ -141,4 +141,29 @@ object InvertedIndex {
   def bm25LogTable(spark: org.apache.spark.sql.SparkSession, nDocs: Long): DataFrame =
     spark.range(1, 2L * nDocs + 3L)
       .select(col("id").as("n"), logMicroUdf(col("id")).as("l"))
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * ensemble heterogeneous rankers (BM25 + dense ANN in a hybrid RAG
+    * stack, or multiple lexical scorers): each system contributes
+    * `1/(k + rank)` per retrieved doc, fused score = the sum, re-ranked.
+    * Only RANKS cross systems, so incomparable score scales (µ-log BM25 vs
+    * raw tf·idf vs cosine) fuse without normalization — RRF's whole point.
+    *
+    * Integer-exact: contribution = `10⁶ div (k + rk)` (all positive, both
+    * engines floor identically); fused ties break on doc_id.
+    *
+    * Scale shape: inputs are already top-k RESULT tables (query·k rows,
+    * never corpus-sized) — a union + one map-side-combined groupBy + the
+    * WindowGroupLimit top-k. Cost is independent of corpus size. */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int = 60, topK: Int = 10): DataFrame = {
+    require(ranked.nonEmpty && k >= 1 && topK >= 1)
+    val contrib = ranked.map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000L div (${k}L + rk)").as("c")))
+      .reduce(_ union _)
+    val fused = contrib.groupBy("query_id", "doc_id").agg(sum("c").as("score_micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("query_id", "doc_id", "score_micro", "rk")
+  }
 }

@@ -1043,6 +1043,22 @@ class DatapipeSpec extends AnyFunSuite {
     assert(all === Seq("train"))
   }
 
+  test("rrf fusion: integer contributions sum across systems; ties break on doc_id") {
+    val a = Seq(("q0", 1L, 9L, 1), ("q0", 2L, 5L, 2), ("q1", 7L, 3L, 1))
+      .toDF("query_id", "doc_id", "score", "rk")
+    val b = Seq(("q0", 3L, 99L, 1), ("q0", 2L, 55L, 2))
+      .toDF("query_id", "doc_id", "score", "rk")
+    val got = InvertedIndex.rrfFuse(Seq(a, b), k = 60, topK = 10)
+      .as[(String, Long, Long, Int)].collect().toSet
+    // 1000000 div 61 = 16393, div 62 = 16129; doc 2 appears in both systems
+    assert(got === Set(
+      ("q0", 2L, 32258L, 1), // 16129 + 16129
+      ("q0", 1L, 16393L, 2), // tie with doc 3 broken by doc_id
+      ("q0", 3L, 16393L, 3),
+      ("q1", 7L, 16393L, 1)))
+    // score scales never crossed systems: only rk was read
+  }
+
   test("domain stats: corpus-wide dup charging, short/dup fractions, integer means") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "a.com"),
