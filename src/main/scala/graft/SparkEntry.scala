@@ -1150,7 +1150,9 @@ object SparkEntry {
       import graft.datapipe.InvertedIndex
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val post = InvertedIndex.postings(docs, "doc_id", "text")
+      // one postings materialization feeds the dl stats AND the matched
+      // stream (write-time-artifact economics, stated in the scaladoc)
+      val post = InvertedIndex.postings(docs, "doc_id", "text").localCheckpoint(false)
       val qs = InvertedIndex.fixtureQueries.toDF("query_id", "term")
       InvertedIndex.searchBM25(post, qs, nDocs = docs.count(), k = 10)
     }),
@@ -1162,7 +1164,9 @@ object SparkEntry {
       import graft.datapipe.InvertedIndex
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val post = InvertedIndex.postings(docs, "doc_id", "text")
+      // both rankers read ONE materialized posting table (the write-time
+      // index artifact) — the fusion adds no corpus pass of its own
+      val post = InvertedIndex.postings(docs, "doc_id", "text").localCheckpoint(false)
       val qs = InvertedIndex.fixtureQueries.toDF("query_id", "term")
       val n = docs.count()
       InvertedIndex.rrfFuse(Seq(
