@@ -384,6 +384,60 @@ ${ccClosureCtes}
        |  CAST(CASE WHEN code = 1 THEN ns ELSE 0 END AS BIGINT) AS n_samp
        |FROM m""".stripMargin
 
+  /** Winnow overlap-pair replay (Dedup.winnowOverlapPairs k=3 w=4): the
+    * [[winnow]] selection statement feeds a distinct (doc, hash) set, hot
+    * hashes are capped at the same bucket bound, ordered pairs counted and
+    * gated on the same minShared. */
+  def winnowPairs(maxBucket: Int = 64, minShared: Int = 2): String =
+    s"""WITH fps AS (SELECT DISTINCT doc_id, fp_hash FROM ($winnow) s),
+       |sized AS (SELECT fp_hash FROM fps GROUP BY fp_hash
+       |          HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM fps a JOIN sized USING (fp_hash) JOIN fps b USING (fp_hash)
+       |      WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, COUNT(*) AS n_shared_fps
+       |FROM j GROUP BY 1, 2 HAVING COUNT(*) >= $minShared""".stripMargin
+
+  /** Multimodal near-dup replay (Multimodal.mediaNearDuplicates): re-derive
+    * each visual payload's 48-bit aHash from the synthetic pixel rule (the
+    * [[mediaDecode]] closed form — pixel byte j of frame 0 is
+    * (3j + seed) mod 256 over thumbnail dims), sample the same 6×8 grid
+    * (y = r·th/6, x = c·tw/8, gray = (R+G+B)//3, bit set iff
+    * gray·48 > Σgrays), then replay the 4 × 12-bit Hamming banding with the
+    * same bucket cap and exact bit_count verify. */
+  def mediaNearDup(maxDist: Int = 3, maxBucket: Int = 64): String =
+    s"""WITH g AS (SELECT doc_id, media_ref FROM read_parquet('{{AUX}}/gold_media/*.parquet')),
+       |h AS (SELECT doc_id, media_ref,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref), 1)) - 1, 0) % 3 AS code,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 1, 1)) - 1, 0) AS hv2,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 2, 1)) - 1, 0) AS hv3,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 3, 1)) - 1, 0) AS hv4
+       |  FROM g),
+       |m AS (SELECT doc_id || ':' || media_ref AS id,
+       |  (64 + 4 * hv3) // 8 AS tw, (64 + 4 * hv4) // 8 AS th,
+       |  16 * hv2 + hv3 AS seed
+       |  FROM h WHERE code <> 1),
+       |cells AS (SELECT id, r * 8 + c AS bit,
+       |    ((r * th) // 6) * tw + ((c * tw) // 8) AS p, seed
+       |  FROM m, unnest(generate_series(0, 5)) AS tr(r),
+       |          unnest(generate_series(0, 7)) AS tc(c)),
+       |grays AS (SELECT id, bit,
+       |    ((9 * p + seed) % 256 + (9 * p + 3 + seed) % 256 + (9 * p + 6 + seed) % 256) // 3 AS gray
+       |  FROM cells),
+       |tot AS (SELECT id, SUM(gray) AS total FROM grays GROUP BY id),
+       |hsh AS (SELECT g2.id,
+       |    CAST(SUM(CASE WHEN g2.gray * 48 > t.total
+       |             THEN (CAST(1 AS BIGINT) << g2.bit) ELSE 0 END) AS BIGINT) AS sim
+       |  FROM grays g2 JOIN tot t USING (id) GROUP BY g2.id),
+       |mem AS (SELECT id, sim, b AS band, (sim >> (b * 12)) & 4095 AS chunk
+       |        FROM hsh, unnest(generate_series(0, 3)) AS t(b)),
+       |sized AS (SELECT band, chunk FROM mem GROUP BY band, chunk
+       |          HAVING COUNT(*) BETWEEN 2 AND $maxBucket)
+       |SELECT DISTINCT m1.id AS id_a, m2.id AS id_b,
+       |  CAST(bit_count(xor(m1.sim, m2.sim)) AS INT) AS dist
+       |FROM mem m1 JOIN mem m2 USING (band, chunk) JOIN sized USING (band, chunk)
+       |WHERE m1.id < m2.id AND bit_count(xor(m1.sim, m2.sim)) <= $maxDist""".stripMargin
+
   def minhashNearDup: String =
     s"""WITH coefs AS (SELECT i, a, b FROM read_parquet('{{AUX}}/minhash_coefs/*.parquet')),
        |toks0 AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),
@@ -728,6 +782,35 @@ ${ccClosureCtes}
        |       WHEN pl.ppl_micro <= t.t2 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM pl JOIN thr t USING (lang)""".stripMargin
+
+  /** Sketch-thresholded CCNet tiers (TextQuality.pplBucketsSketch, sub=5):
+    * the same per-doc ppl_micro as [[pplBuckets]], binned with the
+    * [[quantileSketch]] log-linear arithmetic (length(bin(v)) octave +
+    * linear sub-bucket), per-lang threshold BINS by the same ×3 rank rule
+    * over the bin cumsum, and the bin-vs-threshold-bin CASE. */
+  def pplBucketsSketch(sub: Int = 5): String = {
+    val m = 1L << sub
+    s"""WITH $lmScoredCtes,
+       |ppl AS (SELECT doc_id, CAST(SUM(cost) // COUNT(*) AS BIGINT) AS ppl_micro
+       |        FROM scored GROUP BY doc_id),
+       |pl AS (SELECT p.doc_id, d.lang, p.ppl_micro, p.ppl_micro + 1 AS v1
+       |       FROM ppl p JOIN documents d USING (doc_id)),
+       |b AS (SELECT doc_id, lang, ppl_micro,
+       |  CASE WHEN length(bin(v1)) - 1 < $sub THEN v1
+       |       ELSE (length(bin(v1)) - $sub) * $m + (v1 >> (length(bin(v1)) - 1 - $sub)) - $m END AS bin
+       |  FROM pl),
+       |bc AS (SELECT lang, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |cum AS (SELECT lang, bin, SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+       |               SUM(cnt) OVER (PARTITION BY lang) AS n FROM bc),
+       |thr AS (SELECT lang, MIN(CASE WHEN cum * 3 >= n THEN bin END) AS t1_bin,
+       |               MIN(CASE WHEN cum * 3 >= n * 2 THEN bin END) AS t2_bin
+       |        FROM cum GROUP BY lang)
+       |SELECT b.doc_id, b.lang, b.ppl_micro,
+       |  CASE WHEN b.bin <= t.t1_bin THEN 'head'
+       |       WHEN b.bin <= t.t2_bin THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM b JOIN thr t USING (lang)""".stripMargin
+  }
 
   /** DSIR importance-weight replay (TextQuality.dsirWeights, target
     * lang='en', B=1024, salt "dsir"): same tokenization, same 48-bit hash
@@ -1094,7 +1177,7 @@ ${ccClosureCtes}
        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1),
        |stot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s FROM dl),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-       |nd AS (SELECT doc_id, CAST((dl.dl * 10000 * n.n_docs) // stot.s AS BIGINT) AS nd_bp
+       |nd AS (SELECT doc_id, CAST((CAST(dl.dl AS HUGEINT) * 10000 * n.n_docs) // stot.s AS BIGINT) AS nd_bp
        |       FROM dl CROSS JOIN stot CROSS JOIN n),
        |q(query_id, term) AS (VALUES $vals),
        |logt AS (SELECT n, l FROM read_parquet('{{AUX}}/bm25_logtab/*.parquet')),

@@ -29,13 +29,34 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** All broadcastable model state for one run. */
+  /** All broadcastable model state for one run.
+    *
+    * `lexiconExt` is the hook for the wide-coverage lexicon LOADERS
+    * ([[graft.lattice.Analyzer.lexiconFromTable]] /
+    * [[graft.lattice.Analyzer.lexiconBloom]]): an extra membership
+    * predicate OR-ed with the enumerable core set by [[lexPredicate]], so a
+    * table-backed or bloom-backed lexicon ships once per executor inside
+    * the same annotate `mapPartitions` broadcast as the NER weights instead
+    * of being re-serialized into every task closure. Excluded from
+    * [[fingerprint]] (a predicate is not enumerable) — callers swapping
+    * `lexiconExt` between resumed runs must version the backing table
+    * themselves (or fold small lexicons into the exact `lexicon` set, which
+    * IS fingerprinted). */
   final case class Models(
       single: NerModel,
       multi: NerModel,
       morph: NerModel,
       lexicon: Set[String],
-      maxSentenceLength: Int = 250) {
+      maxSentenceLength: Int = 250,
+      lexiconExt: Option[String => Boolean] = None) {
+
+    /** The membership predicate the annotate path uses: the exact core set,
+      * extended by [[lexiconExt]] when present. A `Set[String]` is already a
+      * `String => Boolean`, so the no-ext case adds no indirection. */
+    def lexPredicate: String => Boolean = lexiconExt match {
+      case Some(ext) => s => lexicon(s) || ext(s)
+      case None      => lexicon
+    }
 
     /** Per-executor memo of the per-token lattice→prune→MD chain
       * ([[Pipeline.tokenForms]]). The chain is a pure function of
@@ -338,7 +359,7 @@ object Pipeline {
     import spark.implicits._
     docs.mapPartitions { it =>
       val m = models.value
-      val lex: String => Boolean = m.lexicon.contains _
+      val lex = m.lexPredicate // core set ∪ lexiconExt, all from the broadcast
       it.map(in => annotateDoc(m, lex, in, usePruning))
     }
   }

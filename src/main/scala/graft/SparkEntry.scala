@@ -913,6 +913,14 @@ object SparkEntry {
       // shared-run guarantee; per-doc sliding window, never global
       Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
     }),
+    "d_winnow_pairs" -> ((s, dir) => {
+      // the MOSS workflow the winnow index exists for: join the selections
+      // across docs on fp_hash (bucket-capped like every LSH path), count
+      // shared fingerprints per pair — each one certifies an identical
+      // 3-gram in both docs, ≥ minShared demanded
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4, maxBucket = 64, minShared = 2)
+    }),
     "d_incr_dedup" -> ((s, dir) => {
       // incremental ingest dedup: the batch (doc_id >= 250) is admitted
       // against the fingerprint STORE of already-ingested history
@@ -1186,6 +1194,14 @@ object SparkEntry {
       // the d_lm_perplexity score (rank-arithmetic thresholds, integer-exact)
       TextQuality.pplBuckets(t(s, dir, "documents"))
     }),
+    "d_ppl_buckets_sketch" -> ((s, dir) => {
+      // the 10^12-rows/stratum twin: thresholds from the mergeable
+      // quantile-histogram sketch ((lang, bin, cnt) rows only — no
+      // per-stratum sort of doc rows), same ×3 rank arithmetic on bins;
+      // may differ from the exact twin only inside the threshold bins
+      // (agreement asserted in DatapipeSpec)
+      TextQuality.pplBucketsSketch(t(s, dir, "documents"))
+    }),
     "d_domain_stats" -> ((s, dir) => {
       // per-domain triage table (C4/RefinedWeb): doc/token mass, short-doc
       // and CORPUS-WIDE exact-dup fractions per source — the blocklist input;
@@ -1438,6 +1454,15 @@ object SparkEntry {
         .select(col("doc_id"), col("media_ref"), col("modality"), col("frames"),
           col("decoded"), col("px_sum"), col("n_px"),
           col("samp_abs_sum"), col("n_samp"))
+    }),
+    "d_media_neardup" -> ((s, _) => {
+      // multimodal near-dup: aHash over DECODED pixels (image + leading
+      // video frame) → the shared 48-bit Hamming banding (capped buckets) →
+      // exact bit_count verify. The oracle re-derives every hash from the
+      // synthetic pixel rule (like d_media_decode) and replays the banding.
+      val docs = fixtureDocsDf(s, 300).toDF()
+      Multimodal.mediaNearDuplicates(s, Multimodal.syntheticMedia(s, docs),
+        maxDist = 3, maxBucket = 64)
     })
   )
 
@@ -1763,6 +1788,8 @@ object SparkEntry {
     "d_hash_sample" -> OracleSql.hashSample,
     "d_shuffle_epoch" -> OracleSql.shuffleEpoch(8),
     "d_winnow" -> OracleSql.winnow,
+    "d_winnow_pairs" -> OracleSql.winnowPairs(maxBucket = 64, minShared = 2),
+    "d_media_neardup" -> OracleSql.mediaNearDup(maxDist = 3, maxBucket = 64),
     "d_chunk_overlap" ->
       """WITH nn AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n
         |           FROM documents),
@@ -1820,6 +1847,7 @@ object SparkEntry {
     "q_bfs_levels" -> OracleSql.bfsLevels(6),
     "d_split_leakage" -> OracleSql.splitLeakage(valBp = 2000, testBp = 1000),
     "d_ppl_buckets" -> OracleSql.pplBuckets,
+    "d_ppl_buckets_sketch" -> OracleSql.pplBucketsSketch(sub = 5),
     "d_domain_stats" -> OracleSql.domainStats(shortTokens = 10),
     "d_hybrid_rrf" -> OracleSql.hybridRrf(k = 60, topK = 10),
     "nemo_salience" -> OracleSql.salience(5),

@@ -109,6 +109,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnow overlap-pair detection — the workflow the fingerprint index
+    * exists for (Schleimer, Wilkerson & Aiken 2003 §4, the MOSS use): join
+    * the winnowed selections across documents on the fingerprint HASH,
+    * count shared fingerprints per ordered pair, keep pairs sharing at
+    * least `minShared`. Every shared selected fingerprint certifies an
+    * identical k-gram in both documents (it IS the content hash of that
+    * gram), and the winnowing guarantee lifts that to runs: any shared
+    * token run of ≥ w+k-1 produces at least one shared selection — so
+    * `n_shared_fps` is a verified lower bound on the documents' shared-run
+    * structure, and ranking by it is exactly MOSS's report order.
+    *
+    * Scale: selections are ~2/(w+1) of the gram stream ([[winnowFingerprints]]
+    * — per-row HOFs, the gram stream never shuffles); the join here runs on
+    * the winnowed (id, hash) pairs only. Hot fingerprints (boilerplate
+    * grams every doc shares) are CAPPED at `maxBucket` docs like every LSH
+    * path — a stop-gram appearing in 10^9 docs would otherwise emit 10^18
+    * pairs; dropping it loses no real pair because near-duplicate documents
+    * share many rarer fingerprints too (and `minShared` demands them). The
+    * pair aggregate shuffles (id, id) pairs from qualifying buckets only. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4, maxBucket: Int = 64,
+                         minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp_hash"))
+      .distinct() // a hash selected at several positions is ONE shared gram
+    val buckets = fps.groupBy("fp_hash")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    bucketPairRows(buckets, "ids")
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   // ---------- shingling + MinHash ----------
 
   /** Tokenization shared by every shingling op: lowercase, whitespace split,
@@ -359,10 +393,21 @@ object Dedup {
     * → candidate; guarantees recall for maxDist ≤ 3). Docs with no tokens are
     * excluded from candidate generation. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                            maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sh = df
-      .filter(size(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")) > 0)
-      .select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim"))
+                            maxDist: Int = 3, maxBucket: Int = 64): DataFrame =
+    hamming48Pairs(
+      df.filter(size(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")) > 0)
+        .select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim")),
+      maxDist, maxBucket)
+
+  /** Hamming-banded near-duplicate pairs over ANY 48-bit signature table
+    * `(id, sim)` — the candidate-generation + verify machinery shared by
+    * text SimHash and media perceptual hashes ([[Multimodal]] aHash):
+    * banding into 4 × 12-bit chunks (any chunk equal → candidate, recall
+    * guaranteed for maxDist ≤ 3 by pigeonhole), capped buckets, exact
+    * bit_count verify on the full signature. Returns (id_a, id_b, dist)
+    * with id_a < id_b. */
+  private[datapipe] def hamming48Pairs(sh: DataFrame,
+                                       maxDist: Int, maxBucket: Int): DataFrame = {
     val banded = sh.select(col("id"), col("sim"),
       posexplode(expr("transform(sequence(0,3), b -> (sim >> (b*12)) & 4095)")))
       .select(col("id"), col("sim"), col("pos").as("band"), col("col").as("chunk"))

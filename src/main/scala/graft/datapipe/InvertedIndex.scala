@@ -98,7 +98,10 @@ object InvertedIndex {
     * and DuckDB's flooring `//` agree, and the DuckDB oracle replays scores
     * bit-for-bit from the shared `bm25_logtab` µ-log table. Magnitudes:
     * idf_micro ≤ 10⁶·ln(2N+2) ≈ 3·10⁷ at N = 10¹², ×(4.4·10⁵·tf) stays
-    * far under Long range for any real tf.
+    * far under Long range for any real tf; the nd_bp intermediate
+    * dl·10⁴·N reaches ~10²⁵ at N = 10¹² so it is computed in DECIMAL(38,0)
+    * (exact to 38 digits; the quotient dl·10⁴/avgdl is back under 10⁸ and
+    * is stored as BIGINT) — DuckDB mirrors with HUGEINT.
     *
     * Scale shape = [[searchTopK]] plus per-doc lengths: dl (= Σ tf per doc)
     * is the write-time doc-stats artifact every index build materializes —
@@ -114,7 +117,9 @@ object InvertedIndex {
     val s = dl.agg(sum("dl")).first().getLong(0) // total corpus tokens
     require(s > 0, "empty posting list — no tokens to rank")
     val nd = dl.select(col("doc_id"),
-      expr(s"(dl * 10000L * ${nDocs}L) div ${s}L").as("nd_bp"))
+      // widened: dl·10⁴·N overflows Long for dl > ~922 at N = 10¹²; exact
+      // DECIMAL(38,0) product, integral divide, result back under Long
+      expr(s"CAST((CAST(dl AS DECIMAL(38,0)) * 10000 * ${nDocs}L) div CAST(${s}L AS DECIMAL(38,0)) AS BIGINT)").as("nd_bp"))
     val lnConst = TextQuality.logMicro(2L * nDocs + 2L)
     val qterms = queries.select("term").distinct()
     val matched = postings.join(broadcast(qterms), Seq("term"), "left_semi")
@@ -137,7 +142,10 @@ object InvertedIndex {
 
   /** µ-log table `1..(2N+2)` covering every value [[searchBM25]] looks up
     * (2df+1 ≤ 2N+1 and the constant 2N+2). Oracle-parity scaffolding
-    * (dumped to `{{AUX}}/bm25_logtab`). */
+    * (dumped to `{{AUX}}/bm25_logtab`) — FIXTURE-SCALE ONLY: the table is
+    * 2N+2 rows, so it is materializable only at oracle/test corpus sizes;
+    * the engine itself never builds it (scores call [[TextQuality.logMicro]]
+    * directly, O(1) per lookup at any N). */
   def bm25LogTable(spark: org.apache.spark.sql.SparkSession, nDocs: Long): DataFrame =
     spark.range(1, 2L * nDocs + 3L)
       .select(col("id").as("n"), logMicroUdf(col("id")).as("l"))

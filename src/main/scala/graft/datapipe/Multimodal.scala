@@ -309,6 +309,80 @@ object Multimodal {
     }
   }
 
+  // ---------- perceptual hashing + near-duplicate detection ----------
+
+  /** One perceptual hash per decoded visual payload (image, or a video's
+    * leading frame — thumbnail dedup, the first thing a multimodal pipeline
+    * does with decoded pixels). Audio and undecodable payloads emit no row. */
+  final case class MediaHash(doc_id: String, media_ref: String,
+                             modality: String, ahash: Long)
+
+  /** 48-bit average hash (aHash) over a DECODED frame's pixels: sample a
+    * 6×8 grid nearest-neighbor (y = r·h/6, x = c·w/8 — resolution-invariant,
+    * so re-encodes at different thumbnail sizes still collide), gray =
+    * (R+G+B)/3 integer division, bit r·8+c set iff gray·48 > Σgrays (strict
+    * — a flat frame hashes to 0). 48 bits rather than the classic 64 keeps
+    * the hash inside the repo's SQL-replayable convention ([[Dedup.hash48]])
+    * and slots straight into the 4 × 12-bit Hamming banding machinery. */
+  def aHash48(bytes: Array[Byte], f: PpmFrame): Long = {
+    val grays = new Array[Int](48)
+    var total = 0L
+    var r = 0
+    while (r < 6) {
+      val y = r * f.h / 6
+      var c = 0
+      while (c < 8) {
+        val x = c * f.w / 8
+        val p = f.pixelOffset + (y * f.w + x) * 3
+        val g = ((bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) + (bytes(p + 2) & 0xFF)) / 3
+        grays(r * 8 + c) = g
+        total += g
+        c += 1
+      }
+      r += 1
+    }
+    var hsh = 0L
+    var i = 0
+    while (i < 48) { if (grays(i).toLong * 48 > total) hsh |= (1L << i); i += 1 }
+    hsh
+  }
+
+  /** Perceptual hashes of the visual payloads: header parse → first-frame
+    * PPM decode → [[aHash48]] over the decoded pixels. Partition-batched
+    * like [[extractFeatures]] (binary stays binary; only (ids, long) rows
+    * leave the stage). Non-visual / undecodable payloads are dropped — a
+    * corrupt body cannot produce a byte-junk hash that poisons a bucket. */
+  def perceptualHashes(spark: SparkSession, media: Dataset[MediaRow],
+                       batchSize: Int = 64): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          parseHeader(m.content).filter(h => h.modality == "image" || h.modality == "video")
+            .flatMap(h => parsePpm(m.content, HeaderLen)
+              .map(f => MediaHash(m.doc_id, m.media_ref, h.modality, aHash48(m.content, f))))
+        }
+      }
+    }
+  }
+
+  /** Multimodal near-duplicate pairs: [[perceptualHashes]] over decoded
+    * pixels → the shared 48-bit Hamming banding machinery
+    * ([[Dedup.hamming48Pairs]]: 4 × 12-bit bands, capped buckets, exact
+    * bit_count verify) → (id_a, id_b, dist) with id = doc_id:media_ref.
+    * Identical re-encodes collide at dist 0; brightness/crop-adjacent
+    * variants within Hamming ≤ maxDist. Scale: pixel decode is narrow and
+    * per-row; only (id, 48-bit hash) rows reach the banding exchange, and
+    * hot buckets (e.g. a flat-black thumbnail half the web shares) are
+    * capped like every LSH path. */
+  def mediaNearDuplicates(spark: SparkSession, media: Dataset[MediaRow],
+                          maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val hs = perceptualHashes(spark, media).toDF()
+      .select(concat_ws(":", col("doc_id"), col("media_ref")).as("id"),
+        col("ahash").as("sim"))
+    Dedup.hamming48Pairs(hs, maxDist, maxBucket)
+  }
+
   /** Hex value of the k-th character from the END of a ref string, clamped to
     * ≥ 0 — the deterministic, SQL-replayable source of the synthetic
     * catalog/header fields (the oracle recomputes the same values from

@@ -180,6 +180,20 @@ object Sketch {
        |END""".stripMargin.replace('\n', ' ')
   }
 
+  /** Project the log-linear bin index of a non-negative integer column onto
+    * the frame (column `as`) — the per-ROW face of [[qhBins]], for callers
+    * that label data rows by bin (e.g. [[TextQuality.pplBucketsSketch]]
+    * compares each doc's bin to sketch-derived threshold bins). Same bin
+    * arithmetic, so a row's bin always matches the sketch row it counted
+    * into. */
+  def qhBinOf(df: DataFrame, value: Column, sub: Int = 5,
+              as: String = "bin"): DataFrame = {
+    require(sub >= 1 && sub <= 10, "sub in [1,10]")
+    df.withColumn("_qh_v1", value.cast("long") + lit(1L))
+      .withColumn(as, expr(qhBinExpr("_qh_v1", sub)))
+      .drop("_qh_v1")
+  }
+
   /** Quantile-histogram sketch table: one row per (group, non-empty bin)
     * with its count — fixed-size, mergeable by (group, bin) SUM. `value`
     * must be a non-negative integer expression (fails fast otherwise). */

@@ -301,6 +301,45 @@ object TextQuality {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** Sketch-thresholded CCNet tiers — the 10^12-rows/stratum twin of
+    * [[pplBuckets]] (the swap that method's scaladoc documents). The exact
+    * twin ranks every (lang, ppl) row inside one window partition — at
+    * 10^12 docs per language that per-stratum sort IS the job. Here the
+    * threshold pass runs on the mergeable quantile-histogram sketch
+    * ([[Sketch.qhBins]]): the exchange carries (lang, bin, count) rows —
+    * ≤ ~2^11 bins per language regardless of corpus size, map-side combined
+    * — and the SAME ×3 rank arithmetic picks threshold BINS (t1_bin =
+    * first bin whose cumulative count reaches ⌈n/3⌉). Because the bin index
+    * is monotone in ppl, the exact threshold VALUE always lands inside
+    * t1_bin, so the two twins can only disagree on docs sharing the
+    * threshold's bin (< 2^−sub relative width) — asserted in DatapipeSpec.
+    * Labeling compares each doc's bin to the threshold bins (bin ≤ t1_bin →
+    * head, ≤ t2_bin → middle, else tail): deterministic integers, no
+    * float dust, engine-replayable. */
+  def pplBucketsSketch(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", langCol: String = "lang",
+                       trainBp: Int = 8000, salt: String = "lmtrain",
+                       sub: Int = 5): DataFrame = {
+    val ppl = lmPerplexity(df, textCol, idCol, trainBp = trainBp, salt = salt)
+      .join(df.select(col(idCol), col(langCol)), idCol)
+    // one scoring pass shared by the sketch build and the final labeling
+    val binned = Sketch.qhBinOf(ppl, col("ppl_micro"), sub).localCheckpoint(false)
+    val bins = binned.groupBy(langCol, "bin").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy("bin")
+    val thr = bins.withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(langCol)))
+      .groupBy(langCol).agg(
+        min(when(col("cum") * 3 >= col("n"), col("bin"))).as("t1_bin"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("t2_bin"))
+    binned.join(broadcast(thr), langCol)
+      .select(col(idCol), col(langCol), col("ppl_micro"),
+        when(col("bin") <= col("t1_bin"), lit("head"))
+          .when(col("bin") <= col("t2_bin"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Per-domain curation snapshot (the C4/RefinedWeb domain-triage table):
     * one row per group (source / registrable domain) with exact-integer
     * corpus-health signals — doc count, token mass, mean doc length,
@@ -741,7 +780,10 @@ object TextQuality {
 
   /** µ-log table `1..(Tr + buckets)` covering every value [[dsirWeights]]
     * looks up (ct+1, cr+1 ≤ Tr+1; the two total terms are Tt+B ≤ Tr+B).
-    * Oracle-parity scaffolding (dumped to `{{AUX}}/dsir_logtab`). */
+    * Oracle-parity scaffolding (dumped to `{{AUX}}/dsir_logtab`) —
+    * FIXTURE-SCALE ONLY: the table grows with the corpus token count, so it
+    * is materializable only at oracle/test sizes; the engine itself calls
+    * [[logMicro]] directly (O(1) per lookup at any corpus size). */
   def dsirLogTable(df: DataFrame, textCol: String = "text",
                    buckets: Int = 1024): DataFrame = {
     val tr = df.select(size(filter(split(lower(col(textCol)), "\\s+"),

@@ -77,12 +77,14 @@ object Analyzer {
     edges.toArray
   }
 
-  /** Load a wide-coverage lexicon from a table into the `lexicon` hook —
+  /** Load a wide-coverage lexicon from a table into the lexicon hook —
     * the pluggable answer to the YAP-hebma coverage gap (SURVEY §7.5: the
     * analyzer's RULES are complete; breadth is a data problem). The
-    * returned predicate is a plain serializable closure, so it ships once
+    * returned predicate is a plain serializable closure; to ship it once
     * per executor inside the annotate `mapPartitions` broadcast like the
-    * NER models.
+    * NER weights, plug it into `Pipeline.Models.lexiconExt` (the annotate
+    * path ORs it with the exact core set via `Models.lexPredicate`) — used
+    * standalone it is captured per-task in the closure instead.
     *
     * Exact variant: collects the DISTINCT surface forms to a driver-side
     * Set — a real lexicon is 10⁵–10⁶ forms (metadata-scale; the collect is

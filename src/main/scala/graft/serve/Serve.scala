@@ -165,9 +165,9 @@ object Serve {
     // span, exactly the batch pipeline's unit of work
     val in = InputDoc("request",
       raw.zipWithIndex.map { case (s, i) => Span("text", s, "", i) })
-    val doc: Doc = Pipeline.annotateDoc(models, models.lexicon.contains _, in,
+    val doc: Doc = Pipeline.annotateDoc(models, models.lexPredicate, in,
       usePruning = p.usePruning, preTokenized = toks)
-    val lex: String => Boolean = models.lexicon.contains _
+    val lex = models.lexPredicate
     doc.sents.zipWithIndex.map { case (sent, i) =>
       sentJson(command, p, req, raw(i), toks(i), sent, lex)
     }.mkString("[", ",", "]")

@@ -25,7 +25,7 @@ object AllocProbe {
       .asInstanceOf[com.sun.management.ThreadMXBean]
     val tid = Thread.currentThread().getId
     val m = graft.SparkEntry.fixtureModels
-    val lex: String => Boolean = m.lexicon.contains _
+    val lex = m.lexPredicate
 
     def docToks(i: Int): Array[Array[String]] = {
       val fd = graft.fixtures.Fixtures.doc(i)

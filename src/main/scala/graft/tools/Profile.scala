@@ -22,7 +22,7 @@ object Profile {
     * isolates NLP-inner-loop cost from Dataset serialization overhead. */
   def localLoop(nDocs: Int): (Double, Long) = {
     val m = SparkEntry.fixtureModels
-    val lex: String => Boolean = m.lexicon.contains _
+    val lex = m.lexPredicate
     val t0 = System.nanoTime()
     var i = 0
     var acc = 0L

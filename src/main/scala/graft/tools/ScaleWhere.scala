@@ -35,7 +35,7 @@ object ScaleWhere {
         val models = s.sparkContext.broadcast(graft.SparkEntry.fixtureModels)
         graft.fixtures.Fixtures.inputDocsDs(s, nDocs, parts).rdd.mapPartitions { it =>
           val m = models.value
-          val lex: String => Boolean = m.lexicon.contains _
+          val lex = m.lexPredicate
           Iterator.single(it.count(d => graft.Pipeline.annotateDoc(m, lex, d).sents.nonEmpty))
         }.count(); ()
       }),

@@ -1015,8 +1015,15 @@ class DatapipeSpec extends AnyFunSuite {
         .map { case ((q, id, sc), i) => (q, id) -> ((sc, i + 1)) }
     }
     assert(got === expected)
-    // ranking sanity: same-tf shorter doc outranks the longer one — doc 1
-    // ("join", dl 1) must beat doc 0 per join-occurrence despite tf 2 there
+    // length-norm ranking property, asserted per-OCCURRENCE: doc 1 ("join",
+    // dl 1) must beat doc 0 (tf 2 but dl 4) per join-occurrence — i.e.
+    // w1/tf1 > w0/tf0, cross-multiplied to stay in exact integers. The
+    // per-term weights come from the scalar model `got` was proven equal to.
+    def w(id: Long, term: String): Long = {
+      val f = tf((term, id))
+      idf(term) * 440000L * f / (200000L * f + 60000L + 18L * ndBp(id))
+    }
+    assert(w(1L, "join") * tf(("join", 0L)) > w(0L, "join") * tf(("join", 1L)))
     assert(got(("q0", 1L))._1 > 0L)
   }
 
@@ -1107,5 +1114,164 @@ class DatapipeSpec extends AnyFunSuite {
       for (m <- byTier.get("middle"); t <- byTier.get("tail"))
         assert(m.max < t.min)
     }
+  }
+
+  /** Scalar replay of [[Sketch.qhBinOf]]'s log-linear bin arithmetic. */
+  private def qhBinScalar(v: Long, sub: Int = 5): Long = {
+    val v1 = v + 1
+    val m = 1L << sub
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(v1)
+    if (bitLen - 1 < sub) v1
+    else (bitLen - sub).toLong * m + (v1 >>> (bitLen - 1 - sub)) - m
+  }
+
+  test("ppl buckets sketch: matches scalar bin-rank replay; disagrees with exact only inside threshold bins") {
+    val df = lmCorpus.toDF("doc_id", "text")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("he"))
+    val ppl = TextQuality.lmPerplexity(df)
+      .join(df.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "ppl_micro")
+      .as[(Long, String, Long)].collect()
+    // scalar twin: bin every ppl, pick threshold BINS by the ×3 rank rule
+    // over the per-lang bin cumsum, label by bin-vs-threshold-bin
+    val thrBins: Map[String, (Long, Long)] = ppl.groupBy(_._2).map { case (lang, rows) =>
+      val cnts = rows.groupBy(r => qhBinScalar(r._3)).map { case (b, rs) => b -> rs.length.toLong }
+        .toSeq.sortBy(_._1)
+      val n = rows.length.toLong
+      val cum = cnts.scanLeft(0L)(_ + _._2).tail.zip(cnts.map(_._1))
+      val t1 = cum.collectFirst { case (c, b) if 3 * c >= n => b }.get
+      val t2 = cum.collectFirst { case (c, b) if 3 * c >= 2 * n => b }.get
+      lang -> ((t1, t2))
+    }
+    val expected = ppl.map { case (id, lang, p) =>
+      val (t1, t2) = thrBins(lang)
+      val b = qhBinScalar(p)
+      id -> ((lang, p, if (b <= t1) "head" else if (b <= t2) "middle" else "tail"))
+    }.toMap
+    val got = TextQuality.pplBucketsSketch(df)
+      .as[(Long, String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected)
+    // exact/sketch agreement: the twins may disagree ONLY on docs whose ppl
+    // falls in a threshold's own bin (< 2^-sub relative width)
+    val exact = TextQuality.pplBuckets(df)
+      .as[(Long, String, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val disagreements = got.collect { case (id, (lang, p, b)) if exact(id) != b => (id, lang, p) }
+    disagreements.foreach { case (id, lang, p) =>
+      val (t1, t2) = thrBins(lang)
+      val b = qhBinScalar(p)
+      assert(b == t1 || b == t2,
+        s"doc $id disagrees with the exact twin outside a threshold bin (bin $b, thr $t1/$t2)")
+    }
+  }
+
+  test("winnow overlap pairs: scalar replay; hot-fingerprint cap bites; minShared gates") {
+    val r = new Random(41)
+    val vocab = (0 until 30).map(i => s"t$i")
+    def sent(n: Int) = Seq.fill(n)(vocab(r.nextInt(vocab.length))).mkString(" ")
+    val runA = sent(10)
+    val runB = sent(8)
+    val hot = sent(12) // boilerplate shared by EVERY doc -> its buckets overflow
+    val texts = Seq(
+      0L -> s"$hot $runA $runB",
+      1L -> s"$runA $hot $runB",
+      2L -> s"${sent(15)} $runA",
+      3L -> s"$hot ${sent(12)}",
+      4L -> s"$hot ${sent(12)}",
+      5L -> s"$hot ${sent(12)}",
+      6L -> s"$hot ${sent(12)}")
+    val docs = texts.toDF("doc_id", "text")
+    val (k, w, maxBucket, minShared) = (3, 4, 4, 2)
+    // scalar winnow selection (distinct hashes per doc), as in the selection test
+    def scalarSel(text: String): Set[Long] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) return Set.empty
+      val hs = (0 to toks.length - k).map(i => Dedup.hash48(toks.slice(i, i + k).mkString(" ")))
+      (w - 1 until hs.length).map { j =>
+        (j - w + 1 to j).map(i => (hs(i), i)).minBy { case (h, i) => (h, -i) }._1
+      }.toSet
+    }
+    val sel = texts.map { case (id, t) => id -> scalarSel(t) }.toMap
+    def expectedPairs(cap: Int): Map[(Long, Long), Long] = {
+      val byHash = sel.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+        .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2).sorted }
+      val kept = byHash.filter { case (_, ids) => ids.length >= 2 && ids.length <= cap }
+      kept.values.flatMap(ids => ids.combinations(2).map(p => (p(0), p(1))))
+        .groupBy(identity).map { case (p, os) => p -> os.size.toLong }
+        .filter(_._2 >= minShared)
+    }
+    val expected = expectedPairs(maxBucket)
+    val got = Dedup.winnowOverlapPairs(docs, "doc_id", "text", k, w, maxBucket, minShared)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got === expected)
+    // the strongly-overlapping pair is reported with several shared fps
+    assert(got.getOrElse((0L, 1L), 0L) >= 2L)
+    // the cap BITES: uncapped, the hot boilerplate (in all 7 docs > maxBucket)
+    // links the otherwise-unrelated docs 3..6; capped, those pairs are gone
+    val uncapped = expectedPairs(Int.MaxValue)
+    assert(uncapped.keySet.exists { case (a, b) => a >= 3L && b >= 3L })
+    assert(!got.keySet.exists { case (a, b) => a >= 3L && b >= 3L })
+    // but capping loses NO pair backed by rarer shared runs
+    assert(got.keySet === expected.keySet)
+  }
+
+  test("media near-dup: aHash from decoded pixels; identical and rescaled re-encodes collide; banding replay") {
+    import Multimodal._
+    def img(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+      writeHeader("image", w, h, 0) ++ encodePpm(w, h, px)
+    def pattern(w: Int, h: Int, seed: Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => ((3 * i + seed) % 256).toByte)
+    // 2x upscale by pixel replication: grid sampling (y=r*h/6, x=c*w/8) with
+    // w%8==0, h%6==0 hits replicated pixels -> hash is resolution-invariant
+    def upscale2(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+      Array.tabulate(2 * w * 2 * h * 3) { i =>
+        val p = i / 3; val ch = i % 3
+        val y = p / (2 * w); val x = p % (2 * w)
+        px(((y / 2) * w + x / 2) * 3 + ch)
+      }
+    val pxA = pattern(8, 6, 17)
+    val rows = Seq(
+      MediaRow("d1", "a1", "image", 8, 6, 0, img(8, 6, pxA)),
+      MediaRow("d2", "a2", "image", 8, 6, 0, img(8, 6, pxA)),            // exact re-encode
+      MediaRow("d3", "a3", "image", 16, 12, 0, img(16, 12, upscale2(8, 6, pxA))), // rescale
+      MediaRow("d4", "b1", "image", 8, 6, 0, img(8, 6, pattern(8, 6, 201))), // different
+      MediaRow("d5", "f1", "image", 8, 6, 0, img(8, 6, Array.fill(8 * 6 * 3)(7.toByte))), // flat
+      MediaRow("d6", "w1", "audio", 0, 0, 1000,
+        writeHeader("audio", 0, 0, 1000) ++ encodeWav(Array[Short](1, 2, 3))), // non-visual
+      MediaRow("d7", "x1", "image", 8, 6, 0, img(8, 6, pxA).dropRight(3))) // corrupt body
+    val hashes = perceptualHashes(spark, spark.createDataset(rows)).collect()
+      .map(h => s"${h.doc_id}:${h.media_ref}" -> h.ahash).toMap
+    // audio and corrupt payloads emit NO hash (cannot poison a bucket)
+    assert(hashes.keySet === Set("d1:a1", "d2:a2", "d3:a3", "d4:b1", "d5:f1"))
+    // scalar aHash replay over the decoded raster
+    def scalarAHash(w: Int, h: Int, px: Array[Byte]): Long = {
+      val gs = for (r <- 0 until 6; c <- 0 until 8) yield {
+        val p = ((r * h / 6) * w + c * w / 8) * 3
+        ((px(p) & 0xFF) + (px(p + 1) & 0xFF) + (px(p + 2) & 0xFF)) / 3
+      }
+      val tot = gs.map(_.toLong).sum
+      gs.zipWithIndex.foldLeft(0L) { case (acc, (g, i)) =>
+        if (g.toLong * 48 > tot) acc | (1L << i) else acc }
+    }
+    assert(hashes("d1:a1") === scalarAHash(8, 6, pxA))
+    assert(hashes("d1:a1") === hashes("d2:a2"))           // identical re-encode
+    assert(hashes("d1:a1") === hashes("d3:a3"))           // rescaled re-encode
+    assert(hashes("d5:f1") === 0L)                        // flat frame -> all-zero hash
+    assert(hashes("d4:b1") !== hashes("d1:a1"))
+    // e2e pairs match a scalar banding replay (4 x 12-bit bands, cap, verify)
+    val (maxDist, maxBucket) = (3, 64)
+    val ids = hashes.keys.toSeq.sorted
+    val byChunk = (for (id <- ids; b <- 0 until 4)
+      yield ((b, (hashes(id) >> (b * 12)) & 4095L), id)).groupBy(_._1)
+    val expected = byChunk.values.filter(v => v.length >= 2 && v.length <= maxBucket)
+      .flatMap(_.map(_._2).sorted.combinations(2))
+      .map(p => (p(0), p(1), java.lang.Long.bitCount(hashes(p(0)) ^ hashes(p(1)))))
+      .filter(_._3 <= maxDist).toSet
+    val got = mediaNearDuplicates(spark, spark.createDataset(rows), maxDist, maxBucket)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === expected)
+    assert(got.contains(("d1:a1", "d2:a2", 0)))
+    assert(got.contains(("d1:a1", "d3:a3", 0)))
   }
 }

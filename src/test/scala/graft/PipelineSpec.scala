@@ -444,5 +444,13 @@ class PipelineSpec extends AnyFunSuite {
     val exactEdges = Analyzer.sentenceLattice(toks, exact)
     val bloomEdges = Analyzer.sentenceLattice(toks, bloom)
     assert(exactEdges.map(_.form).toSet.subsetOf(bloomEdges.map(_.form).toSet))
+    // Models.lexiconExt: the loaders' broadcast hook — lexPredicate is the
+    // OR of the exact core set and the extension, and is what annotate ships
+    val m0 = Pipeline.fixtureModels()
+    val ext = m0.copy(lexiconExt = Some(exact))
+    forms.foreach(f => assert(ext.lexPredicate(f), f))
+    m0.lexicon.take(5).foreach(f => assert(ext.lexPredicate(f), f))
+    assert(!ext.lexPredicate("בבב") || m0.lexicon("בבב"))
+    assert(m0.lexPredicate eq m0.lexicon) // no-ext case adds no indirection
   }
 }
