@@ -178,4 +178,49 @@ class ServeSpec extends AnyFunSuite {
       .flatMap(_.get("morphs").elements().asScala.map(_.get("nemo_morph").asText()))
     assert(servedMorph === batchDoc.sents.head.tokens.flatMap(_.morphs.map(_.nemoMorph)).toSeq)
   }
+
+  test("http listener: end-to-end socket round trip equals Serve.handle; FastAPI error mapping") {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.net.URI
+    val server = graft.serve.HttpServe.start(0) // ephemeral port
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = HttpClient.newHttpClient()
+      def get(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def post(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      // GET / — command listing, byte-identical to the non-socket surface
+      val root = get("/")
+      assert(root.statusCode() === 200)
+      assert(root.body() === Serve.listCommandsJson)
+
+      // POST /{command}: socket response == direct Serve.handle for the same
+      // request (sentences in the body; verbosity as a query param)
+      val body = om.createObjectNode()
+      body.put("sentences", sentences)
+      val wire = post("/morph_hybrid?verbose=1", om.writeValueAsString(body))
+      assert(wire.statusCode() === 200)
+      assert(wire.body() === Serve.handle("morph_hybrid", Request(sentences, verbose = 1)))
+
+      // pre-tokenized Union[str, List[List[str]]] body form
+      val tokBody = """{"sentences": [["אבג.", "דהו"], ["זחט"]]}"""
+      val tok = post("/run_ncrf_model", tokBody)
+      assert(tok.statusCode() === 200)
+      assert(tok.body() === Serve.handle("run_ncrf_model",
+        Request("אבג. דהו\nזחט", tokenized = true)))
+
+      // FastAPI-shaped errors: unknown command 404, unknown model 404,
+      // malformed JSON 400, missing sentences 422
+      assert(post("/nope", """{"sentences":"א"}""").statusCode() === 404)
+      assert(post("/run_ncrf_model?model_name=no-such",
+        """{"sentences":"א"}""").statusCode() === 404)
+      assert(post("/run_ncrf_model", """{"sentences": """).statusCode() === 400)
+      assert(post("/run_ncrf_model", """{"text":"א"}""").statusCode() === 422)
+    } finally server.stop(0)
+  }
 }
