@@ -19,7 +19,7 @@ object AnnotateKernel {
     * probes use [[pooledAnnotator]] — see its scaladoc for why. */
   def annotator(): Int => Int = {
     val m = graft.SparkEntry.fixtureModels
-    val lex: String => Boolean = m.lexicon.contains _
+    val lex = m.lexPredicate
     (i: Int) => {
       val fd = graft.fixtures.Fixtures.doc(i)
       graft.Pipeline.annotateDoc(m, lex, graft.schema.InputDoc(fd.docId, fd.spans.toArray)).sents.length
@@ -38,7 +38,7 @@ object AnnotateKernel {
     * Pool size: ~0.6 KB/doc (InputDoc + span strings), 150k docs ≈ 90 MB. */
   def pooledAnnotator(startDoc: Int, nDocs: Int): Int => Int = {
     val m = graft.SparkEntry.fixtureModels
-    val lex: String => Boolean = m.lexicon.contains _
+    val lex = m.lexPredicate
     val pool = new Array[graft.schema.InputDoc](nDocs)
     var i = 0
     while (i < nDocs) {
@@ -48,6 +48,69 @@ object AnnotateKernel {
     }
     (docId: Int) => graft.Pipeline.annotateDoc(m, lex, pool(docId - startDoc)).sents.length
   }
+
+  /** Variant kernels for the fleet ATTRIBUTION experiment (the 1×8 → 4×8
+    * per-doc CPU inflation, BENCH/NOTES.md): each variant perturbs exactly
+    * one resource axis of the base kernel so the inflation's cause is read
+    * off the table of ratios, not inferred.
+    *
+    *  - `base`    — the standard pooled kernel.
+    *  - `halfset` — same doc COUNT, pool cycles over HALF the distinct docs:
+    *    per-doc bytes unchanged, the shared working set (alphabet rows, memo
+    *    caches, embedding rows touched) roughly halves. If the multi-process
+    *    inflation is cache-CAPACITY thrash (4 private copies of the working
+    *    set evicting each other from the shared L3), it shrinks here.
+    *  - `halfdoc` — same distinct docs, each truncated to half its spans:
+    *    per-doc bytes/compute halve, the distinct working set stays ~same.
+    *    If the inflation is memory BANDWIDTH ∝ bytes streamed, the ABSOLUTE
+    *    µs/doc inflation halves here (relative inflation holds).
+    *  - `spinfp`  — thread-private L1-resident FP32 dot products calibrated
+    *    to ~the same µs/doc, zero shared memory, zero allocation: the box's
+    *    frequency/scheduling floor. Any inflation here is environmental.
+    */
+  def variantAnnotator(variant: String, startDoc: Int, nDocs: Int): Int => Int =
+    variant match {
+      case "base" => pooledAnnotator(startDoc, nDocs)
+      case "halfset" =>
+        val half = math.max(1, nDocs / 2)
+        val inner = pooledAnnotator(startDoc, half)
+        (docId: Int) => inner(startDoc + (docId - startDoc) % half)
+      case "halfdoc" =>
+        val m = graft.SparkEntry.fixtureModels
+        val lex = m.lexPredicate
+        val pool = new Array[graft.schema.InputDoc](nDocs)
+        var i = 0
+        while (i < nDocs) {
+          val fd = graft.fixtures.Fixtures.doc(startDoc + i)
+          val spans = fd.spans.toArray
+          pool(i) = graft.schema.InputDoc(fd.docId, spans.take((spans.length + 1) / 2))
+          i += 1
+        }
+        (docId: Int) => graft.Pipeline.annotateDoc(m, lex, pool(docId - startDoc)).sents.length
+      case "spinfp" =>
+        // per-THREAD private 2×1 KB float arrays: L1-resident, never shared
+        val tl = ThreadLocal.withInitial[(Array[Float], Array[Float])] { () =>
+          val a = new Array[Float](256); val b = new Array[Float](256)
+          var k = 0
+          while (k < 256) { a(k) = k * 0.5f; b(k) = 1.0f / (k + 1); k += 1 }
+          (a, b)
+        }
+        (_: Int) => {
+          val (a, b) = tl.get()
+          var acc = 0.0f
+          var i = 0
+          while (i < 700) { // ~180k FMA ≈ the base kernel's per-doc µs scale
+            var s = 0.0f
+            var j = 0
+            while (j < 256) { s += a(j) * b(j); j += 1 }
+            acc += s
+            a(0) = acc // serialize: keep the loop from folding away
+            i += 1
+          }
+          if (acc == Float.MinValue) 1 else 0
+        }
+      case other => sys.error(s"unknown kernel variant: $other")
+    }
 
   /** JIT/allocator warmup on the calling thread. */
   def warm(annotate: Int => Int, startDoc: Int = 0, n: Int = 4000): Unit = {

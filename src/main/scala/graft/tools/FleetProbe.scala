@@ -33,7 +33,8 @@ object FleetProbe {
     val start = args(1).toInt
     val n = args(2).toInt
     val threads = args(3).toInt
-    val annotate = AnnotateKernel.pooledAnnotator(start, n)
+    val variant = if (args.length > 4) args(4) else "base"
+    val annotate = AnnotateKernel.variantAnnotator(variant, start, n)
     AnnotateKernel.warm(annotate, start)
     val r = AnnotateKernel.run(annotate, threads, n, start)
     println("WORKER " + r.wall + " " + r.cpuSec)
@@ -59,7 +60,8 @@ object FleetProbe {
     * true that was). A round with a dead worker is SKIPPED with a warning,
     * never fatal — a probe must not take the whole bench down. */
   def run(fleets: Seq[Int], threads: Int, docsPerWorker: Int,
-          rounds: Int = 2, quiet: Boolean = false): Seq[FleetRow] = {
+          rounds: Int = 2, quiet: Boolean = false,
+          variant: String = "base"): Seq[FleetRow] = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val best = collection.mutable.LinkedHashMap[Int, FleetRow]()
@@ -74,7 +76,8 @@ object FleetProbe {
         val procs = (0 until w).map { k =>
           val p = new ProcessBuilder(java, "-Xmx4g", "-XX:+UseParallelGC", "-cp", cp,
             "graft.tools.FleetProbe", "worker",
-            (k * docsPerWorker).toString, docsPerWorker.toString, threads.toString)
+            (k * docsPerWorker).toString, docsPerWorker.toString, threads.toString,
+            variant)
             .redirectErrorStream(true).start()
           started += p
           p
@@ -107,7 +110,7 @@ object FleetProbe {
           val kept = if (!best.contains(w) || row.dps > best(w).dps) row else best(w)
           best(w) = kept.copy(minCpuUsPerDoc = minCpu)
           if (!quiet)
-            println(f"[fleetprobe] round=$round workers=$w%2d x $threads threads  wall=${row.wall}%7.2f s (outer $outerWall%.2f, overlap ${row.overlap}%.2f)  docs=${row.docs}%7d  agg-docs/s=${row.dps}%8.0f  cpu-us/doc=${row.cpuUsPerDoc}%7.1f")
+            println(f"[fleetprobe] variant=$variant round=$round workers=$w%2d x $threads threads  wall=${row.wall}%7.2f s (outer $outerWall%.2f, overlap ${row.overlap}%.2f)  docs=${row.docs}%7d  agg-docs/s=${row.dps}%8.0f  cpu-us/doc=${row.cpuUsPerDoc}%7.1f")
       }
     }
     best.values.toSeq
@@ -118,7 +121,8 @@ object FleetProbe {
     val threads = sys.env.getOrElse("FLEETPROBE_THREADS", "8").toInt
     val fleets = sys.env.getOrElse("FLEETPROBE_FLEETS", "1,4")
       .split(",").map(_.trim.toInt).toSeq
-    val rows = run(fleets, threads, docsPerWorker)
+    val variant = sys.env.getOrElse("FLEETPROBE_VARIANT", "base")
+    val rows = run(fleets, threads, docsPerWorker, variant = variant)
     for (Seq(lo, hi) <- rows.sortBy(_.workers).sliding(2).toSeq if rows.size >= 2) {
       val eff = (hi.dps / lo.dps) / (hi.workers.toDouble / lo.workers)
       println(f"[fleetprobe] scaling ${lo.workers}x$threads -> ${hi.workers}x$threads: efficiency=$eff%.4f (best-of-rounds aggregate throughput)")
