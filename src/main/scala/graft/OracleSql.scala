@@ -118,24 +118,47 @@ object OracleSql {
     * only — what the incremental shrink fold must land on. */
   def triplesShrunk: String = triplesWith("WHERE entity_id % 5 <> 0")
 
-  private def triplesWith(dictWhere: String): String = {
-    val body =
-      s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph", dictWhere)}
+  /** CTE prefix ending in `base` (linked mentions + CC-canonical subj) and
+    * the 5-predicate union select — shared by the triple-materialize oracles
+    * and the BGP read-path oracle (which wraps the union in a `trip` CTE). */
+  private def triplesPrefix(dictWhere: String): String =
+    s"""${mentionCtes("morph_forms", "morph_labels")}${linkCtes("morph", "morph", dictWhere)}
 ${ccClosureCtes}
-         |,
-         |base AS (
-         |  SELECT 'ent:' || CAST(COALESCE(c.canonical_id, l.entity_id) AS VARCHAR) AS subj,
-         |         l.entity_id, l.canonical, l.dict_category, l.surface, l.doc_id
-         |  FROM linked l LEFT JOIN comp c ON c.node = l.entity_id
-         |)
-         |SELECT subj, 'mentions' AS pred, surface AS obj, doc_id FROM base
-         |UNION ALL SELECT DISTINCT subj, 'inDoc' AS pred, doc_id AS obj, doc_id FROM base
-         |UNION ALL SELECT DISTINCT subj, 'label' AS pred, canonical AS obj, doc_id FROM base
-         |UNION ALL SELECT DISTINCT subj, 'category' AS pred, dict_category AS obj, doc_id FROM base
-         |UNION ALL SELECT DISTINCT subj, 'sameAs' AS pred, 'ent:' || CAST(entity_id AS VARCHAR) AS obj, doc_id FROM base
-         |  WHERE 'ent:' || CAST(entity_id AS VARCHAR) <> subj""".stripMargin
-    body.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
-  }
+       |,
+       |base AS (
+       |  SELECT 'ent:' || CAST(COALESCE(c.canonical_id, l.entity_id) AS VARCHAR) AS subj,
+       |         l.entity_id, l.canonical, l.dict_category, l.surface, l.doc_id
+       |  FROM linked l LEFT JOIN comp c ON c.node = l.entity_id
+       |)""".stripMargin
+
+  private def tripUnionSelect: String =
+    """SELECT subj, 'mentions' AS pred, surface AS obj, doc_id FROM base
+      |UNION ALL SELECT DISTINCT subj, 'inDoc' AS pred, doc_id AS obj, doc_id FROM base
+      |UNION ALL SELECT DISTINCT subj, 'label' AS pred, canonical AS obj, doc_id FROM base
+      |UNION ALL SELECT DISTINCT subj, 'category' AS pred, dict_category AS obj, doc_id FROM base
+      |UNION ALL SELECT DISTINCT subj, 'sameAs' AS pred, 'ent:' || CAST(entity_id AS VARCHAR) AS obj, doc_id FROM base
+      |  WHERE 'ent:' || CAST(entity_id AS VARCHAR) <> subj""".stripMargin
+
+  private def triplesWith(dictWhere: String): String =
+    (triplesPrefix(dictWhere) + "\n" + tripUnionSelect)
+      .replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** BGP read-path oracle (`nemo_kg_2hop`): the SAME triple derivation as
+    * [[triples]] wrapped in a `trip` CTE, then the three-pattern conjunction
+    * `?a category <cat> . ?a inDoc ?d . ?b inDoc ?d (a ≠ b)` replayed as
+    * plain self-joins — which entities co-occur in a document with a
+    * <cat>-category entity, answered from the materialized triples. */
+  def kg2hop(cat: String): String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT ca.subj AS per_ent, b.subj AS other_ent, a.obj AS doc
+       |FROM trip ca
+       |JOIN trip a ON a.pred = 'inDoc' AND a.subj = ca.subj
+       |JOIN trip b ON b.pred = 'inDoc' AND b.obj = a.obj
+       |WHERE ca.pred = 'category' AND ca.obj = '$cat' AND b.subj <> ca.subj"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
   /** Shared chain link → star-edge CC closure → per-sentence distinct
     * canonical entities → pairs → exact integer lift, ending in a `cedges`

@@ -1395,6 +1395,34 @@ object SparkEntry {
         .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
       Triples.fromLinkedMentions(withCanon)
     }),
+    "nemo_kg_2hop" -> ((s, _) => {
+      // KG READ path: SPARQL-shaped basic-graph-pattern match over the
+      // MATERIALIZED triples (every other nemo_* query runs pre-triple
+      // stages) — ?a category PER . ?a inDoc ?d . ?b inDoc ?d, a≠b: which
+      // entities co-occur in a document with a PER entity. The category
+      // pattern is one (pred,obj) cell → AQE broadcasts it; the inDoc-inDoc
+      // step shuffles on the shared ?d variable only. Oracle wraps the
+      // nemo_triples derivation in a CTE and replays the joins.
+      import s.implicits._
+      import graft.kg.Pattern
+      import graft.kg.Pattern.{C, Tp, V}
+      val mentions = annotatedMentions(s, 300, "morph")
+      val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+      val linked = Linker.link(mentions, dict)
+      val withCanon = linked
+        .join(broadcast(fixtureEntities(s)), Seq("entity_id"), "left")
+        .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+      // materialize the triples ONCE and match patterns against the stored
+      // set — the deployment shape (BGP reads the triple STORE; each pattern
+      // is a pred-pruned scan of it, not a re-run of annotate→link)
+      val trip = Triples.fromLinkedMentions(withCanon).localCheckpoint(false)
+      Pattern.matchBgp(trip, Seq(
+          Tp(V("a"), C("category"), C("PER")),
+          Tp(V("a"), C("inDoc"), V("d")),
+          Tp(V("b"), C("inDoc"), V("d"))))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("per_ent"), col("b").as("other_ent"), col("d").as("doc"))
+    }),
     "nemo_triples_incr" -> ((s, _) =>
       // the incremental-maintenance twin of nemo_triples: the SAME fixture
       // corpus ingested as two delta batches via Pipeline.runIncremental
@@ -1700,6 +1728,7 @@ object SparkEntry {
     "nemo_mentions_morph_align_token" -> OracleSql.mentions("tok_forms", "tok_single", "token", "morph-align-token"),
     "nemo_linked" -> OracleSql.linked,
     "nemo_triples" -> OracleSql.triples,
+    "nemo_kg_2hop" -> OracleSql.kg2hop("PER"),
     // incremental two-batch ingest must land on the SAME full-corpus oracle
     "nemo_triples_incr" -> OracleSql.triples,
     // dict-growth fold must land on the SAME full-corpus, full-dict oracle
