@@ -461,6 +461,81 @@ ${ccClosureCtes}
        |FROM mem m1 JOIN mem m2 USING (band, chunk) JOIN sized USING (band, chunk)
        |WHERE m1.id < m2.id AND bit_count(xor(m1.sim, m2.sim)) <= $maxDist""".stripMargin
 
+  /** Resized-media replay (Multimodal.resizeVisual(dstW, dstH) →
+    * extractFeatures): the resize is nearest-neighbor with floor sampling
+    * (src y = r·th//dstH, x = c·tw//dstW), so each resized pixel is the
+    * closed-form synthetic pixel at the sampled source index — the SQL
+    * re-derives every resized frame's exact px_sum from the ref alone.
+    * Audio passes through untouched (the [[mediaDecode]] audio branch). */
+  def mediaResize(dstW: Int, dstH: Int): String = {
+    val pf = dstW * dstH * 3
+    val rowB = dstW * 3
+    s"""WITH g AS (SELECT doc_id, media_ref FROM read_parquet('{{AUX}}/gold_media/*.parquet')),
+       |h AS (SELECT doc_id, media_ref,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref), 1)) - 1, 0) % 3 AS code,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 1, 1)) - 1, 0) AS hv2,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 2, 1)) - 1, 0) AS hv3,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 3, 1)) - 1, 0) AS hv4
+       |  FROM g),
+       |m AS (SELECT doc_id, media_ref, code, hv2, hv3, hv4,
+       |  CASE code WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |  CASE WHEN code = 2 THEN 1 + hv2 ELSE 1 END AS frames,
+       |  (64 + 4 * hv3) // 8 AS tw, (64 + 4 * hv4) // 8 AS th,
+       |  16 * hv2 + hv3 AS seed,
+       |  least(2048, 1000 * (1 + hv2)) AS ns
+       |  FROM h)
+       |SELECT doc_id, media_ref, modality,
+       |  CAST(CASE WHEN code = 1 THEN 0 ELSE $dstW END AS INT) AS width,
+       |  CAST(CASE WHEN code = 1 THEN 0 ELSE $dstH END AS INT) AS height,
+       |  CAST(frames AS INT) AS frames,
+       |  TRUE AS decoded,
+       |  CAST(CASE WHEN code = 1 THEN 0 ELSE
+       |    list_reduce(list_transform(range(0, frames * $pf),
+       |      j -> (3 * ((((((j % $pf) // $rowB) * th) // $dstH) * tw
+       |                 + ((((j % $pf) % $rowB) // 3) * tw) // $dstW) * 3
+       |                 + (j % 3))
+       |            + seed + (j // $pf)) % 256), (a,b) -> a + b)
+       |  END AS BIGINT) AS px_sum,
+       |  CAST(CASE WHEN code = 1 THEN 0 ELSE frames * $pf END AS BIGINT) AS n_px,
+       |  CAST(CASE WHEN code = 1 THEN
+       |    list_reduce(list_transform(range(0, ns),
+       |      i -> abs(((i * (7 + hv3) + hv4) % 65536) - 32768)), (a,b) -> a + b)
+       |  ELSE 0 END AS BIGINT) AS samp_abs_sum,
+       |  CAST(CASE WHEN code = 1 THEN ns ELSE 0 END AS BIGINT) AS n_samp
+       |FROM m""".stripMargin
+  }
+
+  /** Frame-sample replay (Multimodal.sampleFrames(k) → extractFeatures):
+    * sampled indices are DISTINCT ⌊i·frames/k⌋ for i < k; each sampled frame
+    * becomes a standalone image payload (ref suffixed `#f<idx>`) whose pixel
+    * bytes are the closed-form rule at that frame index, so the SQL
+    * re-derives each sampled frame's exact px_sum. Audio emits no rows. */
+  def mediaFrameSample(k: Int): String =
+    s"""WITH g AS (SELECT doc_id, media_ref FROM read_parquet('{{AUX}}/gold_media/*.parquet')),
+       |h AS (SELECT doc_id, media_ref,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref), 1)) - 1, 0) % 3 AS code,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 1, 1)) - 1, 0) AS hv2,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 2, 1)) - 1, 0) AS hv3,
+       |  greatest(strpos('0123456789abcdef', substr(media_ref, length(media_ref) - 3, 1)) - 1, 0) AS hv4
+       |  FROM g),
+       |m AS (SELECT doc_id, media_ref,
+       |  CASE WHEN code = 2 THEN 1 + hv2 ELSE 1 END AS frames,
+       |  (64 + 4 * hv3) // 8 AS tw, (64 + 4 * hv4) // 8 AS th,
+       |  ((64 + 4 * hv3) // 8) * ((64 + 4 * hv4) // 8) * 3 AS per_frame,
+       |  16 * hv2 + hv3 AS seed
+       |  FROM h WHERE code <> 1),
+       |s AS (SELECT DISTINCT doc_id, media_ref AS ref0, tw, th, per_frame, seed,
+       |  (i * frames) // $k AS fidx
+       |  FROM m, unnest(generate_series(0, ${k - 1})) AS t(i))
+       |SELECT doc_id, ref0 || '#f' || CAST(fidx AS VARCHAR) AS media_ref,
+       |  'image' AS modality,
+       |  CAST(tw AS INT) AS width, CAST(th AS INT) AS height,
+       |  CAST(1 AS INT) AS frames, TRUE AS decoded,
+       |  CAST(list_reduce(list_transform(range(0, per_frame),
+       |    j -> (3 * j + seed + fidx) % 256), (a,b) -> a + b) AS BIGINT) AS px_sum,
+       |  CAST(per_frame AS BIGINT) AS n_px
+       |FROM s""".stripMargin
+
   def minhashNearDup: String =
     s"""WITH coefs AS (SELECT i, a, b FROM read_parquet('{{AUX}}/minhash_coefs/*.parquet')),
        |toks0 AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),

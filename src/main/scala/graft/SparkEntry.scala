@@ -1491,6 +1491,29 @@ object SparkEntry {
       val docs = fixtureDocsDf(s, 300).toDF()
       Multimodal.mediaNearDuplicates(s, Multimodal.syntheticMedia(s, docs),
         maxDist = 3, maxBucket = 64)
+    }),
+    "d_media_resize" -> ((s, _) => {
+      // payload→payload resize: decode every visual frame, nearest-neighbor
+      // resample to 16×12, re-encode, re-wrap — then run the feature
+      // extractor over the RESIZED payloads, so the oracle (closed-form
+      // resized px sums) verifies the whole decode→resize→encode→decode loop.
+      val docs = fixtureDocsDf(s, 300).toDF()
+      Multimodal.extractFeatures(s,
+        Multimodal.resizeVisual(s, Multimodal.syntheticMedia(s, docs), 16, 12)).toDF()
+        .select(col("doc_id"), col("media_ref"), col("modality"),
+          col("width"), col("height"), col("frames"), col("decoded"),
+          col("px_sum"), col("n_px"), col("samp_abs_sum"), col("n_samp"))
+    }),
+    "d_media_framesample" -> ((s, _) => {
+      // frame sampling: each visual payload → evenly-spaced sampled frames as
+      // standalone image payloads (ref#f<idx>), re-decoded by the extractor;
+      // the oracle re-derives each sampled frame's exact pixel sum.
+      val docs = fixtureDocsDf(s, 300).toDF()
+      Multimodal.extractFeatures(s,
+        Multimodal.sampleFrames(s, Multimodal.syntheticMedia(s, docs), k = 4)).toDF()
+        .select(col("doc_id"), col("media_ref"), col("modality"),
+          col("width"), col("height"), col("frames"), col("decoded"),
+          col("px_sum"), col("n_px"))
     })
   )
 
@@ -1819,6 +1842,8 @@ object SparkEntry {
     "d_winnow" -> OracleSql.winnow,
     "d_winnow_pairs" -> OracleSql.winnowPairs(maxBucket = 64, minShared = 2),
     "d_media_neardup" -> OracleSql.mediaNearDup(maxDist = 3, maxBucket = 64),
+    "d_media_resize" -> OracleSql.mediaResize(16, 12),
+    "d_media_framesample" -> OracleSql.mediaFrameSample(4),
     "d_chunk_overlap" ->
       """WITH nn AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n
         |           FROM documents),

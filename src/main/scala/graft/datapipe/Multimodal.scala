@@ -383,6 +383,126 @@ object Multimodal {
     Dedup.hamming48Pairs(hs, maxDist, maxBucket)
   }
 
+  // ---------- resize + frame sampling (payload → payload transforms) ----------
+
+  /** Nearest-neighbor resize of one decoded P6 frame to dstW×dstH. Sampling
+    * convention matches [[aHash48]]'s grid (src y = r·h/dstH, x = c·w/dstW,
+    * floor division) so the resize is closed-form replayable from the
+    * synthetic pixel rule: resized pixel (r, c, ch) is source pixel index
+    * ((r·h/dstH)·w + c·w/dstW)·3 + ch. */
+  def resizeFrame(bytes: Array[Byte], f: PpmFrame, dstW: Int, dstH: Int): Array[Byte] = {
+    require(dstW > 0 && dstH > 0, "resize target must be positive")
+    val out = new Array[Byte](dstW * dstH * 3)
+    var r = 0
+    while (r < dstH) {
+      val y = r * f.h / dstH
+      var c = 0
+      while (c < dstW) {
+        val x = c * f.w / dstW
+        val src = f.pixelOffset + (y * f.w + x) * 3
+        val dst = (r * dstW + c) * 3
+        out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Resize every visual payload to dstW×dstH: decode each P6 frame (image,
+    * or all frames of a video), nearest-neighbor resample, re-encode, and
+    * re-wrap in a GRFT header with the new dims — a REAL payload→payload
+    * transform, so the output composes with [[extractFeatures]],
+    * [[perceptualHashes]], and [[sampleFrames]] unchanged. Partition-batched
+    * like every media kernel (binary never leaves the map stage; at 10^12
+    * docs this is the narrow per-row preprocessing step before an embedder,
+    * and it SHRINKS the bytes that flow downstream). Degrade ladder: audio
+    * and unknown-header rows pass through untouched; a visual payload whose
+    * body fails its codec (any malformed frame) passes through bit-exact —
+    * resize never invents pixels for content it could not decode. */
+  def resizeVisual(spark: SparkSession, media: Dataset[MediaRow],
+                   dstW: Int, dstH: Int, batchSize: Int = 64): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(dstW > 0 && dstH > 0, "resize target must be positive")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          parseHeader(m.content) match {
+            case Some(h) if h.modality == "image" || h.modality == "video" =>
+              var off = HeaderLen
+              val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+              var ok = true
+              while (ok && off < m.content.length) {
+                parsePpm(m.content, off) match {
+                  case Some(f) =>
+                    frames += encodePpm(dstW, dstH, resizeFrame(m.content, f, dstW, dstH))
+                    off = f.nextOffset
+                  case None => ok = false
+                }
+              }
+              if (ok && frames.nonEmpty)
+                m.copy(width = dstW, height = dstH,
+                  content = writeHeader(h.modality, dstW, dstH, h.durationMs) ++
+                    frames.iterator.flatten.toArray)
+              else m
+            case _ => m
+          }
+        }
+      }
+    }
+  }
+
+  /** Evenly-spaced sample plan: which of `n` decoded frames survive when at
+    * most `k` are kept — indices ⌊i·n/k⌋ for i < k, deduplicated (n < k ⇒
+    * all n frames, once each). Deterministic and SQL-replayable. */
+  def sampleIndices(n: Int, k: Int): Seq[Int] = {
+    require(k > 0, "sample count must be positive")
+    (0 until k).map(i => i * n / k).distinct.filter(_ < n)
+  }
+
+  /** Frame sampling: each visual payload → one standalone IMAGE payload per
+    * sampled frame (media_ref suffixed `#f<idx>`), frames chosen by
+    * [[sampleIndices]] over the frames the decoder ACTUALLY parsed (not the
+    * catalog's plan — a truncated video samples what is really there). An
+    * image is its own single frame (`#f0`); audio and undecodable payloads
+    * emit nothing. Output rows are full GRFT containers, so the sampled
+    * frames feed [[extractFeatures]] / [[perceptualHashes]] /
+    * [[resizeVisual]] unchanged — the decode → sample → re-encode loop a
+    * video-understanding pipeline runs before per-frame embedding. Scale:
+    * per-row narrow work; output bytes ≤ k/frames of the input video bytes,
+    * and only sampled frames reach any downstream exchange. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+                   k: Int = 4, batchSize: Int = 64): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(k > 0, "sample count must be positive")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          parseHeader(m.content) match {
+            case Some(h) if h.modality == "image" || h.modality == "video" =>
+              var off = HeaderLen
+              val fs = scala.collection.mutable.ArrayBuffer.empty[PpmFrame]
+              var ok = true
+              while (ok && off < m.content.length) {
+                parsePpm(m.content, off) match {
+                  case Some(f) => fs += f; off = f.nextOffset
+                  case None => ok = false
+                }
+              }
+              if (!ok || fs.isEmpty) Iterator.empty
+              else sampleIndices(fs.length, k).iterator.map { fi =>
+                val f = fs(fi)
+                val px = java.util.Arrays.copyOfRange(m.content, f.pixelOffset, f.nextOffset)
+                MediaRow(m.doc_id, s"${m.media_ref}#f$fi", "image", f.w, f.h, 0,
+                  writeHeader("image", f.w, f.h, 0) ++ encodePpm(f.w, f.h, px))
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+    }
+  }
+
   /** Hex value of the k-th character from the END of a ref string, clamped to
     * ≥ 0 — the deterministic, SQL-replayable source of the synthetic
     * catalog/header fields (the oracle recomputes the same values from

@@ -581,6 +581,105 @@ class DatapipeSpec extends AnyFunSuite {
     assert(out(1).modality === "video" && !out(1).decoded)
   }
 
+  test("multimodal resize: nearest-neighbor scalar kernel is exact") {
+    // 4×2 source with pixel value = linear index; downscale to 2×2:
+    // dst (r,c) samples src y = r·2//2 = r, x = c·4//2 = 2c
+    val px = Array.tabulate[Byte](4 * 2 * 3)(_.toByte)
+    val ppm = Multimodal.encodePpm(4, 2, px)
+    val f = Multimodal.parsePpm(ppm, 0).get
+    val out = Multimodal.resizeFrame(ppm, f, 2, 2)
+    def src(y: Int, x: Int) = (0 until 3).map(ch => px((y * 4 + x) * 3 + ch))
+    assert(out.toSeq === (for { r <- 0 until 2; c <- 0 until 2; b <- src(r, 2 * c) } yield b))
+    // identity resize is byte-exact; upscale replicates nearest pixels
+    assert(Multimodal.resizeFrame(ppm, f, 4, 2).toSeq === px.toSeq)
+    val up = Multimodal.resizeFrame(ppm, f, 8, 2)
+    assert(up.length === 8 * 2 * 3)
+    (0 until 8).foreach(c => assert(
+      up.slice(c * 3, c * 3 + 3).toSeq === src(0, c * 4 / 8), s"col $c"))
+  }
+
+  test("multimodal resize: payload→payload transform re-decodes; degrade passes through") {
+    val docs = spark.createDataset(graft.fixtures.Fixtures.inputDocs(80)).toDF()
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val resized = Multimodal.resizeVisual(spark, media, 16, 12)
+    val feats = Multimodal.extractFeatures(spark, resized).collect()
+      .map(f => f.media_ref -> f).toMap
+    val catalog = media.collect()
+    catalog.foreach { m =>
+      val f = feats(m.media_ref)
+      assert(f.decoded, s"${m.media_ref} must still decode after resize")
+      def hv(k: Int) = math.max(
+        "0123456789abcdef".indexOf(m.media_ref.charAt(m.media_ref.length - k)), 0)
+      val seed = 16 * hv(2) + hv(3)
+      if (m.modality == "audio") {
+        // audio passes through bit-exact: same samp sum as the direct decode
+        assert(f.n_samp === math.min(2048, m.durationMs).toLong && f.px_sum === 0L)
+      } else {
+        val tw = Multimodal.thumbDim(m.width); val th = Multimodal.thumbDim(m.height)
+        val frames = if (m.modality == "video") Multimodal.framePlan(m.durationMs) else 1
+        assert(f.width === 16 && f.height === 12 && f.frames === frames)
+        // closed form: resized pixel (r,c,ch) = synthetic pixel at the
+        // floor-sampled source index — the oracle's replay rule
+        val exp = (0 until frames).map { fr =>
+          (for { r <- 0 until 12; c <- 0 until 16; ch <- 0 until 3 } yield {
+            val j = ((r * th / 12) * tw + (c * tw / 16)) * 3 + ch
+            ((3 * j + seed + fr) % 256).toLong
+          }).sum
+        }.sum
+        assert(f.px_sum === exp, s"${m.media_ref} resized px_sum")
+        assert(f.n_px === frames.toLong * 16 * 12 * 3)
+      }
+    }
+    // corrupt visual body: resize must pass the payload through BIT-EXACT
+    val hdr = Multimodal.writeHeader("image", 64, 64, 0)
+    val junk = Array.tabulate[Byte](100)(i => (i * 37).toByte)
+    val rows = Seq(Multimodal.MediaRow("d1", "r1", "image", 64, 64, 0, hdr ++ junk))
+    val passthrough = Multimodal.resizeVisual(spark,
+      spark.createDataset(rows)(media.encoder), 16, 12).collect().head
+    assert(passthrough.content.toSeq === (hdr ++ junk).toSeq)
+  }
+
+  test("multimodal frame-sample: plan, refs, and sampled payloads re-decode exactly") {
+    // the plan: evenly spaced, distinct, never out of range
+    assert(Multimodal.sampleIndices(1, 4) === Seq(0))
+    assert(Multimodal.sampleIndices(2, 4) === Seq(0, 1))
+    assert(Multimodal.sampleIndices(8, 4) === Seq(0, 2, 4, 6))
+    assert(Multimodal.sampleIndices(9, 4) === Seq(0, 2, 4, 6))
+    assert(Multimodal.sampleIndices(3, 5) === Seq(0, 1, 2))
+    val docs = spark.createDataset(graft.fixtures.Fixtures.inputDocs(80)).toDF()
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val sampled = Multimodal.sampleFrames(spark, media, k = 4)
+    val feats = Multimodal.extractFeatures(spark, sampled).collect()
+    val catalog = media.collect()
+    val byRef = feats.groupBy(f => f.media_ref.takeWhile(_ != '#'))
+    catalog.foreach { m =>
+      def hv(k: Int) = math.max(
+        "0123456789abcdef".indexOf(m.media_ref.charAt(m.media_ref.length - k)), 0)
+      val seed = 16 * hv(2) + hv(3)
+      if (m.modality == "audio") assert(!byRef.contains(m.media_ref))
+      else {
+        val frames = if (m.modality == "video") Multimodal.framePlan(m.durationMs) else 1
+        val idxs = Multimodal.sampleIndices(frames, 4)
+        val got = byRef(m.media_ref)
+          .sortBy(f => f.media_ref.drop(f.media_ref.indexOf("#f") + 2).toInt)
+        assert(got.map(_.media_ref).toSeq ===
+          idxs.sorted.map(i => s"${m.media_ref}#f$i"))
+        val perFrame = Multimodal.thumbDim(m.width) * Multimodal.thumbDim(m.height) * 3
+        got.foreach { f =>
+          val fi = f.media_ref.drop(f.media_ref.indexOf("#f") + 2).toInt
+          assert(f.modality === "image" && f.decoded && f.frames === 1)
+          val exp = (0 until perFrame).map(i => ((3 * i + seed + fi) % 256).toLong).sum
+          assert(f.px_sum === exp, s"${f.media_ref} sampled px_sum")
+        }
+      }
+    }
+    // sampled frames COMPOSE with resize: resize the sampled stills and they
+    // still decode with the resized geometry
+    val rs = Multimodal.extractFeatures(spark,
+      Multimodal.resizeVisual(spark, sampled, 8, 6)).collect()
+    assert(rs.nonEmpty && rs.forall(f => f.decoded && f.n_px === 8L * 6 * 3))
+  }
+
   test("BPE trainer: iterated merges match a reference implementation, incl. overlap semantics") {
     // 'aaa' stresses both pinned semantics: pair counting includes
     // overlapping adjacents ((a,a) counts twice in aaa) and merge
