@@ -639,7 +639,10 @@ object Bench {
              s"${lo.workers}×$fleetThreads→${hi.workers}×$fleetThreads **${f((hi.dps / lo.dps) / (hi.workers.toDouble / lo.workers))}**"
            }.mkString(" · ")}.
          |
-         |### Fleet attribution grid (what the multi-process inflation IS)
+${// the whole section is skipped (no orphan header/table) when the grid was
+          // disabled (SPARK_GRAFT_FLEET_ATTR=0) or every variant failed
+          if (attribution.isEmpty) "" else
+         s"""         |### Fleet attribution grid (what the multi-process inflation IS)
          |
          |Each variant perturbs ONE resource axis of the base kernel
          |(tools/AnnotateKernel.variantAnnotator) and re-runs the
@@ -659,7 +662,7 @@ object Bench {
          ||---|---|---|---|---|
          |${attribution.map { case (v, lo, hi) => s"| $v | ${f(lo)} | ${f(hi)} | ${f(hi - lo)} | ${f(if (hi > 0) lo / hi else 0.0)} |" }.mkString("\n         |")}
          |
-         |## End-to-end KG materialization (runAll, all stages written)
+"""}         |## End-to-end KG materialization (runAll, all stages written)
          |
          |Raw docs → annotate → mentions → link → canonicalize → triples, every
          |stage written as bucketed Parquet with manifests (checkpoint-resumable):

@@ -442,8 +442,8 @@ object Multimodal {
               }
               if (ok && frames.nonEmpty)
                 m.copy(width = dstW, height = dstH,
-                  content = writeHeader(h.modality, dstW, dstH, h.durationMs) ++
-                    frames.iterator.flatten.toArray)
+                  content = Array.concat(
+                    writeHeader(h.modality, dstW, dstH, h.durationMs) +: frames.toSeq: _*))
               else m
             case _ => m
           }

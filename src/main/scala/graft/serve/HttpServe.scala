@@ -36,40 +36,65 @@ object HttpServe {
 
   private def detail(msg: String): String = s"""{"detail":"${jsonEscape(msg)}"}"""
 
-  /** `a=1&b=x` → Map; value-less keys map to "". Percent-decoding via URI. */
+  /** 400-shaped client error (malformed request syntax). */
+  private[serve] final class BadRequest(msg: String) extends RuntimeException(msg)
+
+  /** `a=1&b=x` → Map; value-less keys map to "". Percent-decoding via URI;
+    * a malformed %-escape is the client's syntax error → 400, never 500. */
   private[serve] def parseQuery(raw: String): Map[String, String] =
     if (raw == null || raw.isEmpty) Map.empty
     else raw.split("&").iterator.filter(_.nonEmpty).map { kv =>
       val i = kv.indexOf('=')
       val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
-      java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      try java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      catch { case e: IllegalArgumentException =>
+        throw new BadRequest(s"malformed query string: ${e.getMessage}") }
     }.toMap
 
+  /** 422-shaped client error — FastAPI/pydantic rejects a request that fails
+    * model validation with 422 Unprocessable Entity. */
+  private[serve] final class UnprocessableEntity(msg: String) extends RuntimeException(msg)
+
   /** NEMOQuery body + FastAPI query params → [[Serve.Request]]. The
-    * `sentences` union type (api_main.py:491): a JSON string is raw text; a
-    * list-of-token-lists is pre-tokenized and joins to the '\n'/' '-separated
-    * form [[Serve.handle]]'s tokenized path expects. */
+    * `sentences` union type (api_main.py:491, `str | List[List[str]]`): a
+    * JSON string is raw text; a list of token LISTS is pre-tokenized and
+    * passes through VERBATIM ([[Serve.Request.preTokenized]] — the reference's
+    * get_sents list arm never re-splits tokens). Anything else — null, a
+    * number, a flat list of strings, a non-scalar token — fails pydantic
+    * validation in the reference and maps to 422 here. */
   private[serve] def parseRequest(body: String, query: Map[String, String]): Serve.Request = {
     val root = mapper.readTree(body)
     if (root == null || !root.has("sentences"))
-      throw new NoSuchFieldException("body must be a JSON object with a 'sentences' field")
+      throw new UnprocessableEntity("body must be a JSON object with a 'sentences' field")
     val sn = root.get("sentences")
     val (sentences, preTokenized) =
-      if (sn.isArray) {
+      if (sn.isTextual) (sn.asText, None)
+      else if (sn.isArray) {
         val sents = (0 until sn.size).map { i =>
           val s = sn.get(i)
-          (0 until s.size).map(j => s.get(j).asText).mkString(" ")
+          if (!s.isArray) throw new UnprocessableEntity(
+            "'sentences' must be a string or a list of token LISTS")
+          (0 until s.size).map { j =>
+            val t = s.get(j)
+            // pydantic coerces scalar tokens (int/bool) to str, rejects containers
+            if (!t.isValueNode || t.isNull) throw new UnprocessableEntity(
+              s"token at sentences[$i][$j] is not a string")
+            t.asText
+          }
         }
-        (sents.mkString("\n"), true)
-      } else (sn.asText, false)
+        ("", Some(sents: Seq[Seq[String]]))
+      } else throw new UnprocessableEntity(
+        "'sentences' must be a string or a list of token lists")
+    val verbose = query.getOrElse("verbose", "0")
     Serve.Request(
       sentences = sentences,
-      tokenized = preTokenized ||
-        (root.has("tokenized") && root.get("tokenized").asBoolean(false)),
+      tokenized = root.has("tokenized") && root.get("tokenized").asBoolean(false),
+      preTokenized = preTokenized,
       modelName = query.getOrElse("model_name", "token-single"),
       multiModelName = query.getOrElse("multi_model_name", "token-multi"),
       morphModelName = query.getOrElse("morph_model_name", "morph"),
-      verbose = query.getOrElse("verbose", "0").toInt,
+      verbose = verbose.toIntOption.getOrElse(throw new UnprocessableEntity(
+        s"query parameter 'verbose' must be an integer, got '$verbose'")),
       includeYapOutputs = query.get("include_yap_outputs")
         .exists(v => v == "1" || v.equalsIgnoreCase("true")))
   }
@@ -98,7 +123,8 @@ object HttpServe {
             }
           } catch {
             case e: NoSuchElementException                       => (404, detail(e.getMessage))
-            case e: NoSuchFieldException                         => (422, detail(e.getMessage))
+            case e: UnprocessableEntity                          => (422, detail(e.getMessage))
+            case e: BadRequest                                   => (400, detail(e.getMessage))
             case e: com.fasterxml.jackson.core.JacksonException  =>
               (400, detail(s"malformed JSON body: ${e.getOriginalMessage}"))
             case e: Exception                                    => (500, detail(String.valueOf(e.getMessage)))
@@ -110,9 +136,24 @@ object HttpServe {
         ex.close()
       }
     })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // daemon pool: worker threads can never pin the JVM open; [[stop]] shuts
+    // the pool down (HttpServer.stop leaves a user-supplied executor running)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-serve"); t.setDaemon(true); t
+    }))
     server.start()
     server
+  }
+
+  /** Stop a listener started by [[start]]: stops the socket AND shuts down
+    * its executor pool — `HttpServer.stop` alone does not stop a
+    * user-supplied executor, so repeated start/stop cycles would leak it. */
+  def stop(server: HttpServer): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ =>
+    }
   }
 
   def main(args: Array[String]): Unit = {

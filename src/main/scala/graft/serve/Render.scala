@@ -165,18 +165,21 @@ object Render {
     * distributed equivalent of this flatten IS the registered mention
     * queries (`nemo_mentions_*`). */
   def entsToRows(docs: Seq[Doc]): Seq[EntRow] = {
-    val sents = docs.flatMap(d => d.sents.map(s => (d, s)))
-    sents.zipWithIndex.flatMap { case ((doc, sent), i) =>
-      def rowsFor(level: String, scenario: String): Seq[EntRow] = {
-        val one = Doc(doc.doc_id, doc.spans, Array(sent))
-        wordsAndLabels(one, level, scenario).flatMap { case (words, labels) =>
+    // wordsAndLabels runs ONCE per (doc, level, scenario) — its per-sentence
+    // results zip against a running global sentence offset (the reference's
+    // enumerate), keeping row order sentence-major, scenario-minor
+    val levScen = morphScenarios.map(("morph", _)) ++ tokenScenarios.map(("token", _))
+    val offsets = docs.scanLeft(0)((acc, d) => acc + d.sents.length)
+    docs.zip(offsets).flatMap { case (doc, off) =>
+      val cols = levScen.map { case (lv, sc) => (lv, sc, wordsAndLabels(doc, lv, sc)) }
+      doc.sents.indices.flatMap { si =>
+        cols.flatMap { case (lv, sc, perSent) =>
+          val (words, labels) = perSent(si)
           Biose.parseSpans(labels).map(s =>
-            EntRow(i.toLong, words.slice(s.start, s.end).mkString(" "),
-              s.label, level, scenario))
+            EntRow((off + si).toLong, words.slice(s.start, s.end).mkString(" "),
+              s.label, lv, sc))
         }
       }
-      morphScenarios.flatMap(rowsFor("morph", _)) ++
-        tokenScenarios.flatMap(rowsFor("token", _))
     }
   }
 }

@@ -44,7 +44,12 @@ object Serve {
       multiModelName: String = "token-multi",  // hybrid MD slot
       morphModelName: String = "morph",        // morph NER slot
       verbose: Int = 0,                        // 0 BASIC / 1 INTERMID / 2 SYNTAX
-      includeYapOutputs: Boolean = false)
+      includeYapOutputs: Boolean = false,
+      // The NEMOQuery union's list arm (api_main.py:491): pre-tokenized
+      // sentences used VERBATIM, exactly like get_sents' list passthrough
+      // (api_main.py:84-85) — tokens are never re-split, so a token may
+      // contain spaces. When set, `sentences`/`tokenized` are ignored.
+      preTokenized: Option[Seq[Seq[String]]] = None)
 
   /** GET / — the command listing (api_main.py:504-509). */
   def listCommandsJson: String =
@@ -57,7 +62,10 @@ object Serve {
   def handle(command: String, req: Request,
              registry: Map[String, NerModel] = Pipeline.fixtureRegistry,
              lexicon: Set[String] = Fixtures.lexicon): String = {
-    if (req.sentences.trim.isEmpty) return "[]" // api_main.py:533-534
+    // the reference's empty-input early return applies to the STRING arm only
+    // (api_main.py:533: `type(q.sentences) is str and not q.sentences.strip()`)
+    if (req.preTokenized.isEmpty && req.sentences.trim.isEmpty) return "[]"
+    if (req.preTokenized.exists(_.forall(_.isEmpty))) return "[]"
     def model(name: String): NerModel =
       registry.getOrElse(name, throw new NoSuchElementException(
         s"unknown model '$name' (available: ${registry.keys.toSeq.sorted.mkString(", ")})"))
@@ -78,13 +86,22 @@ object Serve {
 
   // ---------- sentence splitting (api_main.py:83-88 get_sents) ----------
 
-  private def splitSents(req: Request): (Array[String], Array[Array[String]]) = {
-    val raw = req.sentences.split('\n').map(_.trim).filter(_.nonEmpty)
-    val toks =
-      if (req.tokenized) raw.map(_.split(' ').filter(_.nonEmpty))
-      else raw.map(HebTokenizer.tokenize)
-    (raw, toks)
-  }
+  private def splitSents(req: Request): (Array[String], Array[Array[String]]) =
+    req.preTokenized match {
+      case Some(sents) =>
+        // list-arm passthrough: token lists verbatim, never re-split. Empty
+        // sentence lists are dropped — the same fate the reference's tokens-
+        // file round-trip gives them (write_tokens_file emits a blank line;
+        // the blank-line filter in read_instance skips it).
+        val toks = sents.iterator.map(_.toArray).filter(_.nonEmpty).toArray
+        (toks.map(_.mkString(" ")), toks)
+      case None =>
+        val raw = req.sentences.split('\n').map(_.trim).filter(_.nonEmpty)
+        val toks =
+          if (req.tokenized) raw.map(_.split(' ').filter(_.nonEmpty))
+          else raw.map(HebTokenizer.tokenize)
+        (raw, toks)
+    }
 
   // ---------- /run_ncrf_model → List[NCRFPreds] ----------
 

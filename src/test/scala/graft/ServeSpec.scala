@@ -207,12 +207,28 @@ class ServeSpec extends AnyFunSuite {
       assert(wire.statusCode() === 200)
       assert(wire.body() === Serve.handle("morph_hybrid", Request(sentences, verbose = 1)))
 
-      // pre-tokenized Union[str, List[List[str]]] body form
+      // pre-tokenized Union[str, List[List[str]]] body form — the list arm
+      // passes through VERBATIM (get_sents api_main.py:84-85), equal to the
+      // preTokenized Request, and for space-free tokens also to the legacy
+      // joined/tokenized form
       val tokBody = """{"sentences": [["אבג.", "דהו"], ["זחט"]]}"""
       val tok = post("/run_ncrf_model", tokBody)
       assert(tok.statusCode() === 200)
-      assert(tok.body() === Serve.handle("run_ncrf_model",
+      val expTok = Serve.handle("run_ncrf_model",
+        Request("", preTokenized = Some(Seq(Seq("אבג.", "דהו"), Seq("זחט")))))
+      assert(tok.body() === expTok)
+      assert(expTok === Serve.handle("run_ncrf_model",
         Request("אבג. דהו\nזחט", tokenized = true)))
+
+      // a token CONTAINING a space survives as one token (never re-split),
+      // and an empty sentence list is dropped, not propagated
+      val spaceTok = post("/run_ncrf_model",
+        """{"sentences": [[], ["אבג. דהו"]]}""")
+      assert(spaceTok.statusCode() === 200)
+      val spaceJson = om.readTree(spaceTok.body())
+      assert(spaceJson.size() === 1) // the empty sentence is gone
+      assert(spaceJson.get(0).get("tokenized_text").size() === 1) // ONE token
+      assert(spaceJson.get(0).get("tokenized_text").get(0).asText === "אבג. דהו")
 
       // FastAPI-shaped errors: unknown command 404, unknown model 404,
       // malformed JSON 400, missing sentences 422
@@ -221,6 +237,17 @@ class ServeSpec extends AnyFunSuite {
         """{"sentences":"א"}""").statusCode() === 404)
       assert(post("/run_ncrf_model", """{"sentences": """).statusCode() === 400)
       assert(post("/run_ncrf_model", """{"text":"א"}""").statusCode() === 422)
-    } finally server.stop(0)
+      // pydantic-validation parity: null / number / flat string list / a
+      // non-scalar token all fail the Union[str, List[List[str]]] model → 422
+      assert(post("/run_ncrf_model", """{"sentences": null}""").statusCode() === 422)
+      assert(post("/run_ncrf_model", """{"sentences": 5}""").statusCode() === 422)
+      assert(post("/run_ncrf_model", """{"sentences": ["flat", "list"]}""").statusCode() === 422)
+      assert(post("/run_ncrf_model", """{"sentences": [[["nested"]]]}""").statusCode() === 422)
+      // a non-integer verbose query param is the client's error → 422, not 500
+      assert(post("/morph_hybrid?verbose=abc", """{"sentences":"א"}""").statusCode() === 422)
+      // empty pre-tokenized input behaves like empty text: 200 "[]"
+      val empty = post("/run_ncrf_model", """{"sentences": []}""")
+      assert(empty.statusCode() === 200 && empty.body() === "[]")
+    } finally graft.serve.HttpServe.stop(server)
   }
 }
