@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.datapipe.{Dedup, Mix, Pack, Similarity, Sketch, TextQuality, Multimodal}
 import graft.fixtures.Fixtures
-import graft.io.Snapshots
+import graft.io.{Snapshots, TableFormat}
 import graft.kg.{Linker, Canonicalize, Triples}
 import graft.operators.BloomJoin
 
@@ -1423,6 +1423,33 @@ object SparkEntry {
         .filter(col("a") =!= col("b"))
         .select(col("a").as("per_ent"), col("b").as("other_ent"), col("d").as("doc"))
     }),
+    "nemo_kg_2hop_store" -> ((s, _) => {
+      // the STORED twin of nemo_kg_2hop: triples written pred-partitioned
+      // (TableFormat.savePartitioned — pred=X/part_bucket=N, the vertical-
+      // partitioning triple-store layout) and the SAME BGP run over the
+      // LOADED table, so the constant-pred patterns prune whole predicate
+      // directories at the scan (PartitionFilters — asserted in PatternSpec
+      // via input_file_name) instead of filtering rows post-IO. Same oracle
+      // as the in-memory twin: the layout must not change a single binding.
+      import s.implicits._
+      import graft.kg.Pattern
+      import graft.kg.Pattern.{C, Tp, V}
+      val mentions = annotatedMentions(s, 300, "morph")
+      val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+      val linked = Linker.link(mentions, dict)
+      val withCanon = linked
+        .join(broadcast(fixtureEntities(s)), Seq("entity_id"), "left")
+        .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+      val store = java.nio.file.Files.createTempDirectory("graft-kgstore").toString + "/triples"
+      TableFormat.savePartitioned(Triples.fromLinkedMentions(withCanon),
+        store, partCol = "pred", keyCol = "subj", stage = "triples")
+      Pattern.matchBgp(TableFormat.load(s, store), Seq(
+          Tp(V("a"), C("category"), C("PER")),
+          Tp(V("a"), C("inDoc"), V("d")),
+          Tp(V("b"), C("inDoc"), V("d"))))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("per_ent"), col("b").as("other_ent"), col("d").as("doc"))
+    }),
     "nemo_triples_incr" -> ((s, _) =>
       // the incremental-maintenance twin of nemo_triples: the SAME fixture
       // corpus ingested as two delta batches via Pipeline.runIncremental
@@ -1752,6 +1779,8 @@ object SparkEntry {
     "nemo_linked" -> OracleSql.linked,
     "nemo_triples" -> OracleSql.triples,
     "nemo_kg_2hop" -> OracleSql.kg2hop("PER"),
+    // the pred-partitioned STORE layout must not change a single binding
+    "nemo_kg_2hop_store" -> OracleSql.kg2hop("PER"),
     // incremental two-batch ingest must land on the SAME full-corpus oracle
     "nemo_triples_incr" -> OracleSql.triples,
     // dict-growth fold must land on the SAME full-corpus, full-dict oracle

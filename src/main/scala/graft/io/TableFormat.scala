@@ -55,18 +55,59 @@ object TableFormat {
     graft.plans.BucketPrune.invalidate(path)
   }
 
+  /** Write `df` with a TWO-LEVEL layout `partCol=v/part_bucket=h` — the
+    * vertical-partitioning triple-store layout (one predicate value, one
+    * directory family). A constant in `partCol` then prunes whole value
+    * directories at the scan (PartitionFilters, before any IO), and a
+    * key-equality on `keyCol` still prunes to one bucket inside each value —
+    * at 10^12 triples a constant-pred BGP step reads one predicate's worth
+    * of the table, not the table.
+    *
+    * File-count discipline matches [[save]]: the repartition hashes exactly
+    * the two layout columns, so every (value, bucket) combination lands on
+    * one task → one file per leaf directory per stage, regardless of input
+    * parallelism. Per-partition lineage in the manifest is keyed by the full
+    * two-level path (`partCol=v/part_bucket=h`). `partCol` values must be
+    * directory-safe (the KG predicates are fixed identifiers); they come
+    * back as a string partition column on load, like Iceberg identity
+    * partitioning. */
+  def savePartitioned(df: DataFrame, path: String, partCol: String,
+                      keyCol: String, buckets: Int = 32, stage: String = "",
+                      extra: Map[String, String] = Map.empty): Unit = {
+    val t0 = System.currentTimeMillis()
+    val out = df.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int"))
+      .repartition(col(partCol), col(BucketCol))
+    out.write.mode(SaveMode.Overwrite).partitionBy(partCol, BucketCol).parquet(path)
+    df.sparkSession.catalog.refreshByPath(path)
+    Files.writeString(Paths.get(path, "_schema.json"), df.schema.json)
+    writeManifest(df.sparkSession, path, stage,
+      extra + ("bucket_key" -> keyCol, "buckets" -> buckets.toString,
+        "part_col" -> partCol),
+      writeMs = System.currentTimeMillis() - t0,
+      lineageCols = Seq(partCol, BucketCol))
+    graft.plans.BucketPrune.invalidate(path)
+  }
+
   private def writeManifest(spark: SparkSession, path: String, stage: String,
-                            extra: Map[String, String], writeMs: Long): Unit = {
+                            extra: Map[String, String], writeMs: Long,
+                            lineageCols: Seq[String] = Seq(BucketCol)): Unit = {
     // Per-partition lineage counts from a scan that projects ONLY the bucket
     // partition column: the parquet reader materializes row counts from file
     // footers (zero data columns read), so this is metadata-priced even when
     // the table is huge — not a re-read of the data.
     val counts =
       try spark.read.parquet(path)
-        .select(col(BucketCol))
-        .groupBy(col(BucketCol)).count()
+        .select(lineageCols.map(col): _*)
+        .groupBy(lineageCols.map(col): _*).count()
         .collect()
-        .map(r => (r.get(0).toString, r.getLong(1)))
+        .map { r =>
+          // single-level layouts keep the bare-bucket key (existing manifest
+          // consumers parse it); two-level layouts key by the full leaf path
+          val k =
+            if (lineageCols.size == 1) r.get(0).toString
+            else lineageCols.indices.map(i => s"${lineageCols(i)}=${r.get(i)}").mkString("/")
+          (k, r.getLong(lineageCols.size))
+        }
         .sortBy(_._1)
       catch {
         // an empty stage output writes no part files — zero partitions
