@@ -160,6 +160,101 @@ ${ccClosureCtes}
        |WHERE ca.pred = 'category' AND ca.obj = '$cat' AND b.subj <> ca.subj"""
       .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
+  /** SPARQL-OPTIONAL oracle (`nemo_kg_optional`): PER-category entities
+    * LEFT-joined to their sameAs alias edges — unmatched rows survive with
+    * the alias unbound, replayed as a plain SQL LEFT JOIN over the same
+    * `trip` CTE (NULL folded to '' on both sides for the string-hash
+    * compare). */
+  def kgOptional(cat: String): String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT c.subj AS a, COALESCE(sa.obj, '') AS al
+       |FROM trip c
+       |LEFT JOIN (SELECT subj, obj FROM trip WHERE pred = 'sameAs') sa
+       |  ON sa.subj = c.subj
+       |WHERE c.pred = 'category' AND c.obj = '$cat'"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** SPARQL-UNION oracle (`nemo_kg_union`): branch 1 binds only ?a
+    * (<cat>-category entities), branch 2 binds ?a and ?al (sameAs alias
+    * edges) — replayed as a plain SQL UNION ALL over the same `trip` CTE
+    * with branch 1's unbound ?al emitted as '' (the engine folds unbound
+    * NULL to '' the same way before the string-hash compare). */
+  def kgUnion(cat: String): String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT a, al FROM (
+       |  SELECT subj AS a, '' AS al FROM trip WHERE pred = 'category' AND obj = '$cat'
+       |  UNION ALL
+       |  SELECT subj AS a, obj AS al FROM trip WHERE pred = 'sameAs'
+       |)"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** Property-path p+ oracle (`nemo_kg_reach`): the transitive closure of
+    * the doc-share edge set (entities sharing a document, derived from the
+    * inDoc predicate family), replayed as a DuckDB RECURSIVE CTE — the
+    * UNION-distinct recursion terminates exactly at the same fixpoint the
+    * engine's iterative-doubling loop reaches. */
+  def kgReach: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |),
+       |ind AS (SELECT DISTINCT subj AS ent, obj AS d FROM trip WHERE pred = 'inDoc'),
+       |dse AS (
+       |  SELECT DISTINCT x.ent AS src, y.ent AS dst
+       |  FROM ind x JOIN ind y ON x.d = y.d WHERE x.ent <> y.ent
+       |),
+       |rplus AS (
+       |  SELECT src, dst FROM dse
+       |  UNION
+       |  SELECT r.src, dse.dst FROM rplus r JOIN dse ON dse.src = r.dst
+       |)
+       |SELECT src, dst FROM rplus"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** SPARQL-MINUS oracle (`nemo_kg_minus`): PER-category entities minus
+    * those with a sameAs alias edge — on shared variables SPARQL MINUS is
+    * exactly a SQL anti join, replayed here as LEFT JOIN … IS NULL over the
+    * same `trip` CTE. */
+  def kgMinus(cat: String): String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT c.subj AS a
+       |FROM trip c
+       |LEFT JOIN (SELECT subj FROM trip WHERE pred = 'sameAs') sa
+       |  ON sa.subj = c.subj
+       |WHERE c.pred = 'category' AND c.obj = '$cat' AND sa.subj IS NULL"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** Symmetric property-path oracle (`nemo_kg_alias_reach`): the transitive
+    * closure of sameAs edges taken in BOTH directions — `(sameAs|^sameAs)+`
+    * — replayed as a DuckDB recursive CTE over the symmetrized edge set;
+    * UNION-distinct recursion terminates at the engine loop's fixpoint. */
+  def kgAliasReach: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |),
+       |saed AS (
+       |  SELECT DISTINCT subj AS src, obj AS dst FROM trip WHERE pred = 'sameAs'
+       |  UNION
+       |  SELECT DISTINCT obj AS src, subj AS dst FROM trip WHERE pred = 'sameAs'
+       |),
+       |rplus AS (
+       |  SELECT src, dst FROM saed
+       |  UNION
+       |  SELECT r.src, saed.dst FROM rplus r JOIN saed ON saed.src = r.dst
+       |)
+       |SELECT src, dst FROM rplus"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** Shared chain link → star-edge CC closure → per-sentence distinct
     * canonical entities → pairs → exact integer lift, ending in a `cedges`
     * CTE — ONE definition of the co-occurrence edge set, consumed by the

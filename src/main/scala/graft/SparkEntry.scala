@@ -106,6 +106,21 @@ object SparkEntry {
                                 usePruning: Boolean = true): DataFrame =
     Pipeline.extractMentions(annotatedDocs(spark, n, usePruning), scenario)
 
+  /** The materialized fixture triple set the KG READ-path queries (BGP /
+    * OPTIONAL / property path) match against — the same annotate → link →
+    * canonicalize → triples chain as `nemo_triples`, checkpointed once so
+    * each pattern is a scan of the stored set, not a pipeline re-run. */
+  private def fixtureTriples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val mentions = annotatedMentions(s, 300, "morph")
+    val dict = s.createDataset(Fixtures.entityDictionary()).toDF()
+    val linked = Linker.link(mentions, dict)
+    val withCanon = linked
+      .join(broadcast(fixtureEntities(s)), Seq("entity_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id")))
+    Triples.fromLinkedMentions(withCanon).localCheckpoint(false)
+  }
+
   /** Canonicalized fixture dictionary, built once per session — the same
     * materialize-once design as Pipeline.runAll's `entities` stage checkpoint
     * and StreamPipeline's stream-start canonicalization: the dictionary is
@@ -1450,6 +1465,75 @@ object SparkEntry {
         .filter(col("a") =!= col("b"))
         .select(col("a").as("per_ent"), col("b").as("other_ent"), col("d").as("doc"))
     }),
+    "nemo_kg_optional" -> ((s, _) => {
+      // SPARQL OPTIONAL over the materialized triples: every PER-category
+      // entity, decorated with its aliases where sameAs edges exist — rows
+      // WITHOUT an alias survive with the variable unbound (left-join
+      // semantics, which no conjunctive BGP can express; the fixture has
+      // both aliased and alias-free PER entities, so both branches are
+      // exercised). NULL is folded to '' for the string-hash compare only.
+      import graft.kg.Pattern
+      import graft.kg.Pattern.{C, Tp, V}
+      Pattern.matchBgpOpt(fixtureTriples(s),
+          Seq(Tp(V("a"), C("category"), C("PER"))),
+          Seq(Seq(Tp(V("a"), C("sameAs"), V("al")))))
+        .select(col("a"), coalesce(col("al"), lit("")).as("al"))
+        .distinct()
+    }),
+    "nemo_kg_union" -> ((s, _) => {
+      // SPARQL UNION over the materialized triples, with branches binding
+      // DIFFERENT variable sets: PER-category entities (binds only ?a) UNION
+      // sameAs alias edges (binds ?a and ?al) — branch-1 rows surface with
+      // ?al unbound (NULL), the standard's different-domain union semantics,
+      // which a single conjunctive BGP cannot express. NULL folds to '' for
+      // the string-hash compare only (same convention as nemo_kg_optional).
+      import graft.kg.Pattern
+      import graft.kg.Pattern.{C, Tp, V}
+      Pattern.matchUnion(fixtureTriples(s),
+          Seq(Seq(Tp(V("a"), C("category"), C("PER"))),
+              Seq(Tp(V("a"), C("sameAs"), V("al")))))
+        .select(col("a"), coalesce(col("al"), lit("")).as("al"))
+        .distinct()
+    }),
+    "nemo_kg_minus" -> ((s, _) => {
+      // SPARQL MINUS over the materialized triples: PER-category entities
+      // WITHOUT any sameAs alias — negation no conjunctive BGP or OPTIONAL
+      // projection can express directly; compiles to ONE left_anti join on
+      // the shared variable (broadcast: the sameAs family is dictionary-
+      // sized). Complements nemo_kg_optional, which keeps these rows with
+      // the alias unbound.
+      import graft.kg.Pattern
+      import graft.kg.Pattern.{C, Tp, V}
+      Pattern.matchBgpMinus(fixtureTriples(s),
+          Seq(Tp(V("a"), C("category"), C("PER"))),
+          Seq(Seq(Tp(V("a"), C("sameAs"), V("al")))))
+    }),
+    "nemo_kg_alias_reach" -> ((s, _) => {
+      // SPARQL property path (sameAs|^sameAs)+ — alias connectivity: the
+      // sameAs family unioned with its inverse, closed by iterative
+      // doubling. Direction changes matter: the fixture dictionary's alias
+      // edges all point alias→canonical, so two aliases of one canonical
+      // entity are connected ONLY through the inverse step.
+      import graft.kg.Pattern
+      Pattern.predSymPathPlus(fixtureTriples(s), "sameAs")
+    }),
+    "nemo_kg_reach" -> ((s, _) => {
+      // SPARQL property-path p+ over the materialized triples: transitive
+      // co-mention reachability. Edge set: (a, b) share a document (derived
+      // from the inDoc predicate family, symmetric by construction); the
+      // closure is Pattern.pathPlus's iterative-doubling fixpoint — entities
+      // connected through CHAINS of shared documents, a genuinely multi-hop
+      // answer (doc overlap is not transitive). Oracle replays the closure
+      // as a DuckDB recursive CTE over the same derived edges.
+      import graft.kg.Pattern
+      val trip = fixtureTriples(s)
+      val ind = trip.filter(col("pred") === "inDoc")
+        .select(col("subj").as("ent"), col("obj").as("d")).distinct()
+      val edges = ind.as("x").join(ind.as("y"), col("x.d") === col("y.d"))
+        .filter(col("x.ent") =!= col("y.ent"))
+        .select(col("x.ent").as("src"), col("y.ent").as("dst")).distinct()
+      Pattern.pathPlus(edges)
+    }),
     "nemo_triples_incr" -> ((s, _) =>
       // the incremental-maintenance twin of nemo_triples: the SAME fixture
       // corpus ingested as two delta batches via Pipeline.runIncremental
@@ -1781,6 +1865,16 @@ object SparkEntry {
     "nemo_kg_2hop" -> OracleSql.kg2hop("PER"),
     // the pred-partitioned STORE layout must not change a single binding
     "nemo_kg_2hop_store" -> OracleSql.kg2hop("PER"),
+    // SPARQL OPTIONAL = SQL LEFT JOIN over the same trip CTE
+    "nemo_kg_optional" -> OracleSql.kgOptional("PER"),
+    // SPARQL UNION with different-domain branches = SQL UNION ALL, '' for unbound
+    "nemo_kg_union" -> OracleSql.kgUnion("PER"),
+    // property-path p+ = recursive-CTE transitive closure, same fixpoint
+    "nemo_kg_reach" -> OracleSql.kgReach,
+    // SPARQL MINUS on a shared variable = SQL anti join over the same trip CTE
+    "nemo_kg_minus" -> OracleSql.kgMinus("PER"),
+    // (sameAs|^sameAs)+ = recursive CTE over the symmetrized edge set
+    "nemo_kg_alias_reach" -> OracleSql.kgAliasReach,
     // incremental two-batch ingest must land on the SAME full-corpus oracle
     "nemo_triples_incr" -> OracleSql.triples,
     // dict-growth fold must land on the SAME full-corpus, full-dict oracle

@@ -65,6 +65,207 @@ object Pattern {
     if (distinctRows && ordered.columns.nonEmpty) ordered.distinct() else ordered
   }
 
+  /** [[matchBgp]] plus SPARQL OPTIONAL groups (left-join semantics,
+    * SPARQL 1.1 §8.3): each group is matched as its own BGP and LEFT
+    * outer-joined to the pattern prefix on their shared variables — a
+    * required-part solution with no compatible optional match SURVIVES with
+    * the group's variables unbound (NULL), which no conjunctive BGP can
+    * express. Groups evaluate left-to-right against the growing prefix
+    * (required + earlier optionals), the standard well-designed-pattern
+    * order. Every group must share ≥1 variable with the prefix: a
+    * shared-variable-free OPTIONAL is a cartesian decoration this API
+    * rejects rather than silently exploding.
+    *
+    * Spark-first: required and optional parts are each [[matchBgp]]'s
+    * declarative join tree; the OPTIONAL boundary is ONE left outer
+    * equi-join per group. A constant-pred group (`?a sameAs ?al`) is a
+    * single pruned predicate family — over the pred-partitioned store
+    * (TableFormat.savePartitioned) it scans one directory family and AQE
+    * broadcasts it; only large-large boundaries shuffle, keyed by the
+    * shared variable. */
+  def matchBgpOpt(triples: DataFrame, bgp: Seq[Tp], optionals: Seq[Seq[Tp]],
+                  distinctRows: Boolean = true): DataFrame = {
+    val req = matchBgp(triples, bgp, distinctRows = false)
+    var varOrder = req.columns.toSeq
+    val joined = optionals.foldLeft(req) { (acc, grp) =>
+      val f = matchBgp(triples, grp, distinctRows = false)
+      val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
+      require(shared.nonEmpty,
+        s"optional group ${grp.mkString(", ")} shares no variable with the pattern prefix")
+      varOrder = varOrder ++ f.columns.toSeq.filterNot(varOrder.contains)
+      acc.join(f, shared, "left")
+    }
+    val ordered = joined.select(varOrder.map(col): _*)
+    if (distinctRows) ordered.distinct() else ordered
+  }
+
+  /** SPARQL UNION (SPARQL 1.1 §8.3, algebra `Union`): the union of each
+    * branch's solution mappings. Branches may bind DIFFERENT variable sets —
+    * the output schema is the union of all branch variables in
+    * branch-order/first-appearance order, and a variable a branch does not
+    * bind is NULL (unbound) in that branch's rows, exactly the standard's
+    * different-domain solution-mapping semantics. FILTER needs no wrapper:
+    * the result is a DataFrame, so SPARQL FILTER is a native `.filter`
+    * Column predicate Catalyst pushes through the union into each branch.
+    *
+    * Spark-first: each branch is [[matchBgp]]'s declarative join tree; the
+    * UNION itself is a narrow concat (no exchange of its own — branches keep
+    * their partitioning); the trailing `distinct` for set semantics is the
+    * only shuffle, the same one SELECT DISTINCT always pays. */
+  def matchUnion(triples: DataFrame, branches: Seq[Seq[Tp]],
+                 distinctRows: Boolean = true): DataFrame = {
+    require(branches.nonEmpty, "empty UNION")
+    val matched = branches.map(b => matchBgp(triples, b, distinctRows = false))
+    val varOrder = matched.flatMap(_.columns).distinct
+    val aligned = matched.map { m =>
+      val have = m.columns.toSet
+      m.select(varOrder.map(v =>
+        if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
+    }
+    val out = aligned.reduceLeft(_.unionByName(_))
+    if (distinctRows) out.distinct() else out
+  }
+
+  /** SPARQL MINUS (SPARQL 1.1 §8.3, algebra `Minus`): remove every solution
+    * of the pattern prefix that is COMPATIBLE with some solution of a minus
+    * group — i.e. agrees on their shared variables. With ≥1 shared variable
+    * (the useful case) that is exactly a LEFT ANTI join on the shared
+    * columns; a minus group sharing NO variable with the prefix removes
+    * nothing per the standard (disjoint domains are vacuously compatible
+    * only when the minus side is nonempty, but the spec's `Minus` keeps
+    * μ₁ when dom(μ₁)∩dom(μ₂)=∅) — this API rejects that degenerate group
+    * loudly instead of silently keeping everything.
+    *
+    * Spark-first: each minus group is [[matchBgp]]'s join tree; the MINUS
+    * boundary is ONE `left_anti` equi-join per group — anti joins broadcast
+    * like semi joins when the minus side is selective (a constant-pred
+    * group over the pred-partitioned store is one pruned family). */
+  def matchBgpMinus(triples: DataFrame, bgp: Seq[Tp], minus: Seq[Seq[Tp]],
+                    distinctRows: Boolean = true): DataFrame = {
+    val req = matchBgp(triples, bgp, distinctRows = false)
+    val out = minus.foldLeft(req) { (acc, grp) =>
+      val f = matchBgp(triples, grp, distinctRows = false)
+      val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
+      require(shared.nonEmpty,
+        s"MINUS group ${grp.mkString(", ")} shares no variable with the pattern prefix" +
+          " — per SPARQL semantics it would remove nothing")
+      acc.join(f.select(shared.map(col): _*), shared, "left_anti")
+    }
+    if (distinctRows) out.distinct() else out
+  }
+
+  /** SPARQL `FILTER EXISTS` / `FILTER NOT EXISTS` (SPARQL 1.1 §8.1.1): keep
+    * prefix solutions for which the group pattern has ≥1 / 0 compatible
+    * match. On shared variables this is a LEFT SEMI (exists) or LEFT ANTI
+    * (not exists) equi-join — the same plan shape Catalyst gives
+    * `WHERE [NOT] EXISTS (correlated subquery)`, with the correlation keys
+    * being the shared variables. Like [[matchBgpMinus]], a group sharing no
+    * variable is rejected (it would be a constant gate, expressible more
+    * cheaply as an all-constant BGP pattern). */
+  def filterExists(triples: DataFrame, bgp: Seq[Tp], group: Seq[Tp],
+                   negate: Boolean = false,
+                   distinctRows: Boolean = true): DataFrame = {
+    val req = matchBgp(triples, bgp, distinctRows = false)
+    val f = matchBgp(triples, group, distinctRows = false)
+    val shared = req.columns.toSeq.intersect(f.columns.toSeq)
+    require(shared.nonEmpty,
+      s"EXISTS group ${group.mkString(", ")} shares no variable with the pattern")
+    val out = req.join(f.select(shared.map(col): _*), shared,
+      if (negate) "left_anti" else "left_semi")
+    if (distinctRows) out.distinct() else out
+  }
+
+  /** SPARQL property path `p+` (arbitrary-length, SPARQL 1.1 §9.1) over an
+    * edge set: every (src, dst) pair connected by a path of ≥1 edges.
+    * Computed by ITERATIVE DOUBLING — each round joins the reach set with
+    * ITSELF (`reach ∘ reach`), so a diameter-D graph closes in ⌈log₂ D⌉
+    * rounds of equi-joins instead of D frontier rounds; a cycle yields its
+    * (x, x) pairs, exactly the standard's arbitrary-length semantics.
+    * Fixpoint = the distinct pair count going stationary (monotone
+    * nondecreasing, so one count per round decides); `localCheckpoint` cuts
+    * lineage per round like Canonicalize's CC loop.
+    *
+    * Scale: each round shuffles the current reach set keyed by the join
+    * column — for KG predicates the edge relation is dictionary-sized
+    * (entities, not documents). The reachable-PAIRS output is inherently
+    * Σ|component|² in the worst case: right for the shallow/star graphs KG
+    * predicates like sameAs produce and for selective sources; for
+    * connectivity over dense graphs prefer the linear-output component
+    * labels (kg.Canonicalize / q_cc_components). `maxRounds` caps runaway
+    * closures (paths to length 2^maxRounds are complete at the default). */
+  def pathPlus(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var reach = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var n = reach.count()
+    var round = 0
+    var done = n == 0L
+    while (!done && round < maxRounds) {
+      val step = reach.as("r").join(reach.as("e"), col("r.dst") === col("e.src"))
+        .select(col("r.src").as("src"), col("e.dst").as("dst"))
+      val next = reach.unionByName(step).distinct().localCheckpoint(true)
+      val m = next.count()
+      done = m == n
+      reach = next; n = m; round += 1
+    }
+    reach
+  }
+
+  /** `p+` over ONE predicate of a triple store: [[pathPlus]] of the pruned
+    * `pred = <pred>` edge family — over the pred-partitioned layout this is
+    * a single directory family, read once before the closure loop. */
+  def predPathPlus(triples: DataFrame, pred: String, maxRounds: Int = 20): DataFrame =
+    pathPlus(triples.filter(col("pred") === lit(pred))
+      .select(col("subj").as("src"), col("obj").as("dst")), maxRounds)
+
+  /** Property-path ALTERNATION `p₁|p₂|…` (SPARQL 1.1 §9.1) as an edge set:
+    * the union of each predicate family's (subj, obj) edges. Over the
+    * pred-partitioned store this reads exactly the named families (one
+    * `pred IN (...)` partition-pruned scan); the union itself is narrow. */
+  def predAlt(triples: DataFrame, preds: Seq[String]): DataFrame = {
+    require(preds.nonEmpty, "empty alternation")
+    triples.filter(col("pred").isin(preds.map(lit): _*))
+      .select(col("subj").as("src"), col("obj").as("dst")).distinct()
+  }
+
+  /** Property-path INVERSE `^p` (SPARQL 1.1 §9.1) as an edge set: the
+    * predicate family with subject and object swapped — a pure projection,
+    * no shuffle of its own. */
+  def predInv(triples: DataFrame, pred: String): DataFrame =
+    triples.filter(col("pred") === lit(pred))
+      .select(col("obj").as("src"), col("subj").as("dst")).distinct()
+
+  /** Path SEQUENCE `e₁/e₂` over two edge sets: one equi-join on the middle
+    * node (dst of e₁ = src of e₂). Arbitrary path expressions compose from
+    * [[predAlt]]/[[predInv]]/[[pathSeq]]/[[pathPlus]]/[[pathStar]] — each
+    * step stays a declarative join/union, so a whole path expression is one
+    * Catalyst plan until a closure's fixpoint loop forces materialization. */
+  def pathSeq(e1: DataFrame, e2: DataFrame): DataFrame =
+    e1.as("a").join(e2.as("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst")).distinct()
+
+  /** `p*` (zero-or-more): [[pathPlus]] ∪ the identity over the node
+    * universe. Per SPARQL §9.1 zero-length paths hold for every graph TERM,
+    * so the caller passes the universe (for a triple store: distinct subj ∪
+    * obj — or a narrower domain when the query scopes it). */
+  def pathStar(edges: DataFrame, nodes: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val id = nodes.select(col(nodes.columns.head).as("src"))
+      .distinct().withColumn("dst", col("src"))
+    pathPlus(edges, maxRounds).unionByName(id).distinct()
+  }
+
+  /** The undirected/symmetric closure `(p|^p)+` — the alias-connectivity
+    * question ("which entities are transitively the same, following sameAs
+    * edges in either direction"): [[pathPlus]] over the predicate family
+    * unioned with its inverse. Output is pairs; for dense components prefer
+    * component LABELS (kg.Canonicalize's pointer-jumping CC — linear output)
+    * and derive pairs only for the components a query actually touches. */
+  def predSymPathPlus(triples: DataFrame, pred: String, maxRounds: Int = 20): DataFrame = {
+    val fam = triples.filter(col("pred") === lit(pred))
+    val fwd = fam.select(col("subj").as("src"), col("obj").as("dst"))
+    pathPlus(fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+      maxRounds)
+  }
+
   private def one(triples: DataFrame, tp: Tp): DataFrame = {
     val terms = Seq("subj" -> tp.s, "pred" -> tp.p, "obj" -> tp.o)
     // constants filter first — these are the scan-stage pruners

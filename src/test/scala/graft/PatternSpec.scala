@@ -83,6 +83,150 @@ class PatternSpec extends AnyFunSuite {
     assert(cols === Seq("z", "a"))
   }
 
+  test("OPTIONAL: unmatched rows survive with the variable unbound") {
+    // ?e category ?c OPTIONAL { ?e label ?l } — only ent:1 has a label
+    val r = Pattern.matchBgpOpt(trip,
+        Seq(Tp(V("e"), C("category"), V("c"))),
+        Seq(Seq(Tp(V("e"), C("label"), V("l")))))
+    assert(r.columns.toSeq === Seq("e", "c", "l")) // optional vars append last
+    assert(r.as[(String, String, Option[String])].collect().toSet === Set(
+      ("ent:1", "PER", Some("alpha")),
+      ("ent:2", "ORG", None),
+      ("ent:3", "PER", None)))
+  }
+
+  test("OPTIONAL: groups evaluate left-to-right against the growing prefix") {
+    val r = Pattern.matchBgpOpt(trip,
+        Seq(Tp(V("e"), C("category"), V("c"))),
+        Seq(Seq(Tp(V("e"), C("label"), V("l"))),
+            Seq(Tp(V("e"), C("inDoc"), V("d")))))
+      .as[(String, String, Option[String], Option[String])].collect().toSet
+    assert(r === Set(
+      ("ent:1", "PER", Some("alpha"), Some("d1")),
+      ("ent:1", "PER", Some("alpha"), Some("d2")),
+      ("ent:2", "ORG", None, Some("d1")),
+      ("ent:3", "PER", None, Some("d2"))))
+  }
+
+  test("OPTIONAL: a group sharing no variable with the prefix is rejected") {
+    intercept[IllegalArgumentException] {
+      Pattern.matchBgpOpt(trip,
+        Seq(Tp(V("e"), C("category"), C("PER"))),
+        Seq(Seq(Tp(V("x"), C("label"), V("l")))))
+    }
+  }
+
+  test("MINUS removes prefix solutions compatible on shared variables") {
+    // ?e category ?c MINUS { ?e label ?l } — ent:1 is the only labeled entity
+    val r = Pattern.matchBgpMinus(trip,
+        Seq(Tp(V("e"), C("category"), V("c"))),
+        Seq(Seq(Tp(V("e"), C("label"), V("l")))))
+      .as[(String, String)].collect().toSet
+    assert(r === Set(("ent:2", "ORG"), ("ent:3", "PER")))
+  }
+
+  test("MINUS group with no shared variable is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Pattern.matchBgpMinus(trip,
+        Seq(Tp(V("e"), C("category"), C("PER"))),
+        Seq(Seq(Tp(V("x"), C("label"), V("l")))))
+    }
+  }
+
+  test("FILTER EXISTS keeps, NOT EXISTS drops — semi/anti duals partition the prefix") {
+    val bgp = Seq(Tp(V("e"), C("category"), V("c")))
+    val grp = Seq(Tp(V("e"), C("label"), V("l")))
+    val ex = Pattern.filterExists(trip, bgp, grp)
+      .as[(String, String)].collect().toSet
+    val nx = Pattern.filterExists(trip, bgp, grp, negate = true)
+      .as[(String, String)].collect().toSet
+    assert(ex === Set(("ent:1", "PER")))
+    assert(nx === Set(("ent:2", "ORG"), ("ent:3", "PER")))
+    // duals: together they tile the unfiltered prefix exactly
+    val all = Pattern.matchBgp(trip, bgp).as[(String, String)].collect().toSet
+    assert((ex ++ nx) === all && ex.intersect(nx).isEmpty)
+  }
+
+  test("pathPlus: directed chain closes to all forward pairs, no backward ones") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val r = Pattern.pathPlus(e).as[(String, String)].collect().toSet
+    assert(r === Set(("a", "b"), ("a", "c"), ("a", "d"),
+                     ("b", "c"), ("b", "d"), ("c", "d")))
+  }
+
+  test("pathPlus: cycles yield their (x, x) pairs — SPARQL p+ semantics") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Pattern.pathPlus(e).as[(String, String)].collect().toSet
+    assert(r === Set(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")))
+  }
+
+  test("pathPlus: maxRounds caps the closure depth") {
+    // chain of 6 edges; one round of doubling reaches paths of length ≤2
+    val e = (0 until 6).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val capped = Pattern.pathPlus(e, maxRounds = 1).as[(String, String)].collect().toSet
+    assert(capped === (0 until 6).map(i => (s"n$i", s"n${i + 1}")).toSet ++
+                      (0 until 5).map(i => (s"n$i", s"n${i + 2}")).toSet)
+    val full = Pattern.pathPlus(e).as[(String, String)].collect().toSet
+    assert(full.size === 6 * 7 / 2) // all forward pairs
+  }
+
+  test("predPathPlus prunes to one predicate family") {
+    // the only sameAs edge is ent:4's self-loop
+    val r = Pattern.predPathPlus(trip, "sameAs").as[(String, String)].collect().toSet
+    assert(r === Set(("ent:4", "ent:4")))
+  }
+
+  test("doc-share reachability is genuinely multi-hop (the nemo_kg_reach shape)") {
+    // derived symmetric edges: d1 links 1-2, d2 links 1-3; ent:2 and ent:3
+    // share NO document but must be mutually reachable through ent:1
+    val ind = trip.filter(col("pred") === "inDoc")
+      .select(col("subj").as("ent"), col("obj").as("d")).distinct()
+    val edges = ind.as("x").join(ind.as("y"), col("x.d") === col("y.d"))
+      .filter(col("x.ent") =!= col("y.ent"))
+      .select(col("x.ent").as("src"), col("y.ent").as("dst")).distinct()
+    val r = Pattern.pathPlus(edges).as[(String, String)].collect().toSet
+    val ents = Set("ent:1", "ent:2", "ent:3")
+    assert(r === (for { a <- ents; b <- ents } yield (a, b)).toSet)
+    assert(r.contains(("ent:2", "ent:3"))) // the multi-hop pair
+  }
+
+  test("path algebra: alternation, inverse, sequence, star compose as edge sets") {
+    val t = Seq(
+      ("a", "p", "b"), ("b", "q", "c"),   // p|q chain a→b→c
+      ("x", "p", "a")                      // ^p gives a→x
+    ).toDF("subj", "pred", "obj")
+    // alternation: p|q edge set
+    assert(Pattern.predAlt(t, Seq("p", "q")).as[(String, String)].collect().toSet ===
+      Set(("a", "b"), ("b", "c"), ("x", "a")))
+    // inverse: ^p swaps direction
+    assert(Pattern.predInv(t, "p").as[(String, String)].collect().toSet ===
+      Set(("b", "a"), ("a", "x")))
+    // sequence p/q: one middle-node join
+    assert(Pattern.pathSeq(Pattern.predAlt(t, Seq("p")), Pattern.predAlt(t, Seq("q")))
+      .as[(String, String)].collect().toSet === Set(("a", "c")))
+    // (p|q)+ closes the chain; (p|q)* adds the identity over the given universe
+    val plus = Pattern.pathPlus(Pattern.predAlt(t, Seq("p", "q")))
+      .as[(String, String)].collect().toSet
+    assert(plus === Set(("a", "b"), ("b", "c"), ("a", "c"), ("x", "a"),
+                        ("x", "b"), ("x", "c")))
+    val nodes = t.select(col("subj").as("n"))
+      .unionByName(t.select(col("obj").as("n"))).distinct()
+    val star = Pattern.pathStar(Pattern.predAlt(t, Seq("p", "q")), nodes)
+      .as[(String, String)].collect().toSet
+    assert(star === plus ++ Set("a", "b", "c", "x").map(n => (n, n)))
+  }
+
+  test("predSymPathPlus: (p|^p)+ alias connectivity crosses direction changes") {
+    // sameAs chain 1→2, 3→2: 1 and 3 are connected only via 2's inverse edge
+    val t = Seq(
+      ("e1", "sameAs", "e2"), ("e3", "sameAs", "e2"),
+      ("e9", "other", "e1") // different predicate family — must not leak in
+    ).toDF("subj", "pred", "obj")
+    val r = Pattern.predSymPathPlus(t, "sameAs").as[(String, String)].collect().toSet
+    val ents = Set("e1", "e2", "e3")
+    assert(r === (for { a <- ents; b <- ents } yield (a, b)).toSet)
+  }
+
   test("pred-partitioned store: round-trip, BGP equality, directory pruning, lineage") {
     import graft.io.TableFormat
     val store = java.nio.file.Files.createTempDirectory("graft-patstore").toString + "/triples"
