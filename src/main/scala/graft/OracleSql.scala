@@ -255,6 +255,49 @@ ${ccClosureCtes}
        |SELECT src, dst FROM rplus"""
       .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
+  /** SPARQL-CONSTRUCT oracle (`nemo_kg_construct`): the two template arms
+    * replayed as a UNION (set semantics — the graph distinct) of plain
+    * selects over the sameAs family of the same `trip` CTE. */
+  def kgConstruct: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT obj AS subj, 'aliasOf' AS pred, subj AS obj
+       |FROM trip WHERE pred = 'sameAs'
+       |UNION
+       |SELECT obj AS subj, 'category' AS pred, 'ALIAS' AS obj
+       |FROM trip WHERE pred = 'sameAs'"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** SPARQL-ASK oracle (`nemo_kg_ask`): EXISTS as 1/0 BIGINT per question
+    * over the same `trip` CTE (integers stringify identically across
+    * DuckDB and Spark; booleans do not). */
+  def kgAsk: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT 'per_exists' AS q,
+       |  CASE WHEN EXISTS (SELECT 1 FROM trip WHERE pred = 'category' AND obj = 'PER')
+       |       THEN 1 ELSE 0 END AS matched
+       |UNION ALL
+       |SELECT 'zzz_exists' AS q,
+       |  CASE WHEN EXISTS (SELECT 1 FROM trip WHERE pred = 'category' AND obj = 'ZZZ')
+       |       THEN 1 ELSE 0 END AS matched"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** Pattern-aggregation oracle (`nemo_kg_degree`): per-entity distinct
+    * document count over the inDoc family of the same `trip` CTE. */
+  def kgDegree: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT subj AS a, COUNT(DISTINCT obj) AS deg
+       |FROM trip WHERE pred = 'inDoc' GROUP BY subj"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** Shared chain link → star-edge CC closure → per-sentence distinct
     * canonical entities → pairs → exact integer lift, ending in a `cedges`
     * CTE — ONE definition of the co-occurrence edge set, consumed by the

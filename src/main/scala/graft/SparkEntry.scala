@@ -1495,6 +1495,42 @@ object SparkEntry {
         .select(col("a"), coalesce(col("al"), lit("")).as("al"))
         .distinct()
     }),
+    "nemo_kg_construct" -> ((s, _) => {
+      // SPARQL CONSTRUCT — rule inference over the store: from each sameAs
+      // edge derive the inverse (al aliasOf a) AND a type marker
+      // (al category ALIAS); two template arms share ONE matched solution
+      // set, and the output is store-schema triples that union straight
+      // back in. Provenance duplicates collapse (CONSTRUCT emits a graph).
+      import graft.kg.Pattern
+      import graft.kg.Pattern.{C, Tp, V}
+      Pattern.construct(fixtureTriples(s),
+          Seq(Tp(V("a"), C("sameAs"), V("al"))),
+          Seq(Tp(V("al"), C("aliasOf"), V("a")),
+              Tp(V("al"), C("category"), C("ALIAS"))))
+    }),
+    "nemo_kg_ask" -> ((s, _) => {
+      // SPARQL ASK — boolean existence, one row per question (1/0 as LONG:
+      // DuckDB booleans stringify differently from Spark's, integers agree).
+      // The true case short-circuits via limit(1); the false case must scan
+      // to exhaustion to prove absence — both against the same store.
+      import s.implicits._
+      import graft.kg.Pattern
+      import graft.kg.Pattern.{C, Tp, V}
+      val t = fixtureTriples(s)
+      Seq(
+        ("per_exists", if (Pattern.ask(t, Seq(Tp(V("e"), C("category"), C("PER"))))) 1L else 0L),
+        ("zzz_exists", if (Pattern.ask(t, Seq(Tp(V("e"), C("category"), C("ZZZ"))))) 1L else 0L)
+      ).toDF("q", "matched")
+    }),
+    "nemo_kg_degree" -> ((s, _) => {
+      // SPARQL aggregation (GROUP BY over pattern solutions): per-entity
+      // document degree — matchBgp's binding table IS a DataFrame, so the
+      // aggregate is a native partial-agg groupBy, no special machinery.
+      import graft.kg.Pattern
+      import graft.kg.Pattern.{C, Tp, V}
+      Pattern.matchBgp(fixtureTriples(s), Seq(Tp(V("a"), C("inDoc"), V("d"))))
+        .groupBy("a").agg(countDistinct("d").as("deg"))
+    }),
     "nemo_kg_minus" -> ((s, _) => {
       // SPARQL MINUS over the materialized triples: PER-category entities
       // WITHOUT any sameAs alias — negation no conjunctive BGP or OPTIONAL
@@ -1873,6 +1909,12 @@ object SparkEntry {
     "nemo_kg_reach" -> OracleSql.kgReach,
     // SPARQL MINUS on a shared variable = SQL anti join over the same trip CTE
     "nemo_kg_minus" -> OracleSql.kgMinus("PER"),
+    // CONSTRUCT templates = UNION of selects (graph set semantics)
+    "nemo_kg_construct" -> OracleSql.kgConstruct,
+    // ASK = EXISTS as 1/0 BIGINT
+    "nemo_kg_ask" -> OracleSql.kgAsk,
+    // GROUP BY over pattern bindings = plain SQL aggregation
+    "nemo_kg_degree" -> OracleSql.kgDegree,
     // (sameAs|^sameAs)+ = recursive CTE over the symmetrized edge set
     "nemo_kg_alias_reach" -> OracleSql.kgAliasReach,
     // incremental two-batch ingest must land on the SAME full-corpus oracle

@@ -266,6 +266,40 @@ object Pattern {
       maxRounds)
   }
 
+  /** SPARQL CONSTRUCT (SPARQL 1.1 §16.2): instantiate a TEMPLATE of triple
+    * patterns once per solution of the WHERE pattern — the rule-inference
+    * shape ("from ?a sameAs ?al, derive (?al aliasOf ?a)"): how a KG grows
+    * new edges from existing ones without re-running the document pipeline.
+    * Template variables must be bound by the pattern (checked); constants
+    * pass through. Output is a (subj, pred, obj) DataFrame in the store's
+    * own schema, distinct (CONSTRUCT emits a graph — a SET of triples), so
+    * the result unions/saves straight back into the triple store.
+    *
+    * Spark-first: one narrow projection per template pattern over the ONE
+    * matched solution set (computed once, template arms share it), unioned;
+    * the only shuffle is the graph-set distinct. */
+  def construct(triples: DataFrame, bgp: Seq[Tp], template: Seq[Tp]): DataFrame = {
+    require(template.nonEmpty, "empty CONSTRUCT template")
+    val sol = matchBgp(triples, bgp, distinctRows = false)
+    val bound = sol.columns.toSet
+    def term(t: Term) = t match {
+      case V(n) =>
+        require(bound(n), s"template variable ?$n is not bound by the pattern")
+        col(n)
+      case C(v) => lit(v)
+    }
+    template.map { tp =>
+      sol.select(term(tp.s).as("subj"), term(tp.p).as("pred"), term(tp.o).as("obj"))
+    }.reduceLeft(_.unionByName(_)).distinct()
+  }
+
+  /** SPARQL ASK (SPARQL 1.1 §16.3): does the pattern have ≥1 solution?
+    * Evaluated as `limit(1)` over the BGP plan — Catalyst's LocalLimit
+    * short-circuits the scan on the first match, so a true answer on a
+    * selective pattern touches one partition, not the store. */
+  def ask(triples: DataFrame, bgp: Seq[Tp]): Boolean =
+    !matchBgp(triples, bgp, distinctRows = false).limit(1).isEmpty
+
   private def one(triples: DataFrame, tp: Tp): DataFrame = {
     val terms = Seq("subj" -> tp.s, "pred" -> tp.p, "obj" -> tp.o)
     // constants filter first — these are the scan-stage pruners

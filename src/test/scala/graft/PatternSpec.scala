@@ -227,6 +227,42 @@ class PatternSpec extends AnyFunSuite {
     assert(r === (for { a <- ents; b <- ents } yield (a, b)).toSet)
   }
 
+  test("CONSTRUCT instantiates the template per solution, distinct graph out") {
+    // from ?e label ?l derive (?l labelOf ?e) + (?e hasLabel ?l): the two
+    // provenance rows for ent:1/alpha must collapse to ONE derived pair each
+    val r = Pattern.construct(trip,
+        Seq(Tp(V("e"), C("label"), V("l"))),
+        Seq(Tp(V("l"), C("labelOf"), V("e")),
+            Tp(V("e"), C("hasLabel"), V("l"))))
+      .as[(String, String, String)].collect().toSet
+    assert(r === Set(
+      ("alpha", "labelOf", "ent:1"),
+      ("ent:1", "hasLabel", "alpha")))
+    // output schema is the store's own — the derived graph unions back in
+    assert(Pattern.matchBgp(
+      trip.select("subj", "pred", "obj")
+        .unionByName(Pattern.construct(trip,
+          Seq(Tp(V("e"), C("label"), V("l"))),
+          Seq(Tp(V("l"), C("labelOf"), V("e"))))),
+      Seq(Tp(C("alpha"), C("labelOf"), V("x")))).as[String].collect().toSeq === Seq("ent:1"))
+  }
+
+  test("CONSTRUCT rejects a template variable the pattern does not bind") {
+    intercept[IllegalArgumentException] {
+      Pattern.construct(trip,
+        Seq(Tp(V("e"), C("label"), V("l"))),
+        Seq(Tp(V("e"), C("p"), V("unbound"))))
+    }
+  }
+
+  test("ASK short-circuits to a boolean") {
+    assert(Pattern.ask(trip, Seq(Tp(V("e"), C("category"), C("PER")))))
+    assert(!Pattern.ask(trip, Seq(Tp(V("e"), C("category"), C("ZZZ")))))
+    // conjunction: both patterns must match
+    assert(!Pattern.ask(trip, Seq(
+      Tp(V("e"), C("category"), C("PER")), Tp(V("e"), C("label"), C("nope")))))
+  }
+
   test("pred-partitioned store: round-trip, BGP equality, directory pruning, lineage") {
     import graft.io.TableFormat
     val store = java.nio.file.Files.createTempDirectory("graft-patstore").toString + "/triples"
