@@ -253,6 +253,25 @@ object Pattern {
     pathPlus(edges, maxRounds).unionByName(id).distinct()
   }
 
+  /** `p+` specialized to a SYMMETRIC edge set — the linear-shuffle path the
+    * [[pathPlus]] scaladoc points dense graphs at: on symmetric edges,
+    * reachability is exactly "same connected component" (and every edge
+    * endpoint has the 2-cycle that yields its (x, x) pair), so the closure
+    * is component LABELS (kg.Canonicalize's min-label propagation — per-node
+    * rows, linear shuffles, diameter-bounded rounds of narrow join+groupBy)
+    * followed by ONE within-component self-join to expand the answer pairs.
+    * The Σ|component|² cost is then paid only in the final expansion — the
+    * output itself — never in intermediate join fanout: iterative doubling
+    * on a c-node component pushes ~c³ intermediate rows per round through
+    * the shuffle; this path shuffles c rows per round and c² once.
+    * Result-equal to [[pathPlus]] on any symmetric input (asserted in
+    * PatternSpec). */
+  def symClosurePairs(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val labels = Canonicalize.connectedComponents(edges.sparkSession, edges, maxIter)
+    labels.as("a").join(labels.as("b"), col("a.component") === col("b.component"))
+      .select(col("a.node").as("src"), col("b.node").as("dst"))
+  }
+
   /** The undirected/symmetric closure `(p|^p)+` — the alias-connectivity
     * question ("which entities are transitively the same, following sameAs
     * edges in either direction"): [[pathPlus]] over the predicate family

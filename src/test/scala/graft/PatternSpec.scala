@@ -216,6 +216,21 @@ class PatternSpec extends AnyFunSuite {
     assert(star === plus ++ Set("a", "b", "c", "x").map(n => (n, n)))
   }
 
+  test("symClosurePairs equals pathPlus on symmetric edges (the dense-graph path)") {
+    // multi-component symmetric graph: a 4-cycle, a 2-path, an isolated
+    // self-loop — every shape the component expansion must reproduce
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+                  ("p", "q"), ("z", "z"))
+    val edges = und.toDF("src", "dst")
+      .unionByName(und.map(_.swap).toDF("src", "dst")).distinct()
+    val viaCc = Pattern.symClosurePairs(edges).as[(String, String)].collect().toSet
+    val viaDoubling = Pattern.pathPlus(edges).as[(String, String)].collect().toSet
+    assert(viaCc === viaDoubling)
+    // and the expected value itself: full pair square per component
+    val comps = Seq(Set("a", "b", "c", "d"), Set("p", "q"), Set("z"))
+    assert(viaCc === comps.flatMap(c => for { x <- c; y <- c } yield (x, y)).toSet)
+  }
+
   test("predSymPathPlus: (p|^p)+ alias connectivity crosses direction changes") {
     // sameAs chain 1→2, 3→2: 1 and 3 are connected only via 2's inverse edge
     val t = Seq(
