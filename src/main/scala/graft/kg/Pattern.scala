@@ -151,7 +151,10 @@ object Pattern {
           " — per SPARQL semantics it would remove nothing")
       acc.join(f.select(shared.map(col): _*), shared, "left_anti")
     }
-    if (distinctRows) out.distinct() else out
+    // USING-join hoists the shared columns to the front — restore matchBgp's
+    // first-appearance order (caught by the PatternFuzzSpec order property)
+    val ordered = out.select(req.columns.map(col): _*)
+    if (distinctRows) ordered.distinct() else ordered
   }
 
   /** SPARQL `FILTER EXISTS` / `FILTER NOT EXISTS` (SPARQL 1.1 §8.1.1): keep
@@ -171,7 +174,9 @@ object Pattern {
     require(shared.nonEmpty,
       s"EXISTS group ${group.mkString(", ")} shares no variable with the pattern")
     val out = req.join(f.select(shared.map(col): _*), shared,
-      if (negate) "left_anti" else "left_semi")
+        if (negate) "left_anti" else "left_semi")
+      // restore first-appearance order (USING-join hoists the join keys)
+      .select(req.columns.map(col): _*)
     if (distinctRows) out.distinct() else out
   }
 
