@@ -1513,6 +1513,18 @@ object SparkEntry {
         .select(col("a"), coalesce(col("al"), lit("")).as("al"))
         .distinct()
     }),
+    "nemo_kg_sparql" -> ((s, _) => {
+      // the QUERY-STRING twin of nemo_kg_optional: the same OPTIONAL
+      // pattern shipped as TEXT through the Sparql front end — parser →
+      // Pattern compilation must not change a single binding, so it lands
+      // on the identical DuckDB oracle. (SELECT DISTINCT + the same
+      // NULL→'' fold for the string-hash compare.)
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+          "SELECT DISTINCT ?a ?al WHERE { ?a category PER OPTIONAL { ?a sameAs ?al } }")
+        .select(col("a"), coalesce(col("al"), lit("")).as("al"))
+        .distinct()
+    }),
     "nemo_kg_construct" -> ((s, _) => {
       // SPARQL CONSTRUCT — rule inference over the store: from each sameAs
       // edge derive the inverse (al aliasOf a) AND a type marker
@@ -1931,6 +1943,8 @@ object SparkEntry {
     "nemo_kg_reach" -> OracleSql.kgReach,
     // SPARQL MINUS on a shared variable = SQL anti join over the same trip CTE
     "nemo_kg_minus" -> OracleSql.kgMinus("PER"),
+    // the parsed twin of nemo_kg_optional — identical bindings, same oracle
+    "nemo_kg_sparql" -> OracleSql.kgOptional("PER"),
     // CONSTRUCT templates = UNION of selects (graph set semantics)
     "nemo_kg_construct" -> OracleSql.kgConstruct,
     // ASK = EXISTS as 1/0 BIGINT

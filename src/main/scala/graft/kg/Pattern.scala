@@ -290,6 +290,37 @@ object Pattern {
       maxRounds)
   }
 
+  /** The general composed form the [[Sparql]] string front end compiles to:
+    * required BGP + OPTIONAL groups + MINUS groups + FILTER [NOT] EXISTS
+    * groups in one call — OPTIONALs fold first (left-to-right, the
+    * well-designed order), then each negation/existence gate is one
+    * semi/anti join against the grown prefix carrying only the shared
+    * columns. Equivalent to composing [[matchBgpOpt]] / [[matchBgpMinus]] /
+    * [[filterExists]]; exists here so a parsed query stays ONE logical plan
+    * with the same boundary shapes the individual operators document. */
+  def matchPattern(triples: DataFrame, bgp: Seq[Tp],
+                   optionals: Seq[Seq[Tp]] = Nil,
+                   minus: Seq[Seq[Tp]] = Nil,
+                   exists: Seq[Seq[Tp]] = Nil,
+                   notExists: Seq[Seq[Tp]] = Nil,
+                   distinctRows: Boolean = true): DataFrame = {
+    var acc = matchBgpOpt(triples, bgp, optionals, distinctRows = false)
+    def gate(groups: Seq[Seq[Tp]], how: String, label: String): Unit =
+      groups.foreach { grp =>
+        val f = matchBgp(triples, grp, distinctRows = false)
+        val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
+        require(shared.nonEmpty,
+          s"$label group ${grp.mkString(", ")} shares no variable with the pattern prefix")
+        val cols = acc.columns.toSeq
+        acc = acc.join(f.select(shared.map(col): _*), shared, how)
+          .select(cols.map(col): _*) // USING-join hoists keys; restore order
+      }
+    gate(minus, "left_anti", "MINUS")
+    gate(notExists, "left_anti", "FILTER NOT EXISTS")
+    gate(exists, "left_semi", "FILTER EXISTS")
+    if (distinctRows) acc.distinct() else acc
+  }
+
   /** SPARQL CONSTRUCT (SPARQL 1.1 §16.2): instantiate a TEMPLATE of triple
     * patterns once per solution of the WHERE pattern — the rule-inference
     * shape ("from ?a sameAs ?al, derive (?al aliasOf ?a)"): how a KG grows

@@ -1,0 +1,219 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A SPARQL-subset QUERY-STRING front end over [[Pattern]] — the
+  * `spark.sql(...)` analog for the triple store: the programmatic algebra
+  * (matchBgp/OPTIONAL/UNION/MINUS/EXISTS/CONSTRUCT/ASK) exposed as text, so
+  * a store consumer can ship queries as data instead of code.
+  *
+  * Supported grammar (whitespace-tokenized; `.` separates patterns and must
+  * stand alone; constants are barewords or '…'/"…" quoted):
+  *
+  * {{{
+  * SELECT [DISTINCT] (?v … | *) WHERE { body } [LIMIT n]
+  * ASK [WHERE] { body }
+  * CONSTRUCT { triples } WHERE { body }
+  * body  :=  { triples } UNION { triples } [UNION …]      -- union form
+  *        |  triples block*                               -- conjunctive form
+  * block :=  OPTIONAL { triples } | MINUS { triples }
+  *        |  FILTER EXISTS { triples } | FILTER NOT EXISTS { triples }
+  * }}}
+  *
+  * Same documented scope as the algebra it compiles to: groups must be
+  * well-designed (share ≥1 variable with the required part — enforced by
+  * [[Pattern]]'s own `require`s). SELECT without DISTINCT is multiset
+  * semantics (per-doc provenance duplicates are visible); DISTINCT dedups
+  * over the PROJECTED variables, exactly SPARQL's SELECT DISTINCT. Value
+  * FILTERs (comparisons) are deliberately absent: the result is a
+  * DataFrame, so callers apply native Column predicates Catalyst pushes
+  * into the plan — strictly more expressive than re-inventing an
+  * expression language here.
+  *
+  * Scale: the string compiles 1:1 to the [[Pattern]] plan it names — no new
+  * execution machinery, so every plan property recorded for the algebra
+  * (pred-pruned scans, AQE-broadcast boundaries, single distinct shuffle)
+  * holds verbatim for parsed queries.
+  */
+object Sparql {
+  import Pattern.{C, Term, Tp, V}
+
+  /** Parse + execute `query` against a (subj, pred, obj) table.
+    * SELECT → binding table; ASK → one row (matched: 1/0 bigint);
+    * CONSTRUCT → (subj, pred, obj) triples. */
+  def query(triples: DataFrame, query: String): DataFrame = {
+    val p = new P(tokenize(query))
+    val out = p.peek.map(_.toUpperCase) match {
+      case Some("SELECT")    => select(triples, p)
+      case Some("ASK")       => askDf(triples, p)
+      case Some("CONSTRUCT") => constructDf(triples, p)
+      case other => fail(s"expected SELECT, ASK or CONSTRUCT, got ${other.getOrElse("end of input")}")
+    }
+    p.expectEnd()
+    out
+  }
+
+  // ---- tokenizer ----
+
+  private val tokRe =
+    ("""\?[A-Za-z_][A-Za-z0-9_]*""" +      // variable
+      """|"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'""" + // quoted constant
+      """|[{}]""" +                         // braces
+      """|\.(?=\s|\}|$)""" +                // standalone pattern separator
+      """|[^\s{}]+""").r                    // bareword constant / keyword
+
+  private[kg] def tokenize(s: String): List[String] = tokRe.findAllIn(s).toList
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"SPARQL parse error: $msg")
+
+  private final class P(var toks: List[String]) {
+    def peek: Option[String] = toks.headOption
+    def next(): String = toks match {
+      case h :: t => toks = t; h
+      case Nil    => fail("unexpected end of input")
+    }
+    def expect(kw: String): Unit = {
+      val t = next()
+      if (t.toUpperCase != kw.toUpperCase && t != kw) fail(s"expected '$kw', got '$t'")
+    }
+    def eatKw(kw: String): Boolean =
+      peek.exists(_.equalsIgnoreCase(kw)) && { next(); true }
+    def expectEnd(): Unit =
+      if (toks.nonEmpty) fail(s"trailing input: ${toks.mkString(" ")}")
+  }
+
+  private def term(t: String): Term =
+    if (t.startsWith("?")) V(t.drop(1))
+    else if ((t.startsWith("\"") && t.endsWith("\"") && t.length >= 2) ||
+             (t.startsWith("'") && t.endsWith("'") && t.length >= 2))
+      C(t.substring(1, t.length - 1).replaceAll("""\\(.)""", "$1"))
+    else C(t)
+
+  private val kws = Set("OPTIONAL", "MINUS", "FILTER", "UNION", "LIMIT",
+    "WHERE", "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "EXISTS", "NOT")
+
+  /** triples inside an already-opened `{ … }`, stopping at `}` or a block
+    * keyword. */
+  private def triples(p: P): Seq[Tp] = {
+    val out = Seq.newBuilder[Tp]
+    var going = true
+    while (going) p.peek match {
+      case None | Some("}") => going = false
+      case Some(t) if kws.contains(t.toUpperCase) => going = false
+      case _ =>
+        val (s, pr, o) = (term(p.next()), term(p.next()), term(p.next()))
+        out += Tp(s, pr, o)
+        p.eatKw(".")
+    }
+    val r = out.result()
+    if (r.isEmpty) fail("empty graph pattern")
+    r
+  }
+
+  private def bracedTriples(p: P): Seq[Tp] = {
+    p.expect("{"); val r = triples(p); p.expect("}"); r
+  }
+
+  private final case class Body(union: Seq[Seq[Tp]], bgp: Seq[Tp],
+                                optionals: Seq[Seq[Tp]], minus: Seq[Seq[Tp]],
+                                exists: Seq[Seq[Tp]], notExists: Seq[Seq[Tp]]) {
+    def vars: Seq[String] = {
+      val all = if (union.nonEmpty) union.flatten
+                else bgp ++ optionals.flatten // MINUS/EXISTS vars never project
+      all.flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect { case V(n) => n }.distinct
+    }
+  }
+
+  private def body(p: P): Body = {
+    p.expect("{")
+    if (p.peek.contains("{")) { // union form: { g1 } UNION { g2 } …
+      val branches = Seq.newBuilder[Seq[Tp]]
+      branches += bracedTriples(p)
+      while (p.eatKw("UNION")) branches += bracedTriples(p)
+      p.expect("}")
+      val bs = branches.result()
+      if (bs.size < 2) fail("braced group without UNION — drop the inner braces")
+      Body(bs, Nil, Nil, Nil, Nil, Nil)
+    } else {
+      val bgp = triples(p)
+      val (opts, mins, exs, nexs) =
+        (Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]],
+         Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]])
+      var going = true
+      while (going) p.peek.map(_.toUpperCase) match {
+        case Some("OPTIONAL") => p.next(); opts += bracedTriples(p)
+        case Some("MINUS")    => p.next(); mins += bracedTriples(p)
+        case Some("FILTER") =>
+          p.next()
+          val neg = p.eatKw("NOT")
+          p.expect("EXISTS")
+          (if (neg) nexs else exs) += bracedTriples(p)
+        case _ => going = false
+      }
+      p.expect("}")
+      Body(Nil, bgp, opts.result(), mins.result(), exs.result(), nexs.result())
+    }
+  }
+
+  private def run(triples: DataFrame, b: Body, distinctRows: Boolean): DataFrame =
+    if (b.union.nonEmpty) Pattern.matchUnion(triples, b.union, distinctRows)
+    else Pattern.matchPattern(triples, b.bgp, b.optionals, b.minus,
+      b.exists, b.notExists, distinctRows)
+
+  // ---- the three query forms ----
+
+  private def select(t: DataFrame, p: P): DataFrame = {
+    p.expect("SELECT")
+    val dist = p.eatKw("DISTINCT")
+    val proj = Seq.newBuilder[String]
+    var star = false
+    var going = true
+    while (going) p.peek match {
+      case Some("*") => p.next(); star = true
+      case Some(v) if v.startsWith("?") => p.next(); proj += v.drop(1)
+      case _ => going = false
+    }
+    p.expect("WHERE")
+    val b = body(p)
+    val cols = if (star) b.vars else proj.result()
+    if (cols.isEmpty) fail("SELECT needs ?vars or *")
+    val unknown = cols.filterNot(b.vars.contains)
+    if (unknown.nonEmpty) fail(s"projected ${unknown.mkString(", ")} not bound by the pattern")
+    // project FIRST, dedup over the projection — SPARQL SELECT DISTINCT
+    var out = run(t, b, distinctRows = false).select(cols.map(col): _*)
+    if (dist) out = out.distinct()
+    if (p.eatKw("LIMIT")) out = out.limit(p.next().toInt)
+    out
+  }
+
+  private def askDf(t: DataFrame, p: P): DataFrame = {
+    p.expect("ASK")
+    p.eatKw("WHERE")
+    val b = body(p)
+    val matched = !run(t, b, distinctRows = false).limit(1).isEmpty
+    t.sparkSession.range(1)
+      .select(lit(if (matched) 1L else 0L).as("matched"))
+  }
+
+  private def constructDf(t: DataFrame, p: P): DataFrame = {
+    p.expect("CONSTRUCT")
+    val tmpl = bracedTriples(p)
+    p.expect("WHERE")
+    val b = body(p)
+    if (b.union.nonEmpty) fail("CONSTRUCT over a UNION body is not supported — run per branch and union the graphs")
+    // template instantiation over the composed solution set (incl. the
+    // negation gates), mirroring Pattern.construct over plain BGPs
+    val sol = run(t, b, distinctRows = false)
+    val bound = sol.columns.toSet
+    def tc(x: Term) = x match {
+      case V(n) =>
+        if (!bound(n)) fail(s"template variable ?$n is not bound by the pattern")
+        col(n)
+      case C(v) => lit(v)
+    }
+    tmpl.map(tp => sol.select(tc(tp.s).as("subj"), tc(tp.p).as("pred"), tc(tp.o).as("obj")))
+      .reduceLeft(_.unionByName(_)).distinct()
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.kg.{Pattern, Sparql}
+import graft.kg.Pattern.{C, Tp, V}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The query-string front end: every parsed form must equal the
+  * programmatic [[Pattern]] call it claims to compile to, on the same
+  * hand-enumerated store PatternSpec uses — plus parser-level error and
+  * quoting behavior the algebra never sees. */
+class SparqlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val trip = Seq(
+    ("ent:1", "category", "PER", "d1"),
+    ("ent:2", "category", "ORG", "d1"),
+    ("ent:3", "category", "PER", "d2"),
+    ("ent:1", "inDoc", "d1", "d1"),
+    ("ent:2", "inDoc", "d1", "d1"),
+    ("ent:1", "inDoc", "d2", "d2"),
+    ("ent:3", "inDoc", "d2", "d2"),
+    ("ent:1", "label", "alpha beta", "d1"), // space: needs quoting in queries
+    ("ent:4", "sameAs", "ent:1", "d1")
+  ).toDF("subj", "pred", "obj", "doc_id")
+
+  test("SELECT DISTINCT compiles to the BGP join tree") {
+    val got = Sparql.query(trip,
+      "SELECT DISTINCT ?e ?d WHERE { ?e category PER . ?e inDoc ?d }")
+      .as[(String, String)].collect().toSet
+    val want = Pattern.matchBgp(trip, Seq(
+        Tp(V("e"), C("category"), C("PER")), Tp(V("e"), C("inDoc"), V("d"))))
+      .as[(String, String)].collect().toSet
+    assert(got === want && want.nonEmpty)
+  }
+
+  test("SELECT without DISTINCT is multiset semantics; projection reorders") {
+    // ent:1 is PER and in two docs → ?e alone repeats without DISTINCT
+    val rows = Sparql.query(trip,
+      "SELECT ?e WHERE { ?e category PER . ?e inDoc ?d }")
+      .as[String].collect().toSeq
+    assert(rows.count(_ == "ent:1") === 2)
+    // projection can reorder and drop variables
+    val cols = Sparql.query(trip,
+      "SELECT ?d ?e WHERE { ?e inDoc ?d }").columns.toSeq
+    assert(cols === Seq("d", "e"))
+  }
+
+  test("SELECT * binds first-appearance order; LIMIT applies") {
+    val df = Sparql.query(trip, "SELECT * WHERE { ?e inDoc ?d }")
+    assert(df.columns.toSeq === Seq("e", "d"))
+    assert(Sparql.query(trip,
+      "SELECT DISTINCT * WHERE { ?e inDoc ?d } LIMIT 2").count() === 2)
+  }
+
+  test("OPTIONAL / MINUS / FILTER EXISTS blocks compile to their operators") {
+    val opt = Sparql.query(trip,
+      "SELECT DISTINCT ?e ?c ?x WHERE { ?e category ?c OPTIONAL { ?x sameAs ?e } }")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(opt === Pattern.matchBgpOpt(trip,
+        Seq(Tp(V("e"), C("category"), V("c"))),
+        Seq(Seq(Tp(V("x"), C("sameAs"), V("e")))))
+      .as[(String, String, Option[String])].collect().toSet)
+    assert(opt.contains(("ent:1", "PER", Some("ent:4"))))
+    assert(opt.contains(("ent:2", "ORG", None)))
+
+    val minus = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category PER MINUS { ?x sameAs ?e } }")
+      .as[String].collect().toSet
+    assert(minus === Set("ent:3")) // ent:1 removed: it is an alias target
+
+    val exists = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category PER FILTER EXISTS { ?x sameAs ?e } }")
+      .as[String].collect().toSet
+    assert(exists === Set("ent:1"))
+    val notExists = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category PER FILTER NOT EXISTS { ?x sameAs ?e } }")
+      .as[String].collect().toSet
+    assert(notExists === Set("ent:3"))
+    // duals tile
+    assert((exists ++ notExists) === Set("ent:1", "ent:3"))
+  }
+
+  test("UNION form with different-domain branches") {
+    val got = Sparql.query(trip,
+      "SELECT DISTINCT ?a ?al WHERE { { ?a category PER } UNION { ?a sameAs ?al } }")
+      .as[(String, Option[String])].collect().toSet
+    assert(got === Set(
+      ("ent:1", None), ("ent:3", None), ("ent:4", Some("ent:1"))))
+  }
+
+  test("quoted constants carry spaces and escapes") {
+    val got = Sparql.query(trip,
+      """SELECT DISTINCT ?e WHERE { ?e label "alpha beta" }""")
+      .as[String].collect().toSeq
+    assert(got === Seq("ent:1"))
+    val got2 = Sparql.query(trip,
+      """SELECT DISTINCT ?e WHERE { ?e label 'alpha beta' }""")
+      .as[String].collect().toSeq
+    assert(got2 === Seq("ent:1"))
+  }
+
+  test("ASK returns 1/0; CONSTRUCT instantiates the template") {
+    assert(Sparql.query(trip, "ASK { ?e category PER }")
+      .as[Long].collect().toSeq === Seq(1L))
+    assert(Sparql.query(trip, "ASK WHERE { ?e category ZZZ }")
+      .as[Long].collect().toSeq === Seq(0L))
+    val g = Sparql.query(trip,
+      "CONSTRUCT { ?al aliasOf ?a . ?al category ALIAS } WHERE { ?a sameAs ?al }")
+      .as[(String, String, String)].collect().toSet
+    assert(g === Pattern.construct(trip,
+        Seq(Tp(V("a"), C("sameAs"), V("al"))),
+        Seq(Tp(V("al"), C("aliasOf"), V("a")),
+            Tp(V("al"), C("category"), C("ALIAS"))))
+      .as[(String, String, String)].collect().toSet)
+    // CONSTRUCT body may carry negation gates
+    val g2 = Sparql.query(trip,
+      "CONSTRUCT { ?e category UNALIASED } WHERE { ?e category PER FILTER NOT EXISTS { ?x sameAs ?e } }")
+      .as[(String, String, String)].collect().toSet
+    assert(g2 === Set(("ent:3", "category", "UNALIASED")))
+  }
+
+  test("parse errors are loud and specific") {
+    def err(q: String): String =
+      intercept[IllegalArgumentException](Sparql.query(trip, q)).getMessage
+    assert(err("FOO ?a WHERE { ?a b ?c }").contains("expected SELECT"))
+    assert(err("SELECT WHERE { ?a b ?c }").contains("SELECT needs"))
+    assert(err("SELECT ?z WHERE { ?a b ?c }").contains("not bound"))
+    assert(err("SELECT ?a WHERE { ?a b }").contains("unexpected end")
+      || err("SELECT ?a WHERE { ?a b }").contains("expected"))
+    assert(err("SELECT ?a WHERE { { ?a b ?c } }").contains("UNION"))
+    assert(err("SELECT ?a WHERE { ?a b ?c } trailing").contains("trailing"))
+    assert(err("SELECT ?a WHERE { }").contains("empty graph pattern"))
+    // ill-designed groups rejected by the algebra's own require
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?a WHERE { ?a category PER MINUS { ?x label ?y } }"))
+      .getMessage.contains("shares no variable"))
+  }
+
+  test("matchPattern composes OPTIONAL with negation gates in one plan") {
+    // PER entities, alias-decorated, minus those in d1 — all three boundary
+    // kinds in one call, cross-checked against manual composition
+    val got = Pattern.matchPattern(trip,
+        bgp = Seq(Tp(V("e"), C("category"), C("PER"))),
+        optionals = Seq(Seq(Tp(V("x"), C("sameAs"), V("e")))),
+        notExists = Seq(Seq(Tp(V("e"), C("inDoc"), C("d1")))))
+      .as[(String, Option[String])].collect().toSet
+    assert(got === Set(("ent:3", None))) // ent:1 is in d1; ent:3 unaliased
+    val parsed = Sparql.query(trip,
+      "SELECT DISTINCT ?e ?x WHERE { ?e category PER OPTIONAL { ?x sameAs ?e } FILTER NOT EXISTS { ?e inDoc d1 } }")
+      .as[(String, Option[String])].collect().toSet
+    assert(parsed === got)
+  }
+}
