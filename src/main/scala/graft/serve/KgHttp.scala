@@ -1,0 +1,116 @@
+package graft.serve
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.kg.Sparql
+import org.apache.spark.sql.DataFrame
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** KG query endpoint — the engine-side EXTENSION listener (deliberately a
+  * SEPARATE server from [[HttpServe]], whose path space and error mapping
+  * are pinned to the reference's FastAPI surface and must not grow):
+  *
+  *   - `POST /kg`  body `{"query": "SELECT …"}` — a [[Sparql]] string run
+  *     against the store this listener was started with. Response:
+  *     `{"columns": [...], "rows": [[...], ...], "n": N, "truncated": bool}`
+  *     with unbound (NULL) bindings as JSON null.
+  *   - `GET /`     endpoint + grammar hint.
+  *
+  * Serving discipline: results are capped at `maxRows` per request
+  * (`take(maxRows+1)` detects truncation without a count pass) — an HTTP
+  * answer is a page, never a corpus; bulk extraction belongs to the batch
+  * path writing parquet. The SparkSession does the real work, so the
+  * request pool stays at the same small fixed size as [[HttpServe]] —
+  * concurrency beyond it queues on the socket rather than piling drivers
+  * onto one session. Parse errors → 400 with the parser's own message;
+  * malformed JSON → 400; unknown path → 404; execution failure → 500. */
+object KgHttp {
+
+  private val mapper = new ObjectMapper()
+
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def detail(msg: String): String = s"""{"detail":${jsonStr(String.valueOf(msg))}}"""
+
+  private[graft] def runQuery(triples: DataFrame, q: String, maxRows: Int): String = {
+    val df = Sparql.query(triples, q)
+    val cols = df.columns.toSeq
+    val rows = df.take(maxRows + 1)
+    val truncated = rows.length > maxRows
+    val shown = if (truncated) rows.take(maxRows) else rows
+    val rowsJson = shown.map { r =>
+      cols.indices.map { i =>
+        val v = r.get(i)
+        if (v == null) "null" else v match {
+          case n: java.lang.Long => n.toString
+          case other             => jsonStr(other.toString)
+        }
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+    s"""{"columns":${cols.map(jsonStr).mkString("[", ",", "]")},""" +
+      s""""rows":$rowsJson,"n":${shown.length},"truncated":$truncated}"""
+  }
+
+  /** Start the listener over one loaded store (port 0 = ephemeral). */
+  def start(port: Int, triples: DataFrame, maxRows: Int = 1000): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (status, out) =
+          try {
+            val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+            (ex.getRequestMethod, path) match {
+              case ("GET", "") =>
+                (200, """{"endpoint":"/kg","body":{"query":"SELECT [DISTINCT] (?v ...|*) WHERE { ... } [LIMIT n] | ASK { ... } | CONSTRUCT { ... } WHERE { ... }"}}""")
+              case ("POST", "kg") =>
+                val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+                val root = mapper.readTree(body)
+                if (root == null || !root.has("query") || !root.get("query").isTextual)
+                  (400, detail("body must be a JSON object with a string 'query' field"))
+                else (200, runQuery(triples, root.get("query").asText, maxRows))
+              case ("POST", p) => (404, detail(s"unknown path '/$p'"))
+              case _           => (405, detail("method not allowed"))
+            }
+          } catch {
+            case e: IllegalArgumentException                    => (400, detail(e.getMessage))
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              (400, detail(s"malformed JSON body: ${e.getOriginalMessage}"))
+            case e: Exception                                   => (500, detail(String.valueOf(e.getMessage)))
+          }
+        val bytes = out.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(status, if (bytes.length == 0) -1 else bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-kg-serve"); t.setDaemon(true); t
+    }))
+    server.start()
+    server
+  }
+
+  /** Stop a listener started by [[start]] (socket + its executor pool). */
+  def stop(server: HttpServer): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ =>
+    }
+  }
+}
