@@ -1525,6 +1525,14 @@ object SparkEntry {
         .select(col("a"), coalesce(col("al"), lit("")).as("al"))
         .distinct()
     }),
+    "nemo_kg_sparql_agg" -> ((s, _) => {
+      // the parsed-AGGREGATE twin of nemo_kg_degree: GROUP BY + COUNT
+      // DISTINCT shipped as text — parser → groupBy compilation must land
+      // on the identical DuckDB oracle as the programmatic aggregate.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT ?a (COUNT(DISTINCT ?d) AS ?deg) WHERE { ?a inDoc ?d } GROUP BY ?a")
+    }),
     "nemo_kg_construct" -> ((s, _) => {
       // SPARQL CONSTRUCT — rule inference over the store: from each sameAs
       // edge derive the inverse (al aliasOf a) AND a type marker
@@ -1945,6 +1953,8 @@ object SparkEntry {
     "nemo_kg_minus" -> OracleSql.kgMinus("PER"),
     // the parsed twin of nemo_kg_optional — identical bindings, same oracle
     "nemo_kg_sparql" -> OracleSql.kgOptional("PER"),
+    // the parsed aggregate lands on the same oracle as the programmatic one
+    "nemo_kg_sparql_agg" -> OracleSql.kgDegree,
     // CONSTRUCT templates = UNION of selects (graph set semantics)
     "nemo_kg_construct" -> OracleSql.kgConstruct,
     // ASK = EXISTS as 1/0 BIGINT

@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * stand alone; constants are barewords or '…'/"…" quoted):
   *
   * {{{
-  * SELECT [DISTINCT] (?v … | *) WHERE { body } [LIMIT n]
+  * SELECT [DISTINCT] item … WHERE { body }
+  *        [GROUP BY ?v …] [ORDER BY ord …] [LIMIT n] [OFFSET n]
+  * item  :=  ?v | * | ( FUNC ( [DISTINCT] ?v | * ) AS ?alias )
+  * FUNC  :=  COUNT | MIN | MAX                            -- string bindings
+  * ord   :=  ?v | ASC ( ?v ) | DESC ( ?v )
   * ASK [WHERE] { body }
   * CONSTRUCT { triples } WHERE { body }
   * body  :=  { triples } UNION { triples } [UNION …]      -- union form
@@ -20,6 +24,11 @@ import org.apache.spark.sql.functions._
   * block :=  OPTIONAL { triples } | MINUS { triples }
   *        |  FILTER EXISTS { triples } | FILTER NOT EXISTS { triples }
   * }}}
+  *
+  * Aggregates follow SPARQL §11: they evaluate over the solution MULTISET
+  * (provenance duplicates count unless the aggregate says DISTINCT), plain
+  * projected variables must appear in GROUP BY, and aggregates without a
+  * GROUP BY aggregate the whole solution set as one group.
   *
   * Same documented scope as the algebra it compiles to: groups must be
   * well-designed (share ≥1 variable with the required part — enforced by
@@ -59,9 +68,9 @@ object Sparql {
   private val tokRe =
     ("""\?[A-Za-z_][A-Za-z0-9_]*""" +      // variable
       """|"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'""" + // quoted constant
-      """|[{}]""" +                         // braces
+      """|[{}()]""" +                       // braces + aggregate parens
       """|\.(?=\s|\}|$)""" +                // standalone pattern separator
-      """|[^\s{}]+""").r                    // bareword constant / keyword
+      """|[^\s{}()]+""").r                  // bareword constant / keyword
 
   private[kg] def tokenize(s: String): List[String] = tokRe.findAllIn(s).toList
 
@@ -164,28 +173,118 @@ object Sparql {
 
   // ---- the three query forms ----
 
-  private def select(t: DataFrame, p: P): DataFrame = {
-    p.expect("SELECT")
-    val dist = p.eatKw("DISTINCT")
-    val proj = Seq.newBuilder[String]
+  private sealed trait Item
+  private final case class PlainVar(v: String) extends Item
+  private final case class Agg(func: String, dist: Boolean,
+                               arg: Option[String], alias: String) extends Item
+
+  private val aggFns = Set("COUNT", "MIN", "MAX")
+
+  private def selectItems(p: P): (Seq[Item], Boolean) = {
+    val items = Seq.newBuilder[Item]
     var star = false
     var going = true
     while (going) p.peek match {
       case Some("*") => p.next(); star = true
-      case Some(v) if v.startsWith("?") => p.next(); proj += v.drop(1)
+      case Some(v) if v.startsWith("?") => p.next(); items += PlainVar(v.drop(1))
+      case Some("(") =>
+        p.next()
+        val fn = p.next().toUpperCase
+        if (!aggFns.contains(fn)) fail(s"unknown aggregate '$fn' (COUNT, MIN, MAX)")
+        p.expect("(")
+        val dist = p.eatKw("DISTINCT")
+        val arg = p.next() match {
+          case "*" => if (fn != "COUNT") fail(s"$fn(*) is not defined") else None
+          case v if v.startsWith("?") => Some(v.drop(1))
+          case other => fail(s"aggregate argument must be ?var or *, got '$other'")
+        }
+        p.expect(")")
+        p.expect("AS")
+        val alias = p.next() match {
+          case v if v.startsWith("?") => v.drop(1)
+          case other => fail(s"AS needs a ?alias, got '$other'")
+        }
+        p.expect(")")
+        items += Agg(fn, dist, arg, alias)
       case _ => going = false
     }
+    (items.result(), star)
+  }
+
+  private def select(t: DataFrame, p: P): DataFrame = {
+    p.expect("SELECT")
+    val dist = p.eatKw("DISTINCT")
+    val (items, star) = selectItems(p)
     p.expect("WHERE")
     val b = body(p)
-    val cols = if (star) b.vars else proj.result()
-    if (cols.isEmpty) fail("SELECT needs ?vars or *")
-    val unknown = cols.filterNot(b.vars.contains)
-    if (unknown.nonEmpty) fail(s"projected ${unknown.mkString(", ")} not bound by the pattern")
-    // project FIRST, dedup over the projection — SPARQL SELECT DISTINCT
-    var out = run(t, b, distinctRows = false).select(cols.map(col): _*)
+    val aggs = items.collect { case a: Agg => a }
+    val plains = items.collect { case v: PlainVar => v.v }
+    if (star && items.nonEmpty) fail("* cannot mix with other SELECT items")
+    if (!star && items.isEmpty) fail("SELECT needs ?vars, aggregates or *")
+    val unknownP = (plains ++ aggs.flatMap(_.arg)).filterNot(b.vars.contains)
+    if (unknownP.nonEmpty) fail(s"projected ${unknownP.mkString(", ")} not bound by the pattern")
+
+    val sol = run(t, b, distinctRows = false) // multiset — aggregates count dups
+    var out =
+      if (aggs.isEmpty) sol.select((if (star) b.vars else plains).map(col): _*)
+      else {
+        // SPARQL §11: plain projected vars must be (exactly the) GROUP BY keys
+        val groupVars =
+          if (p.eatKw("GROUP")) { p.expect("BY")
+            val g = Seq.newBuilder[String]
+            while (p.peek.exists(_.startsWith("?"))) g += p.next().drop(1)
+            g.result()
+          } else Nil
+        val offKey = plains.filterNot(groupVars.contains)
+        if (offKey.nonEmpty)
+          fail(s"projected ${offKey.mkString(", ")} must appear in GROUP BY")
+        val unknownG = groupVars.filterNot(b.vars.contains)
+        if (unknownG.nonEmpty) fail(s"GROUP BY ${unknownG.mkString(", ")} not bound by the pattern")
+        def aggExpr(a: Agg) = (a.func, a.arg, a.dist) match {
+          case ("COUNT", None, _)        => count(lit(1)).as(a.alias)
+          case ("COUNT", Some(v), true)  => countDistinct(col(v)).as(a.alias)
+          case ("COUNT", Some(v), false) => count(col(v)).as(a.alias)
+          case ("MIN", Some(v), _)       => min(col(v)).as(a.alias)
+          case ("MAX", Some(v), _)       => max(col(v)).as(a.alias)
+          case _ => fail(s"${a.func} needs a ?var argument")
+        }
+        val agged =
+          if (groupVars.isEmpty) sol.agg(aggExpr(aggs.head), aggs.tail.map(aggExpr): _*)
+          else sol.groupBy(groupVars.map(col): _*)
+            .agg(aggExpr(aggs.head), aggs.tail.map(aggExpr): _*)
+        // restore the SELECT clause's own item order
+        agged.select(items.map { case PlainVar(v) => col(v); case a: Agg => col(a.alias) }: _*)
+      }
     if (dist) out = out.distinct()
-    if (p.eatKw("LIMIT")) out = out.limit(p.next().toInt)
+    if (p.eatKw("ORDER")) {
+      p.expect("BY")
+      val sorts = Seq.newBuilder[org.apache.spark.sql.Column]
+      var going = true
+      while (going) p.peek.map(_.toUpperCase) match {
+        case Some(v) if v.startsWith("?") => p.next(); sorts += col(v.drop(1)).asc
+        case Some("ASC")  => p.next(); p.expect("("); sorts += col(varTok(p)).asc;  p.expect(")")
+        case Some("DESC") => p.next(); p.expect("("); sorts += col(varTok(p)).desc; p.expect(")")
+        case _ => going = false
+      }
+      val ss = sorts.result()
+      if (ss.isEmpty) fail("ORDER BY needs ?vars")
+      out = out.orderBy(ss: _*)
+    }
+    // LIMIT/OFFSET in either order; SPARQL slices OFFSET-then-LIMIT
+    var (limit, offset) = (Option.empty[Int], Option.empty[Int])
+    var slicing = true
+    while (slicing)
+      if (p.eatKw("LIMIT")) limit = Some(p.next().toInt)
+      else if (p.eatKw("OFFSET")) offset = Some(p.next().toInt)
+      else slicing = false
+    offset.foreach(n => out = out.offset(n))
+    limit.foreach(n => out = out.limit(n))
     out
+  }
+
+  private def varTok(p: P): String = p.next() match {
+    case v if v.startsWith("?") => v.drop(1)
+    case other => fail(s"expected ?var, got '$other'")
   }
 
   private def askDf(t: DataFrame, p: P): DataFrame = {

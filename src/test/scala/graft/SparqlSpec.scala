@@ -121,6 +121,61 @@ class SparqlSpec extends AnyFunSuite {
     assert(g2 === Set(("ent:3", "category", "UNALIASED")))
   }
 
+  test("aggregates: COUNT/COUNT DISTINCT/MIN/MAX with GROUP BY over the multiset") {
+    // per-entity doc degree — the parsed twin of nemo_kg_degree's shape
+    val deg = Sparql.query(trip,
+      "SELECT ?e (COUNT(DISTINCT ?d) AS ?deg) WHERE { ?e inDoc ?d } GROUP BY ?e")
+      .as[(String, Long)].collect().toMap
+    assert(deg === Map("ent:1" -> 2L, "ent:2" -> 1L, "ent:3" -> 1L))
+    // COUNT without DISTINCT counts the multiset (provenance duplicates)
+    val n = Sparql.query(trip,
+      "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }").as[Long].head()
+    assert(n === trip.count())
+    // COUNT(?v) skips unbound OPTIONAL bindings, COUNT(*) keeps the rows
+    val cnt = Sparql.query(trip,
+      "SELECT (COUNT(?al) AS ?a) (COUNT(*) AS ?r) WHERE { ?e category PER OPTIONAL { ?x sameAs ?e . ?x sameAs ?al } }")
+      .as[(Long, Long)].head()
+    assert(cnt === ((1L, 2L))) // ent:1 aliased, ent:3 not
+    // MIN/MAX over string bindings; global group (no GROUP BY)
+    val mm = Sparql.query(trip,
+      "SELECT (MIN(?e) AS ?lo) (MAX(?e) AS ?hi) WHERE { ?e category ?c }")
+      .as[(String, String)].head()
+    assert(mm === (("ent:1", "ent:3")))
+  }
+
+  test("ORDER BY / OFFSET page deterministically") {
+    val asc = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category ?c } ORDER BY ?e")
+      .as[String].collect().toSeq
+    assert(asc === Seq("ent:1", "ent:2", "ent:3"))
+    val desc = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category ?c } ORDER BY DESC(?e) LIMIT 2")
+      .as[String].collect().toSeq
+    assert(desc === Seq("ent:3", "ent:2"))
+    val page = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category ?c } ORDER BY ?e OFFSET 1 LIMIT 1")
+      .as[String].collect().toSeq
+    assert(page === Seq("ent:2"))
+    // aggregate + order compose
+    val top = Sparql.query(trip,
+      "SELECT ?e (COUNT(DISTINCT ?d) AS ?deg) WHERE { ?e inDoc ?d } GROUP BY ?e ORDER BY DESC(?deg) ?e LIMIT 1")
+      .as[(String, Long)].collect().toSeq
+    assert(top === Seq(("ent:1", 2L)))
+  }
+
+  test("aggregate validation errors are loud") {
+    def err(q: String): String =
+      intercept[IllegalArgumentException](Sparql.query(trip, q)).getMessage
+    assert(err("SELECT ?e (COUNT(?d) AS ?n) WHERE { ?e inDoc ?d }")
+      .contains("must appear in GROUP BY"))
+    assert(err("SELECT (FOO(?d) AS ?n) WHERE { ?e inDoc ?d }")
+      .contains("unknown aggregate"))
+    assert(err("SELECT (MIN(*) AS ?n) WHERE { ?e inDoc ?d }")
+      .contains("not defined"))
+    assert(err("SELECT (COUNT(?zz) AS ?n) WHERE { ?e inDoc ?d }")
+      .contains("not bound"))
+  }
+
   test("parse errors are loud and specific") {
     def err(q: String): String =
       intercept[IllegalArgumentException](Sparql.query(trip, q)).getMessage
