@@ -1525,6 +1525,16 @@ object SparkEntry {
         .select(col("a"), coalesce(col("al"), lit("")).as("al"))
         .distinct()
     }),
+    "nemo_kg_sparql_path" -> ((s, _) => {
+      // the parsed PROPERTY-PATH twin of nemo_kg_alias_reach:
+      // (sameAs|^sameAs)+ shipped as text — the path sub-parser compiles to
+      // predAlt/predInv/pathPlus, and the doubling fixpoint must land on
+      // the same recursive-CTE oracle the CC-based programmatic twin does
+      // (two independent closure algorithms, one answer).
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT DISTINCT ?src ?dst WHERE { ?src (sameAs|^sameAs)+ ?dst }")
+    }),
     "nemo_kg_sparql_agg" -> ((s, _) => {
       // the parsed-AGGREGATE twin of nemo_kg_degree: GROUP BY + COUNT
       // DISTINCT shipped as text — parser → groupBy compilation must land
@@ -1955,6 +1965,8 @@ object SparkEntry {
     "nemo_kg_sparql" -> OracleSql.kgOptional("PER"),
     // the parsed aggregate lands on the same oracle as the programmatic one
     "nemo_kg_sparql_agg" -> OracleSql.kgDegree,
+    // parsed (sameAs|^sameAs)+ (doubling) == CC-based twin == recursive CTE
+    "nemo_kg_sparql_path" -> OracleSql.kgAliasReach,
     // CONSTRUCT templates = UNION of selects (graph set semantics)
     "nemo_kg_construct" -> OracleSql.kgConstruct,
     // ASK = EXISTS as 1/0 BIGINT

@@ -290,21 +290,75 @@ object Pattern {
       maxRounds)
   }
 
-  /** The general composed form the [[Sparql]] string front end compiles to:
-    * required BGP + OPTIONAL groups + MINUS groups + FILTER [NOT] EXISTS
-    * groups in one call — OPTIONALs fold first (left-to-right, the
-    * well-designed order), then each negation/existence gate is one
-    * semi/anti join against the grown prefix carrying only the shared
-    * columns. Equivalent to composing [[matchBgpOpt]] / [[matchBgpMinus]] /
-    * [[filterExists]]; exists here so a parsed query stays ONE logical plan
-    * with the same boundary shapes the individual operators document. */
-  def matchPattern(triples: DataFrame, bgp: Seq[Tp],
-                   optionals: Seq[Seq[Tp]] = Nil,
-                   minus: Seq[Seq[Tp]] = Nil,
-                   exists: Seq[Seq[Tp]] = Nil,
-                   notExists: Seq[Seq[Tp]] = Nil,
-                   distinctRows: Boolean = true): DataFrame = {
-    var acc = matchBgpOpt(triples, bgp, optionals, distinctRows = false)
+  /** A BGP whose steps may be PLAIN triple patterns or pre-evaluated EDGE
+    * SETS (property-path results: [[pathPlus]]/[[predAlt]]/… output bound to
+    * subject/object terms) — the conjunction [[Sparql]] compiles a body with
+    * path expressions to. Each edge part behaves exactly like a pattern:
+    * constants filter the edge frame, a repeated variable forces in-row
+    * equality, variables project in first-appearance order, and the join
+    * fold on shared variables is the same one [[matchBgp]] uses. The edge
+    * frames themselves are whatever plan produced them — a pred-pruned
+    * projection for `^p`/`p₁|p₂`, a materialized fixpoint for closures. */
+  def matchMixed(triples: DataFrame,
+                 parts: Seq[Either[Tp, (Term, DataFrame, Term)]],
+                 distinctRows: Boolean = true): DataFrame = {
+    require(parts.nonEmpty, "empty graph pattern")
+    val frames = parts.map {
+      case Left(tp) => one(triples, tp)
+      case Right((s, edges, o)) => edgeOne(edges, s, o)
+    }
+    val joined = frames.reduceLeft { (acc, f) =>
+      val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
+      if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
+    }
+    val varOrder = parts.flatMap {
+      case Left(tp) => Seq(tp.s, tp.p, tp.o)
+      case Right((s, _, o)) => Seq(s, o)
+    }.collect { case V(n) => n }.distinct
+    val out = joined.drop("__exists")
+    val ordered =
+      if (varOrder.nonEmpty) out.select(varOrder.map(col): _*) else out
+    if (distinctRows && ordered.columns.nonEmpty) ordered.distinct() else ordered
+  }
+
+  /** One (src, dst) edge set bound to subject/object terms — the edge-part
+    * analogue of the triple-pattern frame builder. */
+  private def edgeOne(edges: DataFrame, s: Term, o: Term): DataFrame = {
+    var df = edges.select(col("src"), col("dst"))
+    Seq("src" -> s, "dst" -> o).foreach {
+      case (c, C(v)) => df = df.filter(col(c) === lit(v))
+      case _ =>
+    }
+    (s, o) match {
+      case (V(a), V(b)) if a == b =>
+        df.filter(col("src") === col("dst")).select(col("src").as(a))
+      case (V(a), V(b)) => df.select(col("src").as(a), col("dst").as(b))
+      case (V(a), _)    => df.select(col("src").as(a))
+      case (_, V(b))    => df.select(col("dst").as(b))
+      case _            => df.limit(1).select(lit(1).as("__exists"))
+    }
+  }
+
+  /** [[matchPattern]] with an arbitrary pre-built solution PREFIX (e.g.
+    * [[matchMixed]] over path-bearing conjunctions) instead of a plain BGP:
+    * OPTIONALs fold left-to-right, then the negation/existence gates. */
+  def matchPatternFrom(triples: DataFrame, prefix: DataFrame,
+                       optionals: Seq[Seq[Tp]] = Nil,
+                       minus: Seq[Seq[Tp]] = Nil,
+                       exists: Seq[Seq[Tp]] = Nil,
+                       notExists: Seq[Seq[Tp]] = Nil,
+                       distinctRows: Boolean = true): DataFrame = {
+    var acc = prefix
+    var varOrder = acc.columns.toSeq
+    optionals.foreach { grp =>
+      val f = matchBgp(triples, grp, distinctRows = false)
+      val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
+      require(shared.nonEmpty,
+        s"optional group ${grp.mkString(", ")} shares no variable with the pattern prefix")
+      varOrder = varOrder ++ f.columns.toSeq.filterNot(varOrder.contains)
+      acc = acc.join(f, shared, "left")
+    }
+    acc = acc.select(varOrder.map(col): _*)
     def gate(groups: Seq[Seq[Tp]], how: String, label: String): Unit =
       groups.foreach { grp =>
         val f = matchBgp(triples, grp, distinctRows = false)
@@ -320,6 +374,23 @@ object Pattern {
     gate(exists, "left_semi", "FILTER EXISTS")
     if (distinctRows) acc.distinct() else acc
   }
+
+  /** The general composed form the [[Sparql]] string front end compiles to:
+    * required BGP + OPTIONAL groups + MINUS groups + FILTER [NOT] EXISTS
+    * groups in one call — OPTIONALs fold first (left-to-right, the
+    * well-designed order), then each negation/existence gate is one
+    * semi/anti join against the grown prefix carrying only the shared
+    * columns. Equivalent to composing [[matchBgpOpt]] / [[matchBgpMinus]] /
+    * [[filterExists]]; exists here so a parsed query stays ONE logical plan
+    * with the same boundary shapes the individual operators document. */
+  def matchPattern(triples: DataFrame, bgp: Seq[Tp],
+                   optionals: Seq[Seq[Tp]] = Nil,
+                   minus: Seq[Seq[Tp]] = Nil,
+                   exists: Seq[Seq[Tp]] = Nil,
+                   notExists: Seq[Seq[Tp]] = Nil,
+                   distinctRows: Boolean = true): DataFrame =
+    matchPatternFrom(triples, matchBgp(triples, bgp, distinctRows = false),
+      optionals, minus, exists, notExists, distinctRows)
 
   /** SPARQL CONSTRUCT (SPARQL 1.1 §16.2): instantiate a TEMPLATE of triple
     * patterns once per solution of the WHERE pattern — the rule-inference

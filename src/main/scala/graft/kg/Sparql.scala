@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   * ASK [WHERE] { body }
   * CONSTRUCT { triples } WHERE { body }
   * body  :=  { triples } UNION { triples } [UNION …]      -- union form
-  *        |  triples block*                               -- conjunctive form
+  *        |  patterns block*                              -- conjunctive form
   * block :=  OPTIONAL { triples } | MINUS { triples }
   *        |  FILTER EXISTS { triples } | FILTER NOT EXISTS { triples }
   * }}}
+  *
+  * The REQUIRED pattern's predicate position also takes SPARQL property
+  * paths (§9.1) written without internal spaces — `sameAs+`, `^p`, `p|q`,
+  * `p/q`, `(sameAs|^sameAs)+`, `p*` — compiled to the [[Pattern]] path
+  * algebra (predAlt/predInv/pathSeq/pathPlus/pathStar) and joined into the
+  * conjunction like any other pattern; groups and UNION branches stay
+  * plain-predicate (the Pattern API they compile to).
   *
   * Aggregates follow SPARQL §11: they evaluate over the solution MULTISET
   * (provenance duplicates count unless the aggregate says DISTINCT), plain
@@ -103,17 +110,114 @@ object Sparql {
   private val kws = Set("OPTIONAL", "MINUS", "FILTER", "UNION", "LIMIT",
     "WHERE", "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "EXISTS", "NOT")
 
-  /** triples inside an already-opened `{ … }`, stopping at `}` or a block
-    * keyword. */
-  private def triples(p: P): Seq[Tp] = {
-    val out = Seq.newBuilder[Tp]
+  // ---- property-path expressions (SPARQL 1.1 §9): `p+ p* ^p p₁|p₂ p₁/p₂`,
+  // parenthesized; written WITHOUT internal spaces (quote a predicate that
+  // legitimately contains |/^+*() instead) ----
+
+  private[kg] sealed trait Path
+  private final case class PPred(pred: String) extends Path
+  private final case class PInv(inner: Path) extends Path
+  private final case class PSeqE(parts: Seq[Path]) extends Path
+  private final case class PAltE(parts: Seq[Path]) extends Path
+  private final case class PClosure(inner: Path, star: Boolean) extends Path
+
+  private val pathChars = Set('|', '/', '^', '+', '*', '(', ')')
+
+  /** char-level path parser (the gathered expression text). */
+  private[kg] def parsePath(text: String): Path = {
+    var i = 0
+    def peekC: Option[Char] = if (i < text.length) Some(text.charAt(i)) else None
+    def alt(): Path = {
+      val parts = Seq.newBuilder[Path]; parts += seq()
+      while (peekC.contains('|')) { i += 1; parts += seq() }
+      val ps = parts.result(); if (ps.size == 1) ps.head else PAltE(ps)
+    }
+    def seq(): Path = {
+      val parts = Seq.newBuilder[Path]; parts += post()
+      while (peekC.contains('/')) { i += 1; parts += post() }
+      val ps = parts.result(); if (ps.size == 1) ps.head else PSeqE(ps)
+    }
+    def post(): Path = {
+      var a = atom()
+      var going = true
+      while (going) peekC match {
+        case Some('+') => i += 1; a = PClosure(a, star = false)
+        case Some('*') => i += 1; a = PClosure(a, star = true)
+        case _ => going = false
+      }
+      a
+    }
+    def atom(): Path = peekC match {
+      case Some('^') => i += 1; PInv(atom())
+      case Some('(') =>
+        i += 1; val inner = alt()
+        if (!peekC.contains(')')) fail(s"unbalanced ( in path '$text'")
+        i += 1; inner
+      case Some(c) if !pathChars(c) =>
+        val start = i
+        while (peekC.exists(ch => !pathChars(ch))) i += 1
+        PPred(text.substring(start, i))
+      case other => fail(s"bad path syntax at '${other.getOrElse("end")}' in '$text'")
+    }
+    val r = alt()
+    if (i != text.length) fail(s"trailing '${text.substring(i)}' in path '$text'")
+    r
+  }
+
+  private def evalPath(t: DataFrame, p: Path): DataFrame = p match {
+    case PPred(pr)      => Pattern.predAlt(t, Seq(pr))
+    case PInv(PPred(pr)) => Pattern.predInv(t, pr)
+    case PInv(inner)    => evalPath(t, inner)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    case PSeqE(ps)      => ps.map(evalPath(t, _)).reduceLeft(Pattern.pathSeq)
+    case PAltE(ps)      => ps.map(evalPath(t, _)).reduceLeft(_.unionByName(_)).distinct()
+    case PClosure(i, false) => Pattern.pathPlus(evalPath(t, i))
+    case PClosure(i, true) =>
+      val nodes = t.select(col("subj").as("n"))
+        .unionByName(t.select(col("obj").as("n"))).distinct()
+      Pattern.pathStar(evalPath(t, i), nodes)
+  }
+
+  private type Part = Either[Tp, (Term, Path, Term)]
+
+  /** pattern parts inside an already-opened `{ … }`, stopping at `}` or a
+    * block keyword; the predicate position may be a path expression when
+    * `allowPaths` (the required pattern — groups and UNION branches stay
+    * plain, matching the Pattern API they compile to). */
+  private def parts(p: P, allowPaths: Boolean): Seq[Part] = {
+    val out = Seq.newBuilder[Part]
     var going = true
     while (going) p.peek match {
       case None | Some("}") => going = false
       case Some(t) if kws.contains(t.toUpperCase) => going = false
       case _ =>
-        val (s, pr, o) = (term(p.next()), term(p.next()), term(p.next()))
-        out += Tp(s, pr, o)
+        val s = term(p.next())
+        val predTok = p.next()
+        val isPathTok = predTok == "(" ||
+          (!predTok.startsWith("\"") && !predTok.startsWith("'") &&
+            !predTok.startsWith("?") && predTok.exists(pathChars))
+        if (isPathTok) {
+          if (!allowPaths)
+            fail("property paths are supported in the required pattern only")
+          val text = new StringBuilder
+          if (predTok == "(") {
+            text.append("(")
+            var depth = 1
+            while (depth > 0) {
+              if (p.peek.isEmpty || p.peek.contains("}"))
+                fail(s"unbalanced ( in path '${text.toString}'")
+              val t2 = p.next()
+              if (t2 == "(") depth += 1
+              if (t2 == ")") depth -= 1
+              text.append(t2)
+            }
+            // glued postfix tokens after the closing paren: + or *
+            while (p.peek.exists(t2 => t2 == "+" || t2 == "*")) text.append(p.next())
+          } else text.append(predTok)
+          out += Right((s, parsePath(text.toString), term(p.next())))
+        } else {
+          out += Left(Tp(s, term(predTok), term(p.next())))
+        }
         p.eatKw(".")
     }
     val r = out.result()
@@ -121,17 +225,27 @@ object Sparql {
     r
   }
 
+  private def triples(p: P): Seq[Tp] =
+    parts(p, allowPaths = false).map {
+      case Left(tp) => tp
+      case Right(_) => fail("property paths are supported in the required pattern only")
+    }
+
   private def bracedTriples(p: P): Seq[Tp] = {
     p.expect("{"); val r = triples(p); p.expect("}"); r
   }
 
-  private final case class Body(union: Seq[Seq[Tp]], bgp: Seq[Tp],
+  private final case class Body(union: Seq[Seq[Tp]], parts: Seq[Part],
                                 optionals: Seq[Seq[Tp]], minus: Seq[Seq[Tp]],
                                 exists: Seq[Seq[Tp]], notExists: Seq[Seq[Tp]]) {
     def vars: Seq[String] = {
-      val all = if (union.nonEmpty) union.flatten
-                else bgp ++ optionals.flatten // MINUS/EXISTS vars never project
-      all.flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect { case V(n) => n }.distinct
+      val required: Seq[Term] =
+        if (union.nonEmpty) union.flatten.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        else parts.flatMap {
+          case Left(tp) => Seq(tp.s, tp.p, tp.o)
+          case Right((s, _, o)) => Seq(s, o)
+        } ++ optionals.flatten.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      required.collect { case V(n) => n }.distinct // MINUS/EXISTS never project
     }
   }
 
@@ -146,7 +260,7 @@ object Sparql {
       if (bs.size < 2) fail("braced group without UNION — drop the inner braces")
       Body(bs, Nil, Nil, Nil, Nil, Nil)
     } else {
-      val bgp = triples(p)
+      val prt = parts(p, allowPaths = true)
       val (opts, mins, exs, nexs) =
         (Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]],
          Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]])
@@ -162,14 +276,21 @@ object Sparql {
         case _ => going = false
       }
       p.expect("}")
-      Body(Nil, bgp, opts.result(), mins.result(), exs.result(), nexs.result())
+      Body(Nil, prt, opts.result(), mins.result(), exs.result(), nexs.result())
     }
   }
 
   private def run(triples: DataFrame, b: Body, distinctRows: Boolean): DataFrame =
     if (b.union.nonEmpty) Pattern.matchUnion(triples, b.union, distinctRows)
-    else Pattern.matchPattern(triples, b.bgp, b.optionals, b.minus,
-      b.exists, b.notExists, distinctRows)
+    else {
+      val evaluated = b.parts.map {
+        case Left(tp) => Left(tp)
+        case Right((s, path, o)) => Right((s, evalPath(triples, path), o))
+      }
+      val prefix = Pattern.matchMixed(triples, evaluated, distinctRows = false)
+      Pattern.matchPatternFrom(triples, prefix, b.optionals, b.minus,
+        b.exists, b.notExists, distinctRows)
+    }
 
   // ---- the three query forms ----
 

@@ -163,6 +163,49 @@ class SparqlSpec extends AnyFunSuite {
     assert(top === Seq(("ent:1", 2L)))
   }
 
+  test("property paths in the predicate position compile to the path algebra") {
+    val chain = Seq(
+      ("a", "p", "b"), ("b", "q", "c"), ("x", "p", "a"), ("q1", "r", "q2")
+    ).toDF("subj", "pred", "obj")
+    // closure p+ == programmatic pathPlus over the family
+    val plus = Sparql.query(chain, "SELECT ?s ?t WHERE { ?s p+ ?t }")
+      .as[(String, String)].collect().toSet
+    assert(plus === Pattern.predPathPlus(chain, "p")
+      .as[(String, String)].collect().toSet)
+    assert(plus === Set(("a", "b"), ("x", "a"), ("x", "b")))
+    // sequence p/q: one middle-node hop
+    assert(Sparql.query(chain, "SELECT ?s ?t WHERE { ?s p/q ?t }")
+      .as[(String, String)].collect().toSet === Set(("a", "c")))
+    // alternation + closure crossing direction changes: (p|^p)+
+    val sym = Sparql.query(chain, "SELECT DISTINCT ?s ?t WHERE { ?s (p|^p)+ ?t }")
+      .as[(String, String)].collect().toSet
+    assert(sym === Pattern.predSymPathPlus(chain, "p")
+      .as[(String, String)].collect().toSet)
+    assert(sym.contains(("b", "x"))) // b→a backwards, a→x backwards
+    // inverse alone
+    assert(Sparql.query(chain, "SELECT ?s ?t WHERE { ?s ^q ?t }")
+      .as[(String, String)].collect().toSet === Set(("c", "b")))
+    // star: includes the zero-length identity over the node universe
+    val star = Sparql.query(chain, "SELECT ?s ?t WHERE { ?s q* ?t }")
+      .as[(String, String)].collect().toSet
+    assert(star.contains(("b", "c")) && star.contains(("q1", "q1")) &&
+      star.contains(("a", "a")))
+    // a path pattern JOINS with plain patterns on shared variables,
+    // constants bind the endpoint, and the multi-hop answer survives gates
+    val joined = Sparql.query(chain,
+      "SELECT DISTINCT ?t WHERE { x p+ ?t . ?t q ?c }")
+      .as[String].collect().toSeq
+    assert(joined === Seq("b")) // x reaches a,b; only b has a q-edge
+    // path syntax errors are loud
+    assert(intercept[IllegalArgumentException](
+      Sparql.query(chain, "SELECT ?s ?t WHERE { ?s (p|q ?t }"))
+      .getMessage.contains("path"))
+    // paths rejected inside groups
+    assert(intercept[IllegalArgumentException](Sparql.query(chain,
+      "SELECT ?s WHERE { ?s p ?t OPTIONAL { ?s q+ ?u } }"))
+      .getMessage.contains("required pattern only"))
+  }
+
   test("aggregate validation errors are loud") {
     def err(q: String): String =
       intercept[IllegalArgumentException](Sparql.query(trip, q)).getMessage
