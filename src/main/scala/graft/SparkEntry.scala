@@ -1483,6 +1483,27 @@ object SparkEntry {
         .filter(col("a") =!= col("b"))
         .select(col("a").as("per_ent"), col("b").as("other_ent"), col("d").as("doc"))
     }),
+    "nemo_kg_bgp_stats" -> ((s, _) => {
+      // stats-ordered BGP twin: the SAME 2hop question handed to matchBgp in
+      // a deliberately bad caller order — two patterns sharing NO variable
+      // first, so the naive left-to-right fold would cross-join their
+      // binding sets before the third pattern connects them. Per-predicate
+      // stats (a metadata read of the store's write-time lineage manifest —
+      // Pattern.predStatsFromManifest, no table scan) let orderBgp seed with
+      // the selective category=PER pattern and keep every join step
+      // variable-connected: same bindings (the shared kg2hop oracle pins
+      // it), cartesian-free plan (asserted in PatternSpec).
+      import graft.kg.Pattern
+      import graft.kg.Pattern.{C, Tp, V}
+      val store = fixtureTripleStore(s)
+      Pattern.matchBgp(TableFormat.load(s, store), Seq(
+          Tp(V("b"), C("inDoc"), V("d")),
+          Tp(V("a"), C("category"), C("PER")),
+          Tp(V("a"), C("inDoc"), V("d"))),
+          stats = Some(Pattern.predStatsFromManifest(store)))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("per_ent"), col("b").as("other_ent"), col("d").as("doc"))
+    }),
     "nemo_kg_optional" -> ((s, _) => {
       // SPARQL OPTIONAL over the materialized triples: every PER-category
       // entity, decorated with its aliases where sameAs edges exist — rows
@@ -1953,6 +1974,9 @@ object SparkEntry {
     "nemo_kg_2hop" -> OracleSql.kg2hop("PER"),
     // the pred-partitioned STORE layout must not change a single binding
     "nemo_kg_2hop_store" -> OracleSql.kg2hop("PER"),
+    // stats-ordered fold of an adversarially-ordered BGP: bindings must be
+    // IDENTICAL to the caller-ordered twins — same oracle pins it
+    "nemo_kg_bgp_stats" -> OracleSql.kg2hop("PER"),
     // SPARQL OPTIONAL = SQL LEFT JOIN over the same trip CTE
     "nemo_kg_optional" -> OracleSql.kgOptional("PER"),
     // SPARQL UNION with different-domain branches = SQL UNION ALL, '' for unbound

@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   *      (e.g. `?a category "PER"`, one predicate × one object) comes out
   *      broadcast; only genuinely large-large steps shuffle, keyed by the
   *      shared variable. Patterns with NO shared variable cross-join — that
-  *      is BGP semantics (a cartesian of independent matches); callers at
-  *      scale order patterns so each step shares a variable with the prefix.
+  *      is BGP semantics (a cartesian of independent matches). Callers can
+  *      order patterns by hand, or pass per-predicate `stats` ([[predStats]],
+  *      free from the store's lineage manifest) and [[orderBgp]] picks the
+  *      selectivity order — seeded at the cheapest pattern, always joining a
+  *      variable-connected pattern next, so avoidable cartesians never form.
   *
   * No RDDs, no UDFs, no driver-side evaluation: the whole BGP is one logical
   * plan, so predicate pushdown / join reordering / AQE apply end-to-end.
@@ -47,11 +50,35 @@ object Pattern {
     * SPARQL SELECT DISTINCT — the triple store carries per-doc provenance
     * duplicates a reader of entity-level answers does not want). A pattern
     * with no variables degrades to an existence gate: it contributes one row
-    * when at least one triple matches, none otherwise. */
+    * when at least one triple matches, none otherwise.
+    *
+    * `stats` (per-predicate triple counts, [[predStats]]) turns on
+    * selectivity-ordered evaluation: the patterns are FOLDED in
+    * [[orderBgp]]'s greedy cost order instead of caller order, which (a)
+    * starts the join tree from the most selective pattern so intermediate
+    * bindings stay small — Catalyst's heuristic ReorderJoin can pull a
+    * conditional join ahead of a cartesian, but it keeps caller order
+    * among joinable frames and knows nothing about cardinalities, so a
+    * badly-ordered BGP still joins its two biggest frames first without
+    * this (measured in PatternSpec: the naive fold's deepest join is
+    * inDoc⋈inDoc — the quadratic co-entity intermediate — vs
+    * category⋈inDoc for the stats fold); CBO join re-association needs
+    * relation-level statistics an in-plan frame fold doesn't carry, and
+    * AQE re-sizes the joins the fold chose, it does not re-associate
+    * them; and (b) never BUILDS a condition-free cross join while any
+    * unjoined pattern shares a variable with the prefix — cartesian
+    * avoidance by construction rather than by optimizer rescue (asserted
+    * with ReorderJoin excluded). Bindings are order-independent (a BGP is
+    * one natural join, commutative/associative), so `stats` changes the
+    * PLAN only — asserted by the fuzz suite and the shared oracle of the
+    * reordered twin. Output columns stay in CALLER first-appearance order
+    * either way. */
   def matchBgp(triples: DataFrame, bgp: Seq[Tp],
-               distinctRows: Boolean = true): DataFrame = {
+               distinctRows: Boolean = true,
+               stats: Option[Map[String, Long]] = None): DataFrame = {
     require(bgp.nonEmpty, "empty basic graph pattern")
-    val joined = bgp.map(one(triples, _)).reduceLeft { (acc, f) =>
+    val folded = stats.fold(bgp)(st => orderBgp(bgp, st))
+    val joined = folded.map(one(triples, _)).reduceLeft { (acc, f) =>
       val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
       if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
     }
@@ -63,6 +90,88 @@ object Pattern {
     val ordered =
       if (varOrder.nonEmpty) out.select(varOrder.map(col): _*) else out
     if (distinctRows && ordered.columns.nonEmpty) ordered.distinct() else ordered
+  }
+
+  /** Per-predicate triple counts — the BGP cost model's one statistic, and
+    * deliberately the one a pred-partitioned store yields for free: over
+    * the vertical-partitioning layout this groupBy is answered from parquet
+    * file footers (zero data columns read), and [[predStatsFromManifest]]
+    * reads the SAME numbers from the write-time lineage manifest without
+    * touching the table at all. */
+  def predStats(triples: DataFrame): Map[String, Long] =
+    triples.groupBy("pred").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** [[predStats]] from a TableFormat.savePartitioned store's
+    * `_manifest.json` — a metadata READ (one small JSON file), no table
+    * scan: the per-partition lineage the north rule requires is keyed
+    * `pred=X/part_bucket=N → rows`, so summing over buckets per predicate
+    * IS the cost model's input. At 10^12 triples this is the only sane
+    * source — the stats are a byproduct of the write that built the store. */
+  def predStatsFromManifest(storePath: String): Map[String, Long] = {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(storePath, "_manifest.json"))
+    val entry = """"pred=([^/"]+)/[^"]*"\s*:\s*(\d+)""".r
+    entry.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toLong).toSeq
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+  }
+
+  /** Greedy selectivity order for a BGP fold. Cost model: a pattern's
+    * estimate is its predicate's triple count (constant pred → that
+    * predicate's stat, variable pred → the store total), divided by a fixed
+    * factor per additional restriction (constant subject/object, or a
+    * variable repeated within the pattern). The factor's VALUE only breaks
+    * ties between same-predicate patterns — relative predicate mass does
+    * the real work, which is why one Map[pred → count] is enough statistic.
+    *
+    * Order: seed with the globally cheapest pattern, then repeatedly take
+    * the cheapest pattern CONNECTED to the bound-variable prefix (shares
+    * ≥1 variable — all-constant existence gates count as connected: their
+    * 0/1-row frame is free wherever it lands). Only when no unjoined
+    * pattern is connected does the order fall through to the cheapest
+    * remaining one — the genuine cartesian a disconnected BGP asks for.
+    * Deterministic: ties break on caller position. */
+  def orderBgp(bgp: Seq[Tp], stats: Map[String, Long]): Seq[Tp] = {
+    val total = math.max(1L, stats.valuesIterator.sum).toDouble
+    greedyOrder(bgp, stats, (tp: Tp) =>
+      (Seq(tp.s, tp.p, tp.o).collect { case V(n) => n }.toSet, tpEst(tp, stats, total)))
+  }
+
+  private def tpEst(tp: Tp, stats: Map[String, Long], total: Double): Double = {
+    val base = tp.p match {
+      case C(p) => stats.getOrElse(p, 0L).toDouble
+      case _    => total
+    }
+    val consts = Seq(tp.s, tp.o).count(_.isInstanceOf[C])
+    val repeats = Seq(tp.s, tp.p, tp.o).collect { case V(n) => n }
+      .groupBy(identity).count(_._2.size > 1)
+    base / math.pow(8.0, (consts + repeats).toDouble)
+  }
+
+  /** The greedy connected-first minimum-estimate order shared by
+    * [[orderBgp]] and [[matchMixed]]'s part ordering: seed cheapest, grow
+    * by the cheapest item sharing a variable with the bound prefix,
+    * cartesian only when no item connects, caller-position tie-break. */
+  private def greedyOrder[A](items: Seq[A], stats: Map[String, Long],
+                             shape: A => (Set[String], Double)): Seq[A] = {
+    val shaped = items.map(shape)
+    val remaining = scala.collection.mutable.LinkedHashSet(items.indices: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[A]
+    var bound = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val connected =
+        if (out.isEmpty) remaining.toSeq
+        else remaining.toSeq.filter { i =>
+          val vs = shaped(i)._1; vs.isEmpty || vs.intersect(bound).nonEmpty
+        }
+      val pool = if (connected.nonEmpty) connected else remaining.toSeq
+      val pick = pool.minBy(i => (shaped(i)._2, i))
+      remaining -= pick
+      out += items(pick)
+      bound ++= shaped(pick)._1
+    }
+    out.toSeq
   }
 
   /** [[matchBgp]] plus SPARQL OPTIONAL groups (left-join semantics,
@@ -113,9 +222,11 @@ object Pattern {
     * their partitioning); the trailing `distinct` for set semantics is the
     * only shuffle, the same one SELECT DISTINCT always pays. */
   def matchUnion(triples: DataFrame, branches: Seq[Seq[Tp]],
-                 distinctRows: Boolean = true): DataFrame = {
+                 distinctRows: Boolean = true,
+                 stats: Option[Map[String, Long]] = None): DataFrame = {
     require(branches.nonEmpty, "empty UNION")
-    val matched = branches.map(b => matchBgp(triples, b, distinctRows = false))
+    val matched =
+      branches.map(b => matchBgp(triples, b, distinctRows = false, stats = stats))
     val varOrder = matched.flatMap(_.columns).distinct
     val aligned = matched.map { m =>
       val have = m.columns.toSet
@@ -301,9 +412,27 @@ object Pattern {
     * projection for `^p`/`p₁|p₂`, a materialized fixpoint for closures. */
   def matchMixed(triples: DataFrame,
                  parts: Seq[Either[Tp, (Term, DataFrame, Term)]],
-                 distinctRows: Boolean = true): DataFrame = {
+                 distinctRows: Boolean = true,
+                 stats: Option[Map[String, Long]] = None): DataFrame = {
     require(parts.nonEmpty, "empty graph pattern")
-    val frames = parts.map {
+    // stats order the FOLD only (output columns stay caller-ordered below).
+    // A pre-evaluated edge set has no predicate stat — closures and
+    // alternations are usually the LARGE side, so they cost the store total
+    // (divided per constant endpoint like any other restriction) and the
+    // greedy order naturally joins selective plain patterns before them.
+    val folded = stats.fold(parts) { st =>
+      val total = math.max(1L, st.valuesIterator.sum).toDouble
+      greedyOrder(parts, st, (part: Either[Tp, (Term, DataFrame, Term)]) => part match {
+        case Left(tp) =>
+          (Seq(tp.s, tp.p, tp.o).collect { case V(n) => n }.toSet,
+            tpEst(tp, st, total))
+        case Right((s, _, o)) =>
+          val vs = Seq(s, o).collect { case V(n) => n }.toSet
+          val consts = Seq(s, o).count(_.isInstanceOf[C])
+          (vs, total / math.pow(8.0, consts.toDouble))
+      })
+    }
+    val frames = folded.map {
       case Left(tp) => one(triples, tp)
       case Right((s, edges, o)) => edgeOne(edges, s, o)
     }
@@ -388,8 +517,13 @@ object Pattern {
                    minus: Seq[Seq[Tp]] = Nil,
                    exists: Seq[Seq[Tp]] = Nil,
                    notExists: Seq[Seq[Tp]] = Nil,
-                   distinctRows: Boolean = true): DataFrame =
-    matchPatternFrom(triples, matchBgp(triples, bgp, distinctRows = false),
+                   distinctRows: Boolean = true,
+                   stats: Option[Map[String, Long]] = None): DataFrame =
+    // stats drive the REQUIRED fold only: OPTIONAL/MINUS/EXISTS groups fold
+    // in the caller's well-designed order (their left-to-right evaluation
+    // against the growing prefix is semantics, not a cost choice)
+    matchPatternFrom(triples,
+      matchBgp(triples, bgp, distinctRows = false, stats = stats),
       optionals, minus, exists, notExists, distinctRows)
 
   /** SPARQL CONSTRUCT (SPARQL 1.1 §16.2): instantiate a TEMPLATE of triple

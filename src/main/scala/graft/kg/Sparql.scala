@@ -57,13 +57,20 @@ object Sparql {
 
   /** Parse + execute `query` against a (subj, pred, obj) table.
     * SELECT → binding table; ASK → one row (matched: 1/0 bigint);
-    * CONSTRUCT → (subj, pred, obj) triples. */
-  def query(triples: DataFrame, query: String): DataFrame = {
+    * CONSTRUCT → (subj, pred, obj) triples.
+    *
+    * `stats` (per-predicate counts — [[Pattern.predStatsFromManifest]] reads
+    * them from the store's lineage manifest without a scan) turns on
+    * selectivity-ordered evaluation of the required pattern: text order in
+    * the query stops mattering for the PLAN, exactly as in a real SPARQL
+    * engine's BGP optimizer. Bindings are unchanged (fuzz-asserted). */
+  def query(triples: DataFrame, query: String,
+            stats: Option[Map[String, Long]] = None): DataFrame = {
     val p = new P(tokenize(query))
     val out = p.peek.map(_.toUpperCase) match {
-      case Some("SELECT")    => select(triples, p)
-      case Some("ASK")       => askDf(triples, p)
-      case Some("CONSTRUCT") => constructDf(triples, p)
+      case Some("SELECT")    => select(triples, p, stats)
+      case Some("ASK")       => askDf(triples, p, stats)
+      case Some("CONSTRUCT") => constructDf(triples, p, stats)
       case other => fail(s"expected SELECT, ASK or CONSTRUCT, got ${other.getOrElse("end of input")}")
     }
     p.expectEnd()
@@ -280,14 +287,17 @@ object Sparql {
     }
   }
 
-  private def run(triples: DataFrame, b: Body, distinctRows: Boolean): DataFrame =
-    if (b.union.nonEmpty) Pattern.matchUnion(triples, b.union, distinctRows)
+  private def run(triples: DataFrame, b: Body, distinctRows: Boolean,
+                  stats: Option[Map[String, Long]]): DataFrame =
+    if (b.union.nonEmpty)
+      Pattern.matchUnion(triples, b.union, distinctRows, stats = stats)
     else {
       val evaluated = b.parts.map {
         case Left(tp) => Left(tp)
         case Right((s, path, o)) => Right((s, evalPath(triples, path), o))
       }
-      val prefix = Pattern.matchMixed(triples, evaluated, distinctRows = false)
+      val prefix =
+        Pattern.matchMixed(triples, evaluated, distinctRows = false, stats = stats)
       Pattern.matchPatternFrom(triples, prefix, b.optionals, b.minus,
         b.exists, b.notExists, distinctRows)
     }
@@ -332,7 +342,8 @@ object Sparql {
     (items.result(), star)
   }
 
-  private def select(t: DataFrame, p: P): DataFrame = {
+  private def select(t: DataFrame, p: P,
+                     stats: Option[Map[String, Long]]): DataFrame = {
     p.expect("SELECT")
     val dist = p.eatKw("DISTINCT")
     val (items, star) = selectItems(p)
@@ -345,7 +356,7 @@ object Sparql {
     val unknownP = (plains ++ aggs.flatMap(_.arg)).filterNot(b.vars.contains)
     if (unknownP.nonEmpty) fail(s"projected ${unknownP.mkString(", ")} not bound by the pattern")
 
-    val sol = run(t, b, distinctRows = false) // multiset — aggregates count dups
+    val sol = run(t, b, distinctRows = false, stats) // multiset — aggregates count dups
     var out =
       if (aggs.isEmpty) sol.select((if (star) b.vars else plains).map(col): _*)
       else {
@@ -408,16 +419,18 @@ object Sparql {
     case other => fail(s"expected ?var, got '$other'")
   }
 
-  private def askDf(t: DataFrame, p: P): DataFrame = {
+  private def askDf(t: DataFrame, p: P,
+                    stats: Option[Map[String, Long]]): DataFrame = {
     p.expect("ASK")
     p.eatKw("WHERE")
     val b = body(p)
-    val matched = !run(t, b, distinctRows = false).limit(1).isEmpty
+    val matched = !run(t, b, distinctRows = false, stats).limit(1).isEmpty
     t.sparkSession.range(1)
       .select(lit(if (matched) 1L else 0L).as("matched"))
   }
 
-  private def constructDf(t: DataFrame, p: P): DataFrame = {
+  private def constructDf(t: DataFrame, p: P,
+                          stats: Option[Map[String, Long]]): DataFrame = {
     p.expect("CONSTRUCT")
     val tmpl = bracedTriples(p)
     p.expect("WHERE")
@@ -425,7 +438,7 @@ object Sparql {
     if (b.union.nonEmpty) fail("CONSTRUCT over a UNION body is not supported — run per branch and union the graphs")
     // template instantiation over the composed solution set (incl. the
     // negation gates), mirroring Pattern.construct over plain BGPs
-    val sol = run(t, b, distinctRows = false)
+    val sol = run(t, b, distinctRows = false, stats)
     val bound = sol.columns.toSet
     def tc(x: Term) = x match {
       case V(n) =>

@@ -46,8 +46,9 @@ object KgHttp {
 
   private def detail(msg: String): String = s"""{"detail":${jsonStr(String.valueOf(msg))}}"""
 
-  private[graft] def runQuery(triples: DataFrame, q: String, maxRows: Int): String = {
-    val df = Sparql.query(triples, q)
+  private[graft] def runQuery(triples: DataFrame, q: String, maxRows: Int,
+                              stats: Option[Map[String, Long]] = None): String = {
+    val df = Sparql.query(triples, q, stats)
     val cols = df.columns.toSeq
     val rows = df.take(maxRows + 1)
     val truncated = rows.length > maxRows
@@ -65,8 +66,11 @@ object KgHttp {
       s""""rows":$rowsJson,"n":${shown.length},"truncated":$truncated}"""
   }
 
-  /** Start the listener over one loaded store (port 0 = ephemeral). */
-  def start(port: Int, triples: DataFrame, maxRows: Int = 1000): HttpServer = {
+  /** Start the listener over one loaded store (port 0 = ephemeral).
+    * `stats` (per-predicate counts) switches every request to the
+    * selectivity-ordered BGP fold — [[startFromStore]] wires them for free. */
+  def start(port: Int, triples: DataFrame, maxRows: Int = 1000,
+            stats: Option[Map[String, Long]] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
@@ -81,7 +85,7 @@ object KgHttp {
                 val root = mapper.readTree(body)
                 if (root == null || !root.has("query") || !root.get("query").isTextual)
                   (400, detail("body must be a JSON object with a string 'query' field"))
-                else (200, runQuery(triples, root.get("query").asText, maxRows))
+                else (200, runQuery(triples, root.get("query").asText, maxRows, stats))
               case ("POST", p) => (404, detail(s"unknown path '/$p'"))
               case _           => (405, detail("method not allowed"))
             }
@@ -104,6 +108,17 @@ object KgHttp {
     server.start()
     server
   }
+
+  /** [[start]] over a TableFormat.savePartitioned store PATH: loads the
+    * table and its per-predicate stats in one call — the stats are a
+    * metadata read of the store's lineage manifest
+    * ([[graft.kg.Pattern.predStatsFromManifest]]), so a server fronting a
+    * 10^12-triple store pays one small JSON read, never a counting scan,
+    * and every query it serves gets the selectivity-ordered fold. */
+  def startFromStore(port: Int, spark: org.apache.spark.sql.SparkSession,
+                     storePath: String, maxRows: Int = 1000): HttpServer =
+    start(port, graft.io.TableFormat.load(spark, storePath), maxRows,
+      stats = Some(graft.kg.Pattern.predStatsFromManifest(storePath)))
 
   /** Stop a listener started by [[start]] (socket + its executor pool). */
   def stop(server: HttpServer): Unit = {

@@ -69,6 +69,31 @@ class KgHttpSpec extends AnyFunSuite {
     } finally KgHttp.stop(server)
   }
 
+  test("startFromStore serves the saved store with manifest stats wired in") {
+    import graft.io.TableFormat
+    val store = java.nio.file.Files.createTempDirectory("graft-kghttp").toString + "/triples"
+    TableFormat.savePartitioned(
+      trip.withColumn("doc_id", org.apache.spark.sql.functions.lit("d1")),
+      store, partCol = "pred", keyCol = "subj", buckets = 2, stage = "triples")
+    val server = KgHttp.startFromStore(0, spark, store)
+    try {
+      val client = HttpClient.newHttpClient()
+      // adversarial text order: stats-ordered fold must still bind correctly
+      val q = "SELECT DISTINCT ?al ?e WHERE { ?e sameAs ?al . ?e category PER }"
+      val wire = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.getAddress.getPort}/kg"))
+          .POST(HttpRequest.BodyPublishers.ofString(s"""{"query": ${jstr(q)}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wire.statusCode() === 200)
+      assert(wire.body().contains("ent:9") && wire.body().contains("\"n\":1"))
+      // the stats the server loaded are the manifest's, which match a count
+      assert(graft.kg.Pattern.predStatsFromManifest(store) ===
+        Map("category" -> 3L, "sameAs" -> 1L, "label" -> 1L))
+    } finally KgHttp.stop(server)
+  }
+
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }

@@ -116,6 +116,21 @@ class PatternFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("stats-ordered matchBgp binds identically to the naive evaluator") {
+    // the selectivity reorder must be invisible in the RESULT for any store
+    // shape and any caller order — a BGP is one natural join, so orderBgp
+    // may only change the plan. Stats come from the store itself.
+    val r = new Random(20260821)
+    for (round <- 0 until 25) {
+      val store = randStore(r)
+      val bgp = randBgp(r, r.nextInt(3) + 1)
+      val stats = store.groupBy(_._2).map { case (p, ts) => p -> ts.size.toLong }
+      val got = collectDf(Pattern.matchBgp(df(store), bgp, stats = Some(stats)))
+      val want = canon(evalBgp(store, bgp), vars(bgp))
+      assert(got === want, s"round $round bgp=$bgp store=$store")
+    }
+  }
+
   test("OPTIONAL equals naive left-join semantics (well-designed groups)") {
     val r = new Random(555)
     for (round <- 0 until 20) {

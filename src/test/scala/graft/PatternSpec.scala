@@ -330,4 +330,79 @@ class PatternSpec extends AnyFunSuite {
     assert(leafFiles.map(_.getParent.toString).distinct.size === leafFiles.size)
     assert(lineage.size === leafFiles.size) // every leaf dir appears in lineage
   }
+
+  test("orderBgp: selective seed, connected growth, cartesian only when forced") {
+    val stats = Map("category" -> 1000L, "inDoc" -> 100000L, "label" -> 50L)
+    // adversarial caller order: the two inDoc patterns share no variable
+    // until the category pattern connects them
+    val big1 = Tp(V("b"), C("inDoc"), V("d"))
+    val sel  = Tp(V("a"), C("category"), C("PER"))
+    val big2 = Tp(V("a"), C("inDoc"), V("d"))
+    assert(Pattern.orderBgp(Seq(big1, sel, big2), stats) === Seq(sel, big2, big1))
+    // deterministic tie-break on caller position
+    val t1 = Tp(V("x"), C("label"), V("l"))
+    val t2 = Tp(V("x"), C("label"), V("m"))
+    assert(Pattern.orderBgp(Seq(t1, t2), stats) === Seq(t1, t2))
+    assert(Pattern.orderBgp(Seq(t2, t1), stats) === Seq(t2, t1))
+    // genuinely disconnected BGP still yields its cartesian — cheapest first
+    val island = Tp(V("q"), C("label"), V("l"))
+    assert(Pattern.orderBgp(Seq(big1, island), stats) === Seq(island, big1))
+    // an all-constant existence gate is connected anywhere and maximally cheap
+    val gate = Tp(C("ent:1"), C("inDoc"), C("d1"))
+    assert(Pattern.orderBgp(Seq(big1, gate), stats).head === gate)
+  }
+
+  test("stats-ordered fold: same bindings, no cartesian in the plan") {
+    import graft.io.TableFormat
+    val store = java.nio.file.Files.createTempDirectory("graft-statstore").toString + "/triples"
+    TableFormat.savePartitioned(trip, store, partCol = "pred", keyCol = "subj",
+      buckets = 4, stage = "triples")
+    val loaded = TableFormat.load(spark, store)
+
+    // manifest stats are the groupBy counts, read without a table scan
+    val fromManifest = Pattern.predStatsFromManifest(store)
+    assert(fromManifest === Pattern.predStats(trip))
+
+    // adversarial order: two variable-disjoint patterns first
+    val bad = Seq(
+      Tp(V("b"), C("inDoc"), V("d")),
+      Tp(V("a"), C("category"), C("PER")),
+      Tp(V("a"), C("inDoc"), V("d")))
+    val naive = Pattern.matchBgp(loaded, bad)
+    val ordered = Pattern.matchBgp(loaded, bad, stats = Some(fromManifest))
+    // identical bindings, identical caller-order output columns
+    assert(ordered.columns.toSeq === naive.columns.toSeq)
+    assert(ordered.as[(String, String, String)].collect().toSet ===
+      naive.as[(String, String, String)].collect().toSet)
+    // the stats fold joins selective-first: its DEEPEST join is seeded by the
+    // category=PER scan, where the naive fold's deepest join is inDoc⋈inDoc
+    // on d — the quadratic co-entity intermediate the reorder exists to avoid
+    def deepestJoinScans(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val deepest = joins.last // collect is pre-order; last = innermost
+      // the pred constants filter each pattern's scan subtree
+      Set("category", "inDoc", "label", "sameAs").filter(p =>
+        (deepest.left.toString + deepest.right.toString).contains(p))
+    }
+    assert(deepestJoinScans(ordered) === Set("category", "inDoc"))
+    assert(deepestJoinScans(naive) === Set("inDoc"))
+    // and the fold itself never builds a condition-free cartesian: even with
+    // Catalyst's ReorderJoin rescue rule excluded, the stats plan stays
+    // cartesian-free while the naive fold's cross join becomes real
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.catalyst.optimizer.ReorderJoin")
+    try {
+      def hasCartesian(df: org.apache.spark.sql.DataFrame): Boolean = {
+        val p = df.queryExecution.executedPlan.toString
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+      assert(hasCartesian(Pattern.matchBgp(loaded, bad)))
+      assert(!hasCartesian(Pattern.matchBgp(loaded, bad, stats = Some(fromManifest))))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

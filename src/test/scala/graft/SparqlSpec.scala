@@ -250,4 +250,26 @@ class SparqlSpec extends AnyFunSuite {
       .as[(String, Option[String])].collect().toSet
     assert(parsed === got)
   }
+
+  test("stats make query text order irrelevant to the plan, not the bindings") {
+    val stats = Pattern.predStats(trip)
+    // adversarial text order: the first two patterns share no variable
+    val q = "SELECT DISTINCT ?b ?a ?d WHERE { ?b inDoc ?d . ?a category PER . ?a inDoc ?d }"
+    val plain = Sparql.query(trip, q)
+    val ordered = Sparql.query(trip, q, stats = Some(stats))
+    assert(ordered.columns.toSeq === plain.columns.toSeq)
+    assert(ordered.as[(String, String, String)].collect().toSet ===
+      plain.as[(String, String, String)].collect().toSet)
+    val planStr = ordered.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"))
+    // stats reach every query form: a path-bearing body and a UNION body
+    // bind identically with and without them
+    val pathQ = "SELECT DISTINCT ?x WHERE { ?x sameAs+ ?y . ?y category PER }"
+    assert(Sparql.query(trip, pathQ, stats = Some(stats)).as[String].collect().toSet ===
+      Sparql.query(trip, pathQ).as[String].collect().toSet)
+    val unionQ = "SELECT DISTINCT ?e WHERE { { ?e category PER } UNION { ?e category ORG } }"
+    assert(Sparql.query(trip, unionQ, stats = Some(stats)).as[String].collect().toSet ===
+      Sparql.query(trip, unionQ).as[String].collect().toSet)
+  }
 }
