@@ -287,6 +287,19 @@ ${ccClosureCtes}
        |       THEN 1 ELSE 0 END AS matched"""
       .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
+  /** Lineage-manifest integrity oracle (`nemo_kg_count_meta`): the engine
+    * side answers per-predicate COUNT(*) from the store's write-time
+    * manifest stats (Sparql's metadata-only fast path — zero table scans);
+    * DuckDB recounts the same triples the hard way. Equality proves the
+    * manifest's partition_rows ARE the table's true per-predicate counts. */
+  def kgCountMeta: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT pred, count(*) AS n FROM trip GROUP BY pred"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** Pattern-aggregation oracle (`nemo_kg_degree`): per-entity distinct
     * document count over the inDoc family of the same `trip` CTE. */
   def kgDegree: String =

@@ -1504,6 +1504,23 @@ object SparkEntry {
         .filter(col("a") =!= col("b"))
         .select(col("a").as("per_ent"), col("b").as("other_ent"), col("d").as("doc"))
     }),
+    "nemo_kg_count_meta" -> ((s, _) => {
+      // lineage-manifest integrity: per-predicate COUNT(*) answered by
+      // Sparql's metadata-only fast path — one manifest read, ZERO scans of
+      // the triple table (asserted in SparqlSpec: the fast plan's only leaf
+      // is Range) — compared against DuckDB's recount of the same triples.
+      // At 10^12 triples this is the difference between a dashboard query
+      // that returns in milliseconds and one that reads the corpus.
+      import graft.kg.{Pattern, Sparql}
+      val store = fixtureTripleStore(s)
+      val stats = Pattern.predStatsFromManifest(store)
+      val loaded = TableFormat.load(s, store)
+      stats.keys.toSeq.sorted.map { p =>
+        Sparql.query(loaded, s"SELECT (COUNT(*) AS ?n) WHERE { ?s $p ?o }",
+            stats = Some(stats))
+          .select(lit(p).as("pred"), col("n"))
+      }.reduce(_.unionByName(_))
+    }),
     "nemo_kg_optional" -> ((s, _) => {
       // SPARQL OPTIONAL over the materialized triples: every PER-category
       // entity, decorated with its aliases where sameAs edges exist — rows
@@ -1977,6 +1994,8 @@ object SparkEntry {
     // stats-ordered fold of an adversarially-ordered BGP: bindings must be
     // IDENTICAL to the caller-ordered twins — same oracle pins it
     "nemo_kg_bgp_stats" -> OracleSql.kg2hop("PER"),
+    // manifest stats vs a DuckDB recount of the same triples
+    "nemo_kg_count_meta" -> OracleSql.kgCountMeta,
     // SPARQL OPTIONAL = SQL LEFT JOIN over the same trip CTE
     "nemo_kg_optional" -> OracleSql.kgOptional("PER"),
     // SPARQL UNION with different-domain branches = SQL UNION ALL, '' for unbound

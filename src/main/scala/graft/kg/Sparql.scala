@@ -356,6 +356,29 @@ object Sparql {
     val unknownP = (plains ++ aggs.flatMap(_.arg)).filterNot(b.vars.contains)
     if (unknownP.nonEmpty) fail(s"projected ${unknownP.mkString(", ")} not bound by the pattern")
 
+    // Metadata-only COUNT: `SELECT (COUNT(*) AS ?n) WHERE { ?s <p> ?o }`
+    // with stats present is answered from the per-predicate counts — the
+    // store's lineage manifest — without touching the table (the classic
+    // triple-store statistics shortcut). Sound because the engine's
+    // documented non-DISTINCT semantics IS row multiset count, which is
+    // exactly what the manifest records per predicate family. Guarded to
+    // the only shape where that identity holds: one pattern, constant
+    // pred, two distinct plain variables, no groups/gates/GROUP BY.
+    val metaCount: Option[DataFrame] =
+      if (stats.isDefined && !star && plains.isEmpty && p.peek.isEmpty &&
+          aggs.sizeIs == 1 && aggs.head.func == "COUNT" &&
+          aggs.head.arg.isEmpty && !aggs.head.dist &&
+          b.union.isEmpty && b.optionals.isEmpty && b.minus.isEmpty &&
+          b.exists.isEmpty && b.notExists.isEmpty)
+        b.parts match {
+          case Seq(Left(Tp(V(sv), C(pv), V(ov)))) if sv != ov =>
+            Some(t.sparkSession.range(1).select(
+              lit(stats.get.getOrElse(pv, 0L)).as(aggs.head.alias)))
+          case _ => None
+        }
+      else None
+    if (metaCount.isDefined) return metaCount.get
+
     val sol = run(t, b, distinctRows = false, stats) // multiset — aggregates count dups
     var out =
       if (aggs.isEmpty) sol.select((if (star) b.vars else plains).map(col): _*)

@@ -272,4 +272,32 @@ class SparqlSpec extends AnyFunSuite {
     assert(Sparql.query(trip, unionQ, stats = Some(stats)).as[String].collect().toSet ===
       Sparql.query(trip, unionQ).as[String].collect().toSet)
   }
+
+  test("metadata-only COUNT answers from stats without scanning the store") {
+    val stats = Pattern.predStats(trip)
+    val q = "SELECT (COUNT(*) AS ?n) WHERE { ?s inDoc ?o }"
+    val fast = Sparql.query(trip, q, stats = Some(stats))
+    // same number as the scan path, and the alias survives
+    assert(fast.columns.toSeq === Seq("n"))
+    assert(fast.as[Long].collect().toSeq ===
+      Sparql.query(trip, q).as[Long].collect().toSeq)
+    // the fast plan never touches the triple table: its only leaf is Range
+    val leaves = fast.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.sizeIs == 1 && leaves.head.toString.contains("Range"))
+    // an absent predicate counts zero; count semantics, not empty result
+    assert(Sparql.query(trip, "SELECT (COUNT(*) AS ?n) WHERE { ?s nope ?o }",
+      stats = Some(stats)).as[Long].collect().toSeq === Seq(0L))
+    // guard rails: every shape outside the identity falls through to the scan
+    for (g <- Seq(
+        "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s inDoc ?o }",  // distinct
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s inDoc ?o . ?s category PER }", // 2 patterns
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s inDoc d1 }",            // const obj
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")) {            // var pred
+      val df = Sparql.query(trip, g, stats = Some(stats))
+      assert(!df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.toString.contains("Range")), g)
+      assert(df.as[Long].collect().toSeq ===
+        Sparql.query(trip, g).as[Long].collect().toSeq, g)
+    }
+  }
 }
