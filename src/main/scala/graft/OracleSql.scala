@@ -287,6 +287,22 @@ ${ccClosureCtes}
        |       THEN 1 ELSE 0 END AS matched"""
       .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
+  /** Value-FILTER oracle (`nemo_kg_sparql_filter`): the parsed query's
+    * string comparison is plain lexicographic >= on both engines, the regex
+    * a partial match (Spark rlike / DuckDB regexp_matches). */
+  def kgSparqlFilter: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT ca.subj AS a, d.obj AS d
+       |FROM trip ca
+       |JOIN trip d ON d.pred = 'inDoc' AND d.subj = ca.subj
+       |WHERE ca.pred = 'category' AND ca.obj = 'PER'
+       |  AND d.obj >= 'doc-000100'
+       |  AND regexp_matches(d.obj, '[0-4]$$')"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** Lineage-manifest integrity oracle (`nemo_kg_count_meta`): the engine
     * side answers per-predicate COUNT(*) from the store's write-time
     * manifest stats (Sparql's metadata-only fast path — zero table scans);

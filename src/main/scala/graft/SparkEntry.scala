@@ -1563,6 +1563,17 @@ object SparkEntry {
         .select(col("a"), coalesce(col("al"), lit("")).as("al"))
         .distinct()
     }),
+    "nemo_kg_sparql_filter" -> ((s, _) => {
+      // value FILTERs through the parser: a lexicographic range on the doc
+      // binding plus a regex on it, both evaluated at group end over the
+      // composed solutions — DuckDB replays with a string >= and
+      // regexp_matches. This is the HTTP caller's filtered query shape (no
+      // Column API on the wire); the numeric try_cast path is pinned in
+      // SparqlSpec.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT DISTINCT ?a ?d WHERE { ?a category PER . ?a inDoc ?d FILTER ( ?d >= doc-000100 ) FILTER REGEX ( ?d , '[0-4]$' ) }")
+    }),
     "nemo_kg_sparql_path" -> ((s, _) => {
       // the parsed PROPERTY-PATH twin of nemo_kg_alias_reach:
       // (sameAs|^sameAs)+ shipped as text — the path sub-parser compiles to
@@ -2008,6 +2019,8 @@ object SparkEntry {
     "nemo_kg_sparql" -> OracleSql.kgOptional("PER"),
     // the parsed aggregate lands on the same oracle as the programmatic one
     "nemo_kg_sparql_agg" -> OracleSql.kgDegree,
+    // value FILTERs: TRY_CAST numeric + regex replayed in SQL
+    "nemo_kg_sparql_filter" -> OracleSql.kgSparqlFilter,
     // parsed (sameAs|^sameAs)+ (doubling) == CC-based twin == recursive CTE
     "nemo_kg_sparql_path" -> OracleSql.kgAliasReach,
     // CONSTRUCT templates = UNION of selects (graph set semantics)

@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   *        |  patterns block*                              -- conjunctive form
   * block :=  OPTIONAL { triples } | MINUS { triples }
   *        |  FILTER EXISTS { triples } | FILTER NOT EXISTS { triples }
+  *        |  FILTER ( operand cmp operand ) | FILTER [(] REGEX ( ?v , "re" ) [)]
+  * cmp   :=  = | != | < | <= | > | >=
   * }}}
   *
   * The REQUIRED pattern's predicate position also takes SPARQL property
@@ -42,10 +44,10 @@ import org.apache.spark.sql.functions._
   * [[Pattern]]'s own `require`s). SELECT without DISTINCT is multiset
   * semantics (per-doc provenance duplicates are visible); DISTINCT dedups
   * over the PROJECTED variables, exactly SPARQL's SELECT DISTINCT. Value
-  * FILTERs (comparisons) are deliberately absent: the result is a
-  * DataFrame, so callers apply native Column predicates Catalyst pushes
-  * into the plan — strictly more expressive than re-inventing an
-  * expression language here.
+  * FILTERs (`FILTER ( ?v op operand )`, `FILTER REGEX(?v, "re")`) cover the
+  * comparison subset a string-only caller (the HTTP endpoint) needs; the
+  * result is still a DataFrame, so anything richer stays a native Column
+  * predicate Catalyst pushes into the plan.
   *
   * Scale: the string compiles 1:1 to the [[Pattern]] plan it names — no new
   * execution machinery, so every plan property recorded for the algebra
@@ -242,9 +244,24 @@ object Sparql {
     p.expect("{"); val r = triples(p); p.expect("}"); r
   }
 
+  // ---- value FILTERs (FILTER ( ?v op operand ) / FILTER REGEX(?v, "re")):
+  // comparison over bound solution values. A numeric literal on either side
+  // switches the comparison to double (non-numeric bindings cast to NULL and
+  // drop — the SQL analogue of SPARQL's type-error-drops-row rule); string
+  // comparisons are lexicographic; REGEX is Java-regex `rlike` (partial
+  // match, like SPARQL's regex()). Filters evaluate against the GROUP's
+  // composed solutions (required + OPTIONALs), SPARQL's filter-at-group-end
+  // rule, so an unbound OPTIONAL variable compares NULL and drops. ----
+  private sealed trait VOperand
+  private final case class OVar(v: String) extends VOperand
+  private final case class OLit(value: String) extends VOperand
+  private final case class VFilter(op: String, a: VOperand, b: VOperand)
+  private val vops = Set("=", "!=", "<", "<=", ">", ">=")
+
   private final case class Body(union: Seq[Seq[Tp]], parts: Seq[Part],
                                 optionals: Seq[Seq[Tp]], minus: Seq[Seq[Tp]],
-                                exists: Seq[Seq[Tp]], notExists: Seq[Seq[Tp]]) {
+                                exists: Seq[Seq[Tp]], notExists: Seq[Seq[Tp]],
+                                valueFilters: Seq[VFilter] = Nil) {
     def vars: Seq[String] = {
       val required: Seq[Term] =
         if (union.nonEmpty) union.flatten.flatMap(tp => Seq(tp.s, tp.p, tp.o))
@@ -271,19 +288,88 @@ object Sparql {
       val (opts, mins, exs, nexs) =
         (Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]],
          Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]])
+      val vfs = Seq.newBuilder[VFilter]
       var going = true
       while (going) p.peek.map(_.toUpperCase) match {
         case Some("OPTIONAL") => p.next(); opts += bracedTriples(p)
         case Some("MINUS")    => p.next(); mins += bracedTriples(p)
         case Some("FILTER") =>
           p.next()
-          val neg = p.eatKw("NOT")
-          p.expect("EXISTS")
-          (if (neg) nexs else exs) += bracedTriples(p)
+          p.peek.map(_.toUpperCase) match {
+            case Some("NOT")    => p.next(); p.expect("EXISTS"); nexs += bracedTriples(p)
+            case Some("EXISTS") => p.next(); exs += bracedTriples(p)
+            case Some("REGEX")  => p.next(); vfs += vregexArgs(p)
+            case Some("(") =>
+              p.next()
+              val f =
+                if (p.peek.exists(_.equalsIgnoreCase("REGEX"))) { p.next(); vregexArgs(p) }
+                else {
+                  val a = voperand(p.next())
+                  val op = p.next()
+                  if (!vops(op)) fail(s"unknown FILTER operator '$op' (= != < <= > >=)")
+                  VFilter(op, a, voperand(p.next()))
+                }
+              p.expect(")")
+              vfs += f
+            case other => fail(s"FILTER needs EXISTS, NOT EXISTS, REGEX or ( comparison ), got '${other.getOrElse("end of input")}'")
+          }
         case _ => going = false
       }
       p.expect("}")
-      Body(Nil, prt, opts.result(), mins.result(), exs.result(), nexs.result())
+      Body(Nil, prt, opts.result(), mins.result(), exs.result(), nexs.result(),
+        vfs.result())
+    }
+  }
+
+  private def voperand(tok: String): VOperand = term(tok) match {
+    case V(n) => OVar(n)
+    case C(v) => OLit(v)
+  }
+
+  /** `( ?v , "re" )` after the REGEX keyword; the pattern must be a
+    * constant (a variable regex has no sane plan). */
+  private def vregexArgs(p: P): VFilter = {
+    p.expect("(")
+    val a = voperand(p.next())
+    p.expect(",")
+    val b = voperand(p.next()) match {
+      case l: OLit => l
+      case OVar(v) => fail(s"REGEX pattern must be a constant, got ?$v")
+    }
+    p.expect(")")
+    VFilter("~", a, b)
+  }
+
+  private def isNum(s: String): Boolean =
+    try { s.toDouble; true } catch { case _: NumberFormatException => false }
+
+  private def vcol(f: VFilter, bound: Set[String]): org.apache.spark.sql.Column = {
+    def side(o: VOperand): org.apache.spark.sql.Column = o match {
+      case OVar(v) =>
+        if (!bound(v)) fail(s"FILTER variable ?$v is not bound by the pattern")
+        col(v)
+      case OLit(v) => lit(v)
+    }
+    f.op match {
+      case "~" => side(f.a).rlike(f.b.asInstanceOf[OLit].value)
+      case op =>
+        val numeric = Seq(f.a, f.b).exists {
+          case OLit(v) => isNum(v)
+          case _       => false
+        }
+        val (l, r) =
+          // try_cast: a non-numeric binding becomes NULL and the row drops
+          // (SPARQL's type-error rule) instead of failing the job under ANSI
+          if (numeric) (side(f.a).try_cast("double"), side(f.b).try_cast("double"))
+          else (side(f.a), side(f.b))
+        op match {
+          case "="  => l === r
+          case "!=" => l =!= r
+          case "<"  => l < r
+          case "<=" => l <= r
+          case ">"  => l > r
+          case ">=" => l >= r
+        }
     }
   }
 
@@ -298,8 +384,13 @@ object Sparql {
       }
       val prefix =
         Pattern.matchMixed(triples, evaluated, distinctRows = false, stats = stats)
-      Pattern.matchPatternFrom(triples, prefix, b.optionals, b.minus,
-        b.exists, b.notExists, distinctRows)
+      val composed = Pattern.matchPatternFrom(triples, prefix, b.optionals,
+        b.minus, b.exists, b.notExists, distinctRows = false)
+      val bound = composed.columns.toSet
+      val filtered =
+        b.valueFilters.foldLeft(composed)((d, f) => d.filter(vcol(f, bound)))
+      if (distinctRows && filtered.columns.nonEmpty) filtered.distinct()
+      else filtered
     }
 
   // ---- the three query forms ----
@@ -369,7 +460,7 @@ object Sparql {
           aggs.sizeIs == 1 && aggs.head.func == "COUNT" &&
           aggs.head.arg.isEmpty && !aggs.head.dist &&
           b.union.isEmpty && b.optionals.isEmpty && b.minus.isEmpty &&
-          b.exists.isEmpty && b.notExists.isEmpty)
+          b.exists.isEmpty && b.notExists.isEmpty && b.valueFilters.isEmpty)
         b.parts match {
           case Seq(Left(Tp(V(sv), C(pv), V(ov)))) if sv != ov =>
             Some(t.sparkSession.range(1).select(

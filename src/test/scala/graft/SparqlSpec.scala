@@ -273,6 +273,45 @@ class SparqlSpec extends AnyFunSuite {
       Sparql.query(trip, unionQ).as[String].collect().toSet)
   }
 
+  test("value FILTERs: comparisons, regex, numeric coercion, group-end scope") {
+    // string inequality (var vs const) — drops the d1 bindings
+    assert(Sparql.query(trip,
+        "SELECT DISTINCT ?e ?d WHERE { ?e inDoc ?d FILTER ( ?d != d1 ) }")
+      .as[(String, String)].collect().toSet ===
+      Set(("ent:1", "d2"), ("ent:3", "d2")))
+    // var-vs-var compare rides the same solution frame
+    assert(Sparql.query(trip,
+        "SELECT DISTINCT ?a ?b WHERE { ?a sameAs ?b FILTER ( ?a != ?b ) }")
+      .as[(String, String)].collect().toSet === Set(("ent:4", "ent:1")))
+    // regex, both spellings, partial match like SPARQL's regex()
+    assert(Sparql.query(trip,
+        "SELECT DISTINCT ?e WHERE { ?e category ?c FILTER REGEX ( ?c , \"^P\" ) }")
+      .as[String].collect().toSet === Set("ent:1", "ent:3"))
+    assert(Sparql.query(trip,
+        "SELECT DISTINCT ?e WHERE { ?e category ?c FILTER ( REGEX ( ?c , 'ER' ) ) }")
+      .as[String].collect().toSet === Set("ent:1", "ent:3"))
+    // a numeric literal coerces the comparison to double; a non-numeric
+    // binding casts to NULL and DROPS (SPARQL's type-error rule), so only
+    // numerically-comparable values survive
+    val num = Seq(("a", "score", "10"), ("b", "score", "9"), ("c", "score", "x"))
+      .toDF("subj", "pred", "obj")
+    assert(Sparql.query(num,
+        "SELECT ?s WHERE { ?s score ?v FILTER ( ?v >= 10 ) }")
+      .as[String].collect().toSet === Set("a")) // lexicographic would keep "9" and "x"
+    // group-end scope: an OPTIONAL-unbound variable compares NULL → row
+    // drops (ent:3 has no alias; ent:1's alias ent:4 passes the filter)
+    assert(Sparql.query(trip,
+        "SELECT DISTINCT ?e ?x WHERE { ?e category PER OPTIONAL { ?x sameAs ?e } FILTER ( ?x != zzz ) }")
+      .as[(String, String)].collect().toSet === Set(("ent:1", "ent:4")))
+    // loud errors: unbound filter var, variable regex pattern, unknown op
+    for (bad <- Seq(
+        "SELECT ?e WHERE { ?e category PER FILTER ( ?nope = x ) }",
+        "SELECT ?e WHERE { ?e category ?c FILTER REGEX ( ?c , ?c ) }",
+        "SELECT ?e WHERE { ?e category ?c FILTER ( ?c LIKE x ) }")) {
+      assertThrows[IllegalArgumentException](Sparql.query(trip, bad).collect())
+    }
+  }
+
   test("metadata-only COUNT answers from stats without scanning the store") {
     val stats = Pattern.predStats(trip)
     val q = "SELECT (COUNT(*) AS ?n) WHERE { ?s inDoc ?o }"
