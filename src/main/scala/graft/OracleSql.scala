@@ -303,6 +303,18 @@ ${ccClosureCtes}
        |  AND regexp_matches(d.obj, '[0-4]$$')"""
       .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
+  /** VALUES oracle (`nemo_kg_sparql_values`): inline data is an IN-list
+    * restriction on the bound variable — SQL IN over the same trip CTE. */
+  def kgSparqlValues: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT subj AS a, obj AS d FROM trip
+       |WHERE pred = 'inDoc'
+       |  AND subj IN ('ent:1', 'ent:2', 'ent:3', 'ent:15', 'ent:999999')"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** Lineage-manifest integrity oracle (`nemo_kg_count_meta`): the engine
     * side answers per-predicate COUNT(*) from the store's write-time
     * manifest stats (Sparql's metadata-only fast path — zero table scans);

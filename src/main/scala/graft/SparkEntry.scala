@@ -1574,6 +1574,15 @@ object SparkEntry {
       Sparql.query(fixtureTriples(s),
         "SELECT DISTINCT ?a ?d WHERE { ?a category PER . ?a inDoc ?d FILTER ( ?d >= doc-000100 ) FILTER REGEX ( ?d , '[0-4]$' ) }")
     }),
+    "nemo_kg_sparql_values" -> ((s, _) => {
+      // VALUES inline data through the parser: the parameterized-query form
+      // an HTTP caller uses to ask about a fixed entity list — compiles to
+      // an IN-list restriction Catalyst pushes into the pattern scan.
+      // DuckDB replays with SQL IN.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT DISTINCT ?a ?d WHERE { ?a inDoc ?d . VALUES ?a { ent:1 ent:2 ent:3 ent:15 ent:999999 } }")
+    }),
     "nemo_kg_sparql_path" -> ((s, _) => {
       // the parsed PROPERTY-PATH twin of nemo_kg_alias_reach:
       // (sameAs|^sameAs)+ shipped as text — the path sub-parser compiles to
@@ -2021,6 +2030,8 @@ object SparkEntry {
     "nemo_kg_sparql_agg" -> OracleSql.kgDegree,
     // value FILTERs: TRY_CAST numeric + regex replayed in SQL
     "nemo_kg_sparql_filter" -> OracleSql.kgSparqlFilter,
+    // VALUES inline data = SQL IN list over the same trip CTE
+    "nemo_kg_sparql_values" -> OracleSql.kgSparqlValues,
     // parsed (sameAs|^sameAs)+ (doubling) == CC-based twin == recursive CTE
     "nemo_kg_sparql_path" -> OracleSql.kgAliasReach,
     // CONSTRUCT templates = UNION of selects (graph set semantics)

@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *        [GROUP BY ?v …] [ORDER BY ord …] [LIMIT n] [OFFSET n]
   * item  :=  ?v | * | ( FUNC ( [DISTINCT] ?v | * ) AS ?alias )
   * FUNC  :=  COUNT | MIN | MAX                            -- string bindings
+  *        |  SUM | AVG                                    -- try_cast-double
   * ord   :=  ?v | ASC ( ?v ) | DESC ( ?v )
   * ASK [WHERE] { body }
   * CONSTRUCT { triples } WHERE { body }
@@ -24,6 +25,7 @@ import org.apache.spark.sql.functions._
   * block :=  OPTIONAL { triples } | MINUS { triples }
   *        |  FILTER EXISTS { triples } | FILTER NOT EXISTS { triples }
   *        |  FILTER ( operand cmp operand ) | FILTER [(] REGEX ( ?v , "re" ) [)]
+  *        |  VALUES ?v { const … }
   * cmp   :=  = | != | < | <= | > | >=
   * }}}
   *
@@ -117,7 +119,8 @@ object Sparql {
     else C(t)
 
   private val kws = Set("OPTIONAL", "MINUS", "FILTER", "UNION", "LIMIT",
-    "WHERE", "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "EXISTS", "NOT")
+    "WHERE", "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "EXISTS", "NOT",
+    "VALUES")
 
   // ---- property-path expressions (SPARQL 1.1 §9): `p+ p* ^p p₁|p₂ p₁/p₂`,
   // parenthesized; written WITHOUT internal spaces (quote a predicate that
@@ -261,7 +264,8 @@ object Sparql {
   private final case class Body(union: Seq[Seq[Tp]], parts: Seq[Part],
                                 optionals: Seq[Seq[Tp]], minus: Seq[Seq[Tp]],
                                 exists: Seq[Seq[Tp]], notExists: Seq[Seq[Tp]],
-                                valueFilters: Seq[VFilter] = Nil) {
+                                valueFilters: Seq[VFilter] = Nil,
+                                values: Seq[(String, Seq[String])] = Nil) {
     def vars: Seq[String] = {
       val required: Seq[Term] =
         if (union.nonEmpty) union.flatten.flatMap(tp => Seq(tp.s, tp.p, tp.o))
@@ -289,9 +293,32 @@ object Sparql {
         (Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]],
          Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]])
       val vfs = Seq.newBuilder[VFilter]
+      val vls = Seq.newBuilder[(String, Seq[String])]
       var going = true
       while (going) p.peek.map(_.toUpperCase) match {
         case Some("OPTIONAL") => p.next(); opts += bracedTriples(p)
+        case Some("VALUES") =>
+          // single-variable inline data: VALUES ?v { c1 c2 … } — the
+          // parameterized-query form an HTTP caller uses for entity lists.
+          // The variable must be bound by the pattern (checked at compile),
+          // so it is exactly an IN-list restriction.
+          p.next()
+          val v = p.next() match {
+            case t if t.startsWith("?") => t.drop(1)
+            case other => fail(s"VALUES needs a ?var, got '$other'")
+          }
+          p.expect("{")
+          val consts = Seq.newBuilder[String]
+          var more = true
+          while (more) p.peek match {
+            case None => fail("unbalanced { in VALUES")
+            case Some("}") => p.next(); more = false
+            case Some(_) => term(p.next()) match {
+              case C(c) => consts += c
+              case V(x) => fail(s"VALUES entries must be constants, got ?$x")
+            }
+          }
+          vls += (v -> consts.result())
         case Some("MINUS")    => p.next(); mins += bracedTriples(p)
         case Some("FILTER") =>
           p.next()
@@ -317,7 +344,7 @@ object Sparql {
       }
       p.expect("}")
       Body(Nil, prt, opts.result(), mins.result(), exs.result(), nexs.result(),
-        vfs.result())
+        vfs.result(), vls.result())
     }
   }
 
@@ -387,8 +414,13 @@ object Sparql {
       val composed = Pattern.matchPatternFrom(triples, prefix, b.optionals,
         b.minus, b.exists, b.notExists, distinctRows = false)
       val bound = composed.columns.toSet
+      val withValues = b.values.foldLeft(composed) { case (d, (v, vs)) =>
+        if (!bound(v)) fail(s"VALUES variable ?$v is not bound by the pattern")
+        if (vs.isEmpty) d.filter(lit(false)) // zero-row VALUES: no solutions
+        else d.filter(col(v).isin(vs: _*))
+      }
       val filtered =
-        b.valueFilters.foldLeft(composed)((d, f) => d.filter(vcol(f, bound)))
+        b.valueFilters.foldLeft(withValues)((d, f) => d.filter(vcol(f, bound)))
       if (distinctRows && filtered.columns.nonEmpty) filtered.distinct()
       else filtered
     }
@@ -400,7 +432,7 @@ object Sparql {
   private final case class Agg(func: String, dist: Boolean,
                                arg: Option[String], alias: String) extends Item
 
-  private val aggFns = Set("COUNT", "MIN", "MAX")
+  private val aggFns = Set("COUNT", "MIN", "MAX", "SUM", "AVG")
 
   private def selectItems(p: P): (Seq[Item], Boolean) = {
     val items = Seq.newBuilder[Item]
@@ -412,7 +444,7 @@ object Sparql {
       case Some("(") =>
         p.next()
         val fn = p.next().toUpperCase
-        if (!aggFns.contains(fn)) fail(s"unknown aggregate '$fn' (COUNT, MIN, MAX)")
+        if (!aggFns.contains(fn)) fail(s"unknown aggregate '$fn' (COUNT, MIN, MAX, SUM, AVG)")
         p.expect("(")
         val dist = p.eatKw("DISTINCT")
         val arg = p.next() match {
@@ -460,7 +492,8 @@ object Sparql {
           aggs.sizeIs == 1 && aggs.head.func == "COUNT" &&
           aggs.head.arg.isEmpty && !aggs.head.dist &&
           b.union.isEmpty && b.optionals.isEmpty && b.minus.isEmpty &&
-          b.exists.isEmpty && b.notExists.isEmpty && b.valueFilters.isEmpty)
+          b.exists.isEmpty && b.notExists.isEmpty && b.valueFilters.isEmpty &&
+          b.values.isEmpty)
         b.parts match {
           case Seq(Left(Tp(V(sv), C(pv), V(ov)))) if sv != ov =>
             Some(t.sparkSession.range(1).select(
@@ -492,6 +525,18 @@ object Sparql {
           case ("COUNT", Some(v), false) => count(col(v)).as(a.alias)
           case ("MIN", Some(v), _)       => min(col(v)).as(a.alias)
           case ("MAX", Some(v), _)       => max(col(v)).as(a.alias)
+          // numeric aggregates over STRING bindings: try_cast-double per
+          // value; non-numeric values cast NULL and are skipped (SQL
+          // NULL-ignoring aggregation — a documented divergence from
+          // SPARQL's whole-group type error, matched by the DuckDB oracle's
+          // TRY_CAST). DISTINCT composes: sum/avg over the distinct values.
+          case ("SUM", Some(v), d) =>
+            val c = col(v).try_cast("double")
+            (if (d) sum_distinct(c) else sum(c)).as(a.alias)
+          case ("AVG", Some(v), false) =>
+            avg(col(v).try_cast("double")).as(a.alias)
+          case ("AVG", _, true) => fail("AVG DISTINCT is not supported")
+
           case _ => fail(s"${a.func} needs a ?var argument")
         }
         val agged =

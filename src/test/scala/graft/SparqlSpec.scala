@@ -312,6 +312,39 @@ class SparqlSpec extends AnyFunSuite {
     }
   }
 
+  test("VALUES restricts a bound variable to an inline constant list") {
+    assert(Sparql.query(trip,
+        "SELECT DISTINCT ?e ?d WHERE { ?e inDoc ?d . VALUES ?e { ent:1 ent:3 nope } }")
+      .as[(String, String)].collect().toSet ===
+      Set(("ent:1", "d1"), ("ent:1", "d2"), ("ent:3", "d2")))
+    // zero-row VALUES means no solutions, not all solutions
+    assert(Sparql.query(trip,
+        "SELECT ?e WHERE { ?e category PER . VALUES ?e { } }").count() === 0L)
+    // the variable must be bound by the pattern; entries must be constants
+    assertThrows[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e WHERE { ?e category PER . VALUES ?x { ent:1 } }").collect())
+    assertThrows[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e WHERE { ?e category PER . VALUES ?e { ?y } }"))
+  }
+
+  test("SUM and AVG aggregate try_cast-double over string bindings") {
+    val num = Seq(
+      ("a", "score", "10"), ("a", "score", "4"), ("a", "score", "x"),
+      ("b", "score", "7"), ("b", "score", "7")).toDF("subj", "pred", "obj")
+    val got = Sparql.query(num,
+      "SELECT ?s ( SUM ( ?v ) AS ?total ) ( AVG ( ?v ) AS ?mean ) WHERE { ?s score ?v } GROUP BY ?s")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") === ((14.0, 7.0))) // "x" casts NULL and is skipped
+    assert(got("b") === ((14.0, 7.0))) // multiset: the duplicate 7 counts twice
+    // SUM DISTINCT sums the distinct values
+    assert(Sparql.query(num,
+        "SELECT ( SUM ( DISTINCT ?v ) AS ?t ) WHERE { b score ?v }")
+      .as[Double].collect().toSeq === Seq(7.0))
+    assertThrows[IllegalArgumentException](Sparql.query(num,
+      "SELECT ( AVG ( DISTINCT ?v ) AS ?t ) WHERE { ?s score ?v }"))
+  }
+
   test("metadata-only COUNT answers from stats without scanning the store") {
     val stats = Pattern.predStats(trip)
     val q = "SELECT (COUNT(*) AS ?n) WHERE { ?s inDoc ?o }"
