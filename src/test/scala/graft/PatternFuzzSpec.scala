@@ -131,6 +131,40 @@ class PatternFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("parsed value FILTERs equal naive solution filtering") {
+    // string comparisons only (the generator vocab is non-numeric, so the
+    // engine takes the lexicographic path, same as the naive compare)
+    val r = new Random(20260822)
+    val ops = Seq("=", "!=", "<", ">=")
+    def cmp(op: String, a: String, b: String): Boolean = op match {
+      case "="  => a == b
+      case "!=" => a != b
+      case "<"  => a < b
+      case ">=" => a >= b
+    }
+    for (round <- 0 until 25) {
+      val store = randStore(r)
+      val bgp = randBgp(r, r.nextInt(2) + 1)
+      val vs = vars(bgp)
+      val v = vs(r.nextInt(vs.size))
+      val op = ops(r.nextInt(ops.size))
+      val rhsVar = r.nextBoolean() && vs.size > 1
+      val rhs = if (rhsVar) vs(r.nextInt(vs.size)) else objects(r.nextInt(objects.size))
+      val pat = bgp.map(tp => Seq(tp.s, tp.p, tp.o).map {
+        case V(n) => s"?$n"
+        case C(c) => c
+      }.mkString(" ")).mkString(" . ")
+      val q = s"SELECT DISTINCT ${vs.map("?" + _).mkString(" ")} WHERE { $pat " +
+        s"FILTER ( ?$v $op ${if (rhsVar) "?" + rhs else rhs} ) }"
+      val got = collectDf(graft.kg.Sparql.query(df(store), q))
+      val want = canon(
+        evalBgp(store, bgp).filter(m =>
+          cmp(op, m(v), if (rhsVar) m(rhs) else rhs)),
+        vs)
+      assert(got === want, s"round $round q=$q store=$store")
+    }
+  }
+
   test("OPTIONAL equals naive left-join semantics (well-designed groups)") {
     val r = new Random(555)
     for (round <- 0 until 20) {
