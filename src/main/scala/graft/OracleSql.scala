@@ -315,6 +315,21 @@ ${ccClosureCtes}
        |  AND subj IN ('ent:1', 'ent:2', 'ent:3', 'ent:15', 'ent:999999')"""
       .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
+  /** DESCRIBE oracle (`nemo_kg_sparql_describe`): the description of the
+    * PER entities is every triple whose subject or object is one — two
+    * IN-subqueries over the same trip CTE, distinct graph out. */
+  def kgSparqlDescribe: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |),
+       |nodes AS (SELECT DISTINCT subj AS node FROM trip
+       |          WHERE pred = 'category' AND obj = 'PER')
+       |SELECT DISTINCT t.subj, t.pred, t.obj FROM trip t
+       |WHERE t.subj IN (SELECT node FROM nodes)
+       |   OR t.obj  IN (SELECT node FROM nodes)"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** Lineage-manifest integrity oracle (`nemo_kg_count_meta`): the engine
     * side answers per-predicate COUNT(*) from the store's write-time
     * manifest stats (Sparql's metadata-only fast path — zero table scans);

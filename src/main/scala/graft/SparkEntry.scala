@@ -1574,6 +1574,15 @@ object SparkEntry {
       Sparql.query(fixtureTriples(s),
         "SELECT DISTINCT ?a ?d WHERE { ?a category PER . ?a inDoc ?d FILTER ( ?d >= doc-000100 ) FILTER REGEX ( ?d , '[0-4]$' ) }")
     }),
+    "nemo_kg_sparql_describe" -> ((s, _) => {
+      // DESCRIBE through the parser: every triple touching a PER entity —
+      // the KG-exploration verb ("show me everything around these nodes").
+      // The node set is the pattern's binding frame; membership is two
+      // equi semi-joins (subj, obj) unioned — never an OR nested loop.
+      // DuckDB replays with IN-subqueries over the same trip CTE.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s), "DESCRIBE ?a WHERE { ?a category PER }")
+    }),
     "nemo_kg_sparql_values" -> ((s, _) => {
       // VALUES inline data through the parser: the parameterized-query form
       // an HTTP caller uses to ask about a fixed entity list — compiles to
@@ -2032,6 +2041,8 @@ object SparkEntry {
     "nemo_kg_sparql_filter" -> OracleSql.kgSparqlFilter,
     // VALUES inline data = SQL IN list over the same trip CTE
     "nemo_kg_sparql_values" -> OracleSql.kgSparqlValues,
+    // DESCRIBE = subj/obj IN-subquery union over the same trip CTE
+    "nemo_kg_sparql_describe" -> OracleSql.kgSparqlDescribe,
     // parsed (sameAs|^sameAs)+ (doubling) == CC-based twin == recursive CTE
     "nemo_kg_sparql_path" -> OracleSql.kgAliasReach,
     // CONSTRUCT templates = UNION of selects (graph set semantics)

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   * ord   :=  ?v | ASC ( ?v ) | DESC ( ?v )
   * ASK [WHERE] { body }
   * CONSTRUCT { triples } WHERE { body }
+  * DESCRIBE (const | ?v) … [WHERE { body }]
   * body  :=  { triples } UNION { triples } [UNION …]      -- union form
   *        |  patterns block*                              -- conjunctive form
   * block :=  OPTIONAL { triples } | MINUS { triples }
@@ -75,7 +76,8 @@ object Sparql {
       case Some("SELECT")    => select(triples, p, stats)
       case Some("ASK")       => askDf(triples, p, stats)
       case Some("CONSTRUCT") => constructDf(triples, p, stats)
-      case other => fail(s"expected SELECT, ASK or CONSTRUCT, got ${other.getOrElse("end of input")}")
+      case Some("DESCRIBE")  => describeDf(triples, p, stats)
+      case other => fail(s"expected SELECT, ASK, CONSTRUCT or DESCRIBE, got ${other.getOrElse("end of input")}")
     }
     p.expectEnd()
     out
@@ -586,6 +588,58 @@ object Sparql {
     val matched = !run(t, b, distinctRows = false, stats).limit(1).isEmpty
     t.sparkSession.range(1)
       .select(lit(if (matched) 1L else 0L).as("matched"))
+  }
+
+  /** SPARQL DESCRIBE (SPARQL 1.1 §16.4 — resource description is
+    * implementation-defined; this one is the common convention): every
+    * triple whose subject OR object is a described node. Nodes come from
+    * constant terms and/or the WHERE pattern's bindings of the named
+    * variables. Output is (subj, pred, obj), a graph — set semantics, like
+    * CONSTRUCT.
+    *
+    * Spark-first: the described-node set is a small frame (constants +
+    * projected bindings); membership is TWO equi semi-joins (one on subj,
+    * one on obj — never an OR-condition nested-loop join) against the
+    * pred-partitioned store, unioned, distinct. AQE broadcasts the node
+    * side when it is selective, which a DESCRIBE's node set always is. */
+  private def describeDf(t: DataFrame, p: P,
+                         stats: Option[Map[String, Long]]): DataFrame = {
+    p.expect("DESCRIBE")
+    val items = Seq.newBuilder[Term]
+    while (p.peek.exists(tok => !tok.equalsIgnoreCase("WHERE"))) items += term(p.next())
+    val terms = items.result()
+    if (terms.isEmpty) fail("DESCRIBE needs at least one term")
+    val varNames = terms.collect { case V(n) => n }
+    val consts = terms.collect { case C(c) => c }
+    val spark = t.sparkSession
+    import spark.implicits._
+    val constNodes =
+      if (consts.isEmpty) None else Some(consts.toDF("node"))
+    val varNodes =
+      if (varNames.isEmpty) {
+        if (p.peek.exists(_.equalsIgnoreCase("WHERE")))
+          fail("DESCRIBE with only constants takes no WHERE clause")
+        None
+      } else {
+        if (!p.eatKw("WHERE")) fail("DESCRIBE ?var needs a WHERE pattern to bind it")
+        val b = body(p)
+        val sol = run(t, b, distinctRows = false, stats)
+        val missing = varNames.filterNot(sol.columns.contains)
+        if (missing.nonEmpty)
+          fail(s"DESCRIBE ${missing.map("?" + _).mkString(", ")} not bound by the pattern")
+        Some(varNames.map(v => sol.select(col(v).as("node")))
+          .reduceLeft(_.unionByName(_)))
+      }
+    val nodes = (constNodes.toSeq ++ varNodes.toSeq)
+      .reduceLeft(_.unionByName(_)).na.drop().distinct()
+    val base = t.select("subj", "pred", "obj")
+    val bySubj = base
+      .join(nodes.withColumnRenamed("node", "subj"), Seq("subj"), "left_semi")
+    val byObj = base
+      .join(nodes.withColumnRenamed("node", "obj"), Seq("obj"), "left_semi")
+    bySubj.select("subj", "pred", "obj")
+      .unionByName(byObj.select("subj", "pred", "obj"))
+      .distinct()
   }
 
   private def constructDf(t: DataFrame, p: P,

@@ -345,6 +345,35 @@ class SparqlSpec extends AnyFunSuite {
       "SELECT ( AVG ( DISTINCT ?v ) AS ?t ) WHERE { ?s score ?v }"))
   }
 
+  test("DESCRIBE returns every triple touching the described nodes") {
+    // constant form: subject AND object appearances
+    val one = Sparql.query(trip, "DESCRIBE ent:1")
+      .as[(String, String, String)].collect().toSet
+    assert(one === Set(
+      ("ent:1", "category", "PER"), ("ent:1", "inDoc", "d1"),
+      ("ent:1", "inDoc", "d2"), ("ent:1", "label", "alpha beta"),
+      ("ent:4", "sameAs", "ent:1"))) // ent:1 as OBJECT
+    // several constants union their descriptions
+    val two = Sparql.query(trip, "DESCRIBE ent:2 d2")
+      .as[(String, String, String)].collect().toSet
+    assert(two === Set(
+      ("ent:2", "category", "ORG"), ("ent:2", "inDoc", "d1"),
+      ("ent:1", "inDoc", "d2"), ("ent:3", "inDoc", "d2")))
+    // variable form: nodes come from the pattern's bindings
+    val per = Sparql.query(trip, "DESCRIBE ?a WHERE { ?a category PER }")
+      .as[(String, String, String)].collect().toSet
+    assert(per === trip.select("subj", "pred", "obj")
+      .filter(col("subj").isin("ent:1", "ent:3") || col("obj").isin("ent:1", "ent:3"))
+      .as[(String, String, String)].collect().toSet)
+    // loud errors: var without WHERE, var not bound, const with WHERE
+    for (bad <- Seq(
+        "DESCRIBE ?a",
+        "DESCRIBE ?z WHERE { ?a category PER }",
+        "DESCRIBE ent:1 WHERE { ?a category PER }")) {
+      assertThrows[IllegalArgumentException](Sparql.query(trip, bad).collect())
+    }
+  }
+
   test("metadata-only COUNT answers from stats without scanning the store") {
     val stats = Pattern.predStats(trip)
     val q = "SELECT (COUNT(*) AS ?n) WHERE { ?s inDoc ?o }"
