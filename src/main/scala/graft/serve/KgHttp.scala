@@ -79,7 +79,7 @@ object KgHttp {
             val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
             (ex.getRequestMethod, path) match {
               case ("GET", "") =>
-                (200, """{"endpoint":"/kg","body":{"query":"SELECT [DISTINCT] (?v ...|*) WHERE { ... } [LIMIT n] | ASK { ... } | CONSTRUCT { ... } WHERE { ... }"}}""")
+                (200, """{"endpoint":"/kg","body":{"query":"SELECT [DISTINCT] (?v ...|aggs|*) WHERE { ... FILTER/VALUES ... } [GROUP BY][ORDER BY][LIMIT][OFFSET] | ASK { ... } | CONSTRUCT { ... } WHERE { ... } | DESCRIBE (const|?v ... WHERE { ... })"}}""")
               case ("POST", "kg") =>
                 val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
                 val root = mapper.readTree(body)
