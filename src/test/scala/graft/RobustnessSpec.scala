@@ -102,4 +102,35 @@ class RobustnessSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SPARQL parser is total: adversarial query strings fail loudly or run") {
+    // the HTTP endpoint feeds USER STRINGS straight into Sparql.query — a
+    // malformed query must come back as the parser's IllegalArgumentException
+    // (mapped to 400 on the wire), never a hang, a MatchError, an NPE, or a
+    // Spark analysis crash from inside the compiled plan
+    lazy val spark = SparkTestBase.spark
+    import spark.implicits._
+    val trip = Seq(("s1", "p0", "o1"), ("s2", "p1", "s1"))
+      .toDF("subj", "pred", "obj")
+    val r = new Random(20260823)
+    val frags = Array(
+      "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "WHERE", "OPTIONAL", "MINUS",
+      "FILTER", "EXISTS", "NOT", "UNION", "VALUES", "GROUP", "BY", "ORDER",
+      "LIMIT", "OFFSET", "DISTINCT", "REGEX", "{", "}", "(", ")", ".", ",",
+      "?a", "?b", "?", "p0", "p1+", "^p0", "p0|p1", "s1", "\"q\"", "'u'",
+      "=", "!=", "<", ">=", "COUNT", "SUM", "AS", "*", "10", "zz")
+    var parsed = 0
+    for (round <- 0 until 300) {
+      val q = Seq.fill(r.nextInt(14) + 1)(frags(r.nextInt(frags.length)))
+        .mkString(" ")
+      try { graft.kg.Sparql.query(trip, q).collect(); parsed += 1 }
+      catch {
+        case _: IllegalArgumentException => // the documented loud failure
+        case e: Throwable =>
+          fail(s"round $round: '$q' threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // the generator must actually exercise BOTH outcomes
+    assert(parsed > 0 && parsed < 300, s"degenerate generator: $parsed/300 parsed")
+  }
 }
