@@ -244,6 +244,28 @@ class PatternFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE equals the naive touching-triples definition") {
+    // description of a node set = every triple whose subj OR obj is in it;
+    // nodes come from the WHERE pattern's bindings of the described var
+    val r = new Random(20260824)
+    for (round <- 0 until 20) {
+      val store = randStore(r)
+      val bgp = randBgp(r, r.nextInt(2) + 1)
+      val vs = vars(bgp)
+      val v = vs(r.nextInt(vs.size))
+      val pat = bgp.map(tp => Seq(tp.s, tp.p, tp.o).map {
+        case V(n) => s"?$n"
+        case C(c) => c
+      }.mkString(" ")).mkString(" . ")
+      val got = graft.kg.Sparql.query(df(store), s"DESCRIBE ?$v WHERE { $pat }")
+        .collect().map(row => (row.getString(0), row.getString(1), row.getString(2)))
+        .toSet
+      val nodes = evalBgp(store, bgp).map(_(v)).toSet
+      val want = store.filter { case (s0, _, o0) => nodes(s0) || nodes(o0) }.toSet
+      assert(got === want, s"round $round v=$v bgp=$bgp store=$store")
+    }
+  }
+
   test("CONSTRUCT equals naive template instantiation") {
     val r = new Random(1357)
     for (round <- 0 until 15) {
