@@ -266,6 +266,37 @@ class PatternFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY aggregates equal naive multiset aggregation") {
+    // COUNT(*) / COUNT(DISTINCT ?x) / MIN / MAX per group over the solution
+    // MULTISET (provenance duplicates count) — the §11 semantics the parser
+    // documents, replayed on the naive evaluator's solution list
+    val r = new Random(20260825)
+    for (round <- 0 until 20) {
+      val store = randStore(r)
+      val bgp = randBgp(r, r.nextInt(2) + 1)
+      val vs = vars(bgp)
+      if (vs.size >= 2) {
+        val g = vs.head
+        val x = vs(1)
+        val pat = bgp.map(tp => Seq(tp.s, tp.p, tp.o).map {
+          case V(n) => s"?$n"
+          case C(c) => c
+        }.mkString(" ")).mkString(" . ")
+        val q = s"SELECT ?$g ( COUNT ( * ) AS ?agg_n ) ( COUNT ( DISTINCT ?$x ) AS ?agg_d ) " +
+          s"( MIN ( ?$x ) AS ?agg_lo ) ( MAX ( ?$x ) AS ?agg_hi ) WHERE { $pat } GROUP BY ?$g"
+        val got = graft.kg.Sparql.query(df(store), q).collect()
+          .map(row => row.getString(0) ->
+            ((row.getLong(1), row.getLong(2), row.getString(3), row.getString(4))))
+          .toMap
+        val want = evalBgp(store, bgp).groupBy(_(g)).map { case (k, sols) =>
+          val xs = sols.map(_(x))
+          k -> ((xs.size.toLong, xs.distinct.size.toLong, xs.min, xs.max))
+        }
+        assert(got === want, s"round $round q=$q store=$store")
+      }
+    }
+  }
+
   test("CONSTRUCT equals naive template instantiation") {
     val r = new Random(1357)
     for (round <- 0 until 15) {
