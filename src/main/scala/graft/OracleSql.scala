@@ -165,6 +165,35 @@ ${ccClosureCtes}
     * the alias unbound, replayed as a plain SQL LEFT JOIN over the same
     * `trip` CTE (NULL folded to '' on both sides for the string-hash
     * compare). */
+  /** SPARQL-UPDATE oracle (`nemo_kg_update`): the 4-op script replayed as
+    * set algebra over the trip CTE in script order — drop the sameAs
+    * family, derive+persist coDoc edges (from the POST-op-1 state,
+    * sequential semantics), add two ground rows, remove one. The engine
+    * side reads back its updated store, so this doubles as an integrity
+    * check of the partition-scoped rewrite (a stale or lost leaf would
+    * hash-mismatch). */
+  def kgUpdate(cat: String): String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |),
+       |t0 AS (SELECT DISTINCT subj, pred, obj FROM trip),
+       |t1 AS (SELECT * FROM t0 WHERE pred <> 'sameAs'),
+       |co AS (SELECT DISTINCT ca.subj AS subj, 'coDoc' AS pred, b.subj AS obj
+       |       FROM t1 ca
+       |       JOIN t1 a ON a.pred = 'inDoc' AND a.subj = ca.subj
+       |       JOIN t1 b ON b.pred = 'inDoc' AND b.obj = a.obj
+       |       WHERE ca.pred = 'category' AND ca.obj = '$cat' AND b.subj <> ca.subj),
+       |t2 AS (SELECT * FROM t1 UNION SELECT * FROM co),
+       |t3 AS (SELECT * FROM t2 UNION SELECT 'ent:graft', 'category', 'SYS'
+       |       UNION SELECT 'ent:graft', 'label', 'GraftEngine'),
+       |-- DELETE DATA as a row filter (DuckDB rejects EXCEPT inside a WITH
+       |-- RECURSIVE chain)
+       |t4 AS (SELECT * FROM t3
+       |       WHERE NOT (subj = 'ent:graft' AND pred = 'category' AND obj = 'SYS'))
+       |SELECT subj, pred, obj FROM t4""".stripMargin
+      .replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   def kgOptional(cat: String): String =
     s"""${triplesPrefix("")},
        |trip AS (

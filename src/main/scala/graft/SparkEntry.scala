@@ -1592,6 +1592,32 @@ object SparkEntry {
       Sparql.query(fixtureTriples(s),
         "SELECT DISTINCT ?a ?d WHERE { ?a inDoc ?d . VALUES ?a { ent:1 ent:2 ent:3 ent:15 ent:999999 } }")
     }),
+    "nemo_kg_update" -> ((s, _) => {
+      // SPARQL 1.1 UPDATE — the write half of the store surface: a fresh
+      // pred-partitioned store (this query's own copy; the shared session
+      // store stays immutable), then a 4-op script exercising every form —
+      // DELETE WHERE drops the sameAs family (whole-predicate partition
+      // delete), INSERT..WHERE derives and PERSISTS co-occurrence edges
+      // (rule inference materialized — evaluated against the post-op-1
+      // state, SPARQL's sequential semantics), INSERT DATA / DELETE DATA
+      // ground rows. Each op is a partition-scoped commit: only the delta's
+      // (pred, bucket) leaves are read + rewritten (dynamic partition
+      // overwrite), untouched leaf files are byte-identical, and the
+      // lineage manifest MERGES (untouched leaves inherit counts, touched
+      // leaves recount from fresh footers). DuckDB replays the script as
+      // set algebra over the trip CTE.
+      import graft.kg.Sparql
+      val work = java.nio.file.Files.createTempDirectory("graft-kgupd")
+        .toString + "/triples"
+      TableFormat.savePartitioned(fixtureTriples(s), work,
+        partCol = "pred", keyCol = "subj", stage = "triples")
+      Sparql.update(s, work,
+        """DELETE WHERE { ?a sameAs ?b } ;
+          |INSERT { ?a coDoc ?b } WHERE { ?a category PER . ?a inDoc ?d . ?b inDoc ?d . FILTER ( ?b != ?a ) } ;
+          |INSERT DATA { ent:graft category SYS . ent:graft label GraftEngine } ;
+          |DELETE DATA { ent:graft category SYS }""".stripMargin)
+      TableFormat.load(s, work).select("subj", "pred", "obj").distinct()
+    }),
     "nemo_kg_sparql_path" -> ((s, _) => {
       // the parsed PROPERTY-PATH twin of nemo_kg_alias_reach:
       // (sameAs|^sameAs)+ shipped as text — the path sub-parser compiles to
@@ -2045,6 +2071,7 @@ object SparkEntry {
     "nemo_kg_sparql_describe" -> OracleSql.kgSparqlDescribe,
     // parsed (sameAs|^sameAs)+ (doubling) == CC-based twin == recursive CTE
     "nemo_kg_sparql_path" -> OracleSql.kgAliasReach,
+    "nemo_kg_update" -> OracleSql.kgUpdate("PER"),
     // CONSTRUCT templates = UNION of selects (graph set semantics)
     "nemo_kg_construct" -> OracleSql.kgConstruct,
     // ASK = EXISTS as 1/0 BIGINT

@@ -114,30 +114,46 @@ object TableFormat {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => Array.empty[(String, Long)]
       }
-    val countsJson = counts.map { case (b, n) => s""""$b": $n""" }.mkString("{", ", ", "}")
     // Stage metrics beside the lineage: total rows, files, bytes on disk
     // (directory walk of what was just written — metadata-priced), and the
     // write's wall duration. What an operator dashboard reads per stage.
-    val (nFiles, nBytes) = {
-      val root = Paths.get(path)
-      if (!Files.exists(root)) (0L, 0L)
-      else {
-        val walk = Files.walk(root)
-        try {
-          var f = 0L; var b = 0L
-          walk.iterator().asScala.foreach { p =>
-            val name = p.getFileName.toString
-            if (Files.isRegularFile(p) && !name.startsWith("_") && !name.startsWith(".")) {
-              f += 1; b += Files.size(p)
-            }
+    val (nFiles, nBytes) = walkFilesBytes(Paths.get(path))
+    publishManifest(path, extra + ("stage" -> stage), counts, nFiles, nBytes, writeMs)
+  }
+
+  /** Regular-file count + byte total under `root` (manifest/marker files
+    * excluded). Metadata-priced: callers hand it either a whole fixture-scale
+    * table or, on the update path, just the touched leaf directories. */
+  private[graft] def walkFilesBytes(root: Path): (Long, Long) =
+    if (!Files.exists(root)) (0L, 0L)
+    else {
+      val walk = Files.walk(root)
+      try {
+        var f = 0L; var b = 0L
+        walk.iterator().asScala.foreach { p =>
+          val name = p.getFileName.toString
+          if (Files.isRegularFile(p) && !name.startsWith("_") && !name.startsWith(".")) {
+            f += 1; b += Files.size(p)
           }
-          (f, b)
-        } finally walk.close()
-      }
+        }
+        (f, b)
+      } finally walk.close()
     }
+
+  /** Assemble + atomically publish a manifest from PRE-COMPUTED lineage
+    * counts and file metrics. [[save]]/[[savePartitioned]] feed it a full
+    * recount of what they just wrote; the update path
+    * ([[graft.kg.Update.applyDelta]]) feeds it a MERGE — untouched leaves
+    * inherit their write-time counts, touched leaves are re-counted — so a
+    * 10^12-row store's manifest refresh prices by the delta, not the table. */
+  private[graft] def publishManifest(path: String, fields: Map[String, String],
+                                     counts: Seq[(String, Long)],
+                                     nFiles: Long, nBytes: Long,
+                                     writeMs: Long): Unit = {
+    val countsJson = counts.map { case (b, n) => s""""$b": $n""" }.mkString("{", ", ", "}")
     val metrics = s"""{"rows": ${counts.map(_._2).sum}, "files": $nFiles, """ +
       s""""bytes": $nBytes, "write_ms": $writeMs}"""
-    val kv = (extra + ("stage" -> stage, "wall_ms" -> System.currentTimeMillis().toString))
+    val kv = (fields + ("wall_ms" -> System.currentTimeMillis().toString))
       .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
     val json = s"""{$kv, "partition_rows": $countsJson, "metrics": $metrics, "complete": true}"""
     // Atomic publish: the manifest is the stage's "complete" marker, so a
@@ -157,6 +173,44 @@ object TableFormat {
   /** True iff the path holds a complete snapshot (manifest present). */
   def isComplete(path: String): Boolean =
     Files.exists(Paths.get(path, "_manifest.json"))
+
+  /** A parsed `_manifest.json`: the flat string fields (stage, bucket_key,
+    * buckets, part_col, update lineage, …), the per-leaf row-count lineage,
+    * and the global file metrics. */
+  final case class Manifest(fields: Map[String, String],
+                            leafRows: Seq[(String, Long)],
+                            files: Long, bytes: Long) {
+    def buckets: Int = fields.getOrElse("buckets", "32").toInt
+  }
+
+  private val manifestFieldRe =
+    """"([A-Za-z_][A-Za-z0-9_]*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  private val manifestLeafRe = """"([^"]+)"\s*:\s*(\d+)""".r
+
+  /** Read back what [[publishManifest]] wrote — the metadata half of the
+    * table, one small JSON file, no scan. The update path starts here:
+    * layout facts (part_col/bucket_key/buckets) drive the delta's leaf
+    * mapping, and the per-leaf counts are the lineage baseline the merged
+    * manifest inherits for untouched leaves. */
+  def readManifest(path: String): Manifest = {
+    val text = Files.readString(Paths.get(path, "_manifest.json"))
+    val fields = manifestFieldRe.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).replaceAll("""\\(.)""", "$1")).toMap
+    def block(name: String): String = {
+      val at = text.indexOf(s""""$name"""")
+      if (at < 0) "{}"
+      else {
+        val open = text.indexOf('{', at)
+        val close = text.indexOf('}', open) // leaf keys/values never nest
+        text.substring(open, close + 1)
+      }
+    }
+    val leaves = manifestLeafRe.findAllMatchIn(block("partition_rows"))
+      .map(m => m.group(1) -> m.group(2).toLong).toSeq
+    val met = manifestLeafRe.findAllMatchIn(block("metrics"))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    Manifest(fields, leaves, met.getOrElse("files", 0L), met.getOrElse("bytes", 0L))
+  }
 
   /** The manifest's wall_ms completion stamp. Fails loudly on a missing or
     * malformed manifest — a silent 0 would make the NEXT stage's computed

@@ -1,7 +1,8 @@
 package graft.kg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.io.TableFormat
 
 /** A SPARQL-subset QUERY-STRING front end over [[Pattern]] — the
   * `spark.sql(...)` analog for the triple store: the programmatic algebra
@@ -88,9 +89,9 @@ object Sparql {
   private val tokRe =
     ("""\?[A-Za-z_][A-Za-z0-9_]*""" +      // variable
       """|"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'""" + // quoted constant
-      """|[{}()]""" +                       // braces + aggregate parens
+      """|[{}();]""" +                      // braces, parens, update-op separator
       """|\.(?=\s|\}|$)""" +                // standalone pattern separator
-      """|[^\s{}()]+""").r                  // bareword constant / keyword
+      """|[^\s{}();]+""").r                 // bareword constant / keyword
 
   private[kg] def tokenize(s: String): List[String] = tokRe.findAllIn(s).toList
 
@@ -661,5 +662,146 @@ object Sparql {
     }
     tmpl.map(tp => sol.select(tc(tp.s).as("subj"), tc(tp.p).as("pred"), tc(tp.o).as("obj")))
       .reduceLeft(_.unionByName(_)).distinct()
+  }
+
+  // ---- SPARQL 1.1 Update (§3.1), against a savePartitioned triple STORE ----
+  //
+  //   update :=  op ( ';' op )*
+  //   op     :=  INSERT DATA { ground-triples }
+  //           |  DELETE DATA { ground-triples }
+  //           |  DELETE WHERE { triples }                 -- template = pattern
+  //           |  DELETE { triples } [ INSERT { triples } ] WHERE { group }
+  //           |  INSERT { triples } WHERE { group }
+  //
+  // DATA blocks are ground (no variables; quote constants containing ';').
+  // A modify-form WHERE is a full group (OPTIONAL / MINUS / FILTER / VALUES /
+  // property paths), evaluated against the store state BEFORE its own op but
+  // AFTER earlier ops in the sequence — SPARQL's sequential semantics, which
+  // is why each op is its own store commit. Template rows with an unbound
+  // (OPTIONAL) variable are dropped, the spec's instantiation rule.
+
+  private sealed trait UOp
+  private final case class UData(insert: Boolean,
+                                 rows: Seq[(String, String, String)]) extends UOp
+  private final case class UModify(del: Seq[Tp], ins: Seq[Tp],
+                                   where: Body) extends UOp
+
+  /** Parse-only probe (op count): validates an update script without
+    * touching any store — the HTTP surface's dry-run hook and the fuzz
+    * spec's totality hook. */
+  def parseUpdateCount(text: String): Int = parseUpdateOps(text).size
+
+  private def parseUpdateOps(text: String): Seq[UOp] = {
+    val p = new P(tokenize(text))
+    val ops = Seq.newBuilder[UOp]
+    var more = true
+    while (more) {
+      p.peek.map(_.toUpperCase) match {
+        case Some("INSERT") =>
+          p.next()
+          if (p.eatKw("DATA")) ops += UData(insert = true, groundTriples(p))
+          else {
+            val t = bracedTriples(p)
+            p.expect("WHERE")
+            ops += UModify(Nil, t, body(p))
+          }
+        case Some("DELETE") =>
+          p.next()
+          if (p.eatKw("DATA")) ops += UData(insert = false, groundTriples(p))
+          else if (p.eatKw("WHERE")) {
+            // DELETE WHERE: the pattern doubles as the deletion template, so
+            // it must be a plain BGP (every solution names concrete triples)
+            val b = body(p)
+            val plain = b.union.isEmpty && b.optionals.isEmpty &&
+              b.minus.isEmpty && b.exists.isEmpty && b.notExists.isEmpty &&
+              b.valueFilters.isEmpty && b.values.isEmpty &&
+              b.parts.forall(_.isLeft)
+            if (!plain) fail("DELETE WHERE takes a plain triple pattern — use DELETE { … } WHERE { … } for a full group")
+            ops += UModify(b.parts.collect { case Left(tp) => tp }, Nil, b)
+          } else {
+            val dt = bracedTriples(p)
+            val it =
+              if (p.peek.exists(_.equalsIgnoreCase("INSERT"))) { p.next(); bracedTriples(p) }
+              else Nil
+            p.expect("WHERE")
+            ops += UModify(dt, it, body(p))
+          }
+        case other =>
+          fail(s"expected INSERT or DELETE, got ${other.getOrElse("end of input")}")
+      }
+      if (p.peek.contains(";")) p.next() else { p.expectEnd(); more = false }
+    }
+    ops.result()
+  }
+
+  private def groundTriples(p: P): Seq[(String, String, String)] =
+    bracedTriples(p).map {
+      case Tp(C(s), C(pd), C(o)) => (s, pd, o)
+      case tp => fail(s"DATA block must be ground (no variables), got $tp")
+    }
+
+  /** Instantiate a delete/insert template over a solution frame. Rows with
+    * an unbound (NULL) template variable are dropped — SPARQL 1.1 Update's
+    * instantiation rule for solutions from OPTIONAL. */
+  private def instantiate(sol: DataFrame, template: Seq[Tp],
+                          what: String): DataFrame = {
+    val bound = sol.columns.toSet
+    def tc(x: Term) = x match {
+      case V(n) =>
+        if (!bound(n)) fail(s"$what template variable ?$n is not bound by WHERE")
+        col(n).cast("string")
+      case C(v) => lit(v)
+    }
+    template.map { tp =>
+      sol.select(tc(tp.s).as("subj"), tc(tp.p).as("pred"), tc(tp.o).as("obj"))
+        .na.drop(Seq("subj", "pred", "obj"))
+    }.reduceLeft(_.unionByName(_)).distinct()
+  }
+
+  private def noTriples(spark: SparkSession): DataFrame = Update.noTriples(spark)
+
+  /** Parse + apply a SPARQL update script to the triple store at
+    * `storePath` (one [[Update.applyDelta]] commit per op; see [[Update]]
+    * for the partition-scoped rewrite and lineage merge).
+    *
+    * `updateId` makes the script resumable exactly-once: each committed op
+    * stamps (update_id, update_op) into the store manifest atomically with
+    * its lineage, so a replay of the same id skips ops the manifest already
+    * recorded and a crash between ops resumes at the first uncommitted one.
+    * Idempotence of the ops themselves (set-semantics insert/delete) covers
+    * the crash WINDOW — a re-run of an op whose manifest publish never
+    * landed converges to the same state. */
+  def update(spark: SparkSession, storePath: String, text: String,
+             updateId: Option[String] = None,
+             stats: Option[Map[String, Long]] = None): Seq[Update.Report] = {
+    val ops = parseUpdateOps(text)
+    val done: Int = updateId.flatMap { id =>
+      val f = TableFormat.readManifest(storePath).fields
+      if (f.get("update_id").contains(id)) f.get("update_op").map(_.toInt)
+      else None
+    }.getOrElse(-1)
+    ops.zipWithIndex.map { case (op, i) =>
+      if (i <= done) Update.Report(0, 0, 0, 0L, 0L, skipped = true)
+      else {
+        val stamp = updateId
+          .map(id => Map("update_id" -> id, "update_op" -> i.toString))
+          .getOrElse(Map.empty[String, String])
+        val (del, ins) = op match {
+          case UData(isIns, rows) =>
+            import spark.implicits._
+            val df = rows.toDF("subj", "pred", "obj")
+            if (isIns) (noTriples(spark), df) else (df, noTriples(spark))
+          case UModify(delT, insT, where) =>
+            val sol = run(TableFormat.load(spark, storePath), where,
+              distinctRows = false, stats)
+            val d = if (delT.isEmpty) noTriples(spark)
+                    else instantiate(sol, delT, "DELETE")
+            val n = if (insT.isEmpty) noTriples(spark)
+                    else instantiate(sol, insT, "INSERT")
+            (d, n)
+        }
+        Update.applyDelta(spark, storePath, del, ins, stamp)
+      }
+    }
   }
 }

@@ -90,4 +90,76 @@ object StreamPipeline {
       }
       .start()
   }
+
+  /** Streaming KG construction into the ONE pred-partitioned, SPARQL-
+    * queryable triple STORE — the continuous-ingest twin of [[run]] (which
+    * appends epoch-keyed quad snapshots). Each micro-batch becomes an
+    * [[graft.kg.Update.applyDelta]] commit: only the batch's (pred, bucket)
+    * leaves are read + rewritten, the lineage manifest merges (so
+    * [[graft.kg.Pattern.predStatsFromManifest]] and the metadata-only COUNT
+    * stay fresh after every epoch), and doc provenance rides the insert as
+    * a passenger column.
+    *
+    * Exactly-once across failure recovery: the applied epoch stamps
+    * `update_id = <stream_id>:<epochId>` atomically with the manifest;
+    * Structured Streaming only ever replays the in-flight epoch, and a
+    * replayed epoch whose stamp already committed is skipped outright. A
+    * crash BETWEEN the data write and the manifest publish re-runs the
+    * epoch, which converges — insert-if-absent is idempotent.
+    *
+    * Store semantics: a GRAPH — one row per (subj, pred, obj), first-seen
+    * provenance kept (deterministic min). The per-mention quad multiset
+    * lives in [[run]]'s epoch tables; this store is the entity-graph read
+    * surface the SPARQL/BGP/path machinery queries. The first epoch
+    * bootstraps the store (a full savePartitioned IS that epoch's delta);
+    * at 10^12 docs every later epoch prices by its batch, not the store. */
+  def runIntoStore(
+      spark: SparkSession,
+      docs: Dataset[InputDoc],
+      dict: DataFrame,
+      storePath: String,
+      checkpointDir: String,
+      scenario: String = "morph",
+      trigger: Trigger = Trigger.AvailableNow(),
+      models: Pipeline.Models = Pipeline.fixtureModels()): StreamingQuery = {
+    val modelsBc = spark.sparkContext.broadcast(models)
+    val entityRows: Seq[(Long, Long)] = graft.kg.Canonicalize.canonicalize(spark, dict)
+      .select(col("entity_id").cast("long"), col("canonical_id").cast("long"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val entities = {
+      import spark.implicits._
+      entityRows.toDF("entity_id", "canonical_id")
+    }
+    val streamId = graft.io.Compact.streamInstanceId(checkpointDir)
+    val annotated = annotateStream(spark, docs, modelsBc)
+    annotated.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[graft.schema.Doc], epochId: Long) =>
+        val stamp = s"$streamId:$epochId"
+        val committed = TableFormat.isComplete(storePath) &&
+          TableFormat.readManifest(storePath).fields.get("update_id").contains(stamp)
+        if (!committed) {
+          val mentions = Pipeline.extractMentions(batch, scenario)
+          val linked = Linker.link(mentions, dict)
+          val triples = Triples.fromLinkedMentions(
+            linked.join(broadcast(entities), Seq("entity_id"), "left")
+              .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id"))))
+          // bootstrap: an EMPTY store (schema + zero-partition manifest), so
+          // every epoch — including the first — lands through the one
+          // applyDelta path with identical graph semantics
+          if (!TableFormat.isComplete(storePath))
+            TableFormat.savePartitioned(triples.limit(0), storePath,
+              partCol = "pred", keyCol = "subj", stage = "triples-stream",
+              extra = Map("stream_id" -> streamId))
+          graft.kg.Update.applyDelta(spark, storePath,
+            delete = graft.kg.Update.noTriples(spark),
+            insert = triples,
+            extraFields = Map("update_id" -> stamp))
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -293,6 +293,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchTriples.filter(col("pred") === "sameAs").count() > 0)
   }
 
+  test("streaming ingest into the ONE queryable store: graph parity, live manifest, epoch skip") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[InputDoc]
+    val dict = spark.createDataset(Fixtures.entityDictionary()).toDF()
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-store").toString + "/triples"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-store-ckpt").toString
+
+    stream.addData(Fixtures.inputDocs(30): _*)
+    val q = StreamPipeline.runIntoStore(spark, stream.toDS(), dict, store, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable()
+    stream.addData(Fixtures.inputDocs(60).drop(30): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // GRAPH parity vs the batch path: distinct (s,p,o) sets identical after
+    // two epochs of incremental applyDelta commits
+    val batchDocs = spark.createDataset(Fixtures.inputDocs(60))
+    val models = spark.sparkContext.broadcast(Pipeline.fixtureModels())
+    val mentions = Pipeline.extractMentions(Pipeline.annotate(spark, batchDocs, models), "morph")
+    val linked = graft.kg.Linker.link(mentions, dict)
+    val entities = graft.kg.Canonicalize.canonicalize(spark, dict)
+    val batchGraph = graft.kg.Triples.fromLinkedMentions(
+        linked.join(broadcast(entities.select(col("entity_id"), col("canonical_id"))), Seq("entity_id"), "left")
+          .withColumn("canonical_id", coalesce(col("canonical_id"), col("entity_id"))))
+      .select("subj", "pred", "obj").distinct()
+    val loaded = graft.io.TableFormat.load(spark, store)
+    val streamGraph = loaded.select("subj", "pred", "obj")
+    // one row per (s,p,o) — the store invariant, so no .distinct() needed
+    assert(streamGraph.count() === streamGraph.distinct().count())
+    assert(streamGraph.exceptAll(batchGraph).count() === 0, "stream-only triples")
+    assert(batchGraph.exceptAll(streamGraph).count() === 0, "batch-only triples")
+
+    // provenance passenger survived the insert path (no all-NULL doc_id)
+    assert(loaded.filter(col("doc_id").isNotNull).count() > 0)
+
+    // the manifest merged per epoch: metadata stats == a fresh recount,
+    // so SPARQL's metadata-only COUNT path is correct mid-stream
+    assert(graft.kg.Pattern.predStatsFromManifest(store) ===
+      graft.kg.Pattern.predStats(loaded))
+
+    // SPARQL reads the store the stream built
+    val n = graft.kg.Sparql.query(loaded,
+      "SELECT (COUNT(*) AS ?n) WHERE { ?s inDoc ?o }",
+      stats = Some(graft.kg.Pattern.predStatsFromManifest(store)))
+      .as[Long].head()
+    assert(n > 0)
+
+    // exactly-once: replaying the LAST epoch's commit is a skip (stamp
+    // matches), and the store is unchanged
+    val before = streamGraph.collect().toSet
+    val fields = graft.io.TableFormat.readManifest(store).fields
+    assert(fields.contains("update_id") && fields("update_id").endsWith(":1"))
+    val rep = graft.kg.Update.applyDelta(spark, store,
+      graft.kg.Update.noTriples(spark), graft.kg.Update.noTriples(spark))
+    assert(rep.touchedLeaves === 0)
+    assert(graft.io.TableFormat.load(spark, store).select("subj", "pred", "obj")
+      .collect().toSet === before)
+  }
+
   test("streaming HLL: register state across micro-batches equals the batch sketch") {
     // ingest-time cardinality tracking: hllRegisters is a plain groupBy-max,
     // so the SAME operator runs over a stream in complete mode — Spark keeps
