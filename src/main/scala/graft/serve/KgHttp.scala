@@ -16,6 +16,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   *     against the store this listener was started with. Response:
   *     `{"columns": [...], "rows": [[...], ...], "n": N, "truncated": bool}`
   *     with unbound (NULL) bindings as JSON null.
+  *   - `POST /kg/update`  body `{"update": "INSERT DATA { … } ; …"}` — a
+  *     SPARQL 1.1 Update script applied to the backing STORE (store-backed
+  *     listeners only; see [[start]]). `dry_run` parses without applying;
+  *     `update_id` threads the exactly-once resume stamp.
   *   - `GET /`     endpoint + grammar hint.
   *
   * Serving discipline: results are capped at `maxRows` per request
@@ -68,9 +72,24 @@ object KgHttp {
 
   /** Start the listener over one loaded store (port 0 = ephemeral).
     * `stats` (per-predicate counts) switches every request to the
-    * selectivity-ordered BGP fold — [[startFromStore]] wires them for free. */
+    * selectivity-ordered BGP fold — [[startFromStore]] wires them for free.
+    *
+    * `storePath` arms `POST /kg/update` (SPARQL 1.1 Update scripts,
+    * [[Sparql.update]]): after each applied script the served frame and
+    * stats reload from the store + merged manifest, so the next query —
+    * including the metadata-only COUNT fast path — sees the committed
+    * state. Updates serialize behind one lock (single-writer); readers on
+    * the parquet facade see the post-commit listing (a real Iceberg sink
+    * upgrades this to snapshot isolation, same call sites). `"dry_run":
+    * true` parses + validates without touching the store; an optional
+    * `"update_id"` threads the exactly-once resume stamp. Without
+    * `storePath` the endpoint answers 400 — a frame-backed listener is
+    * read-only by construction. */
   def start(port: Int, triples: DataFrame, maxRows: Int = 1000,
-            stats: Option[Map[String, Long]] = None): HttpServer = {
+            stats: Option[Map[String, Long]] = None,
+            storePath: Option[String] = None): HttpServer = {
+    val state = new java.util.concurrent.atomic.AtomicReference((triples, stats))
+    val updateLock = new Object
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
@@ -79,13 +98,45 @@ object KgHttp {
             val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
             (ex.getRequestMethod, path) match {
               case ("GET", "") =>
-                (200, """{"endpoint":"/kg","body":{"query":"SELECT [DISTINCT] (?v ...|aggs|*) WHERE { ... FILTER/VALUES ... } [GROUP BY][ORDER BY][LIMIT][OFFSET] | ASK { ... } | CONSTRUCT { ... } WHERE { ... } | DESCRIBE (const|?v ... WHERE { ... })"}}""")
+                (200, """{"endpoint":"/kg","body":{"query":"SELECT [DISTINCT] (?v ...|aggs|*) WHERE { ... FILTER/VALUES ... } [GROUP BY][ORDER BY][LIMIT][OFFSET] | ASK { ... } | CONSTRUCT { ... } WHERE { ... } | DESCRIBE (const|?v ... WHERE { ... })"},"update_endpoint":"/kg/update","update_body":{"update":"INSERT DATA { ... } ; DELETE WHERE { ... } ...","dry_run":"bool?","update_id":"string?"}}""")
               case ("POST", "kg") =>
                 val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
                 val root = mapper.readTree(body)
                 if (root == null || !root.has("query") || !root.get("query").isTextual)
                   (400, detail("body must be a JSON object with a string 'query' field"))
-                else (200, runQuery(triples, root.get("query").asText, maxRows, stats))
+                else {
+                  val (t, st) = state.get()
+                  (200, runQuery(t, root.get("query").asText, maxRows, st))
+                }
+              case ("POST", "kg/update") =>
+                val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+                val root = mapper.readTree(body)
+                if (root == null || !root.has("update") || !root.get("update").isTextual)
+                  (400, detail("body must be a JSON object with a string 'update' field"))
+                else {
+                  val text = root.get("update").asText
+                  val dryRun = root.has("dry_run") && root.get("dry_run").asBoolean(false)
+                  if (dryRun)
+                    (200, s"""{"ops":${Sparql.parseUpdateCount(text)},"dry_run":true}""")
+                  else storePath match {
+                    case None =>
+                      (400, detail("this listener serves a loaded frame — updates need a store-backed listener (startFromStore)"))
+                    case Some(sp) => updateLock.synchronized {
+                      val id = if (root.has("update_id") && root.get("update_id").isTextual)
+                        Some(root.get("update_id").asText) else None
+                      val spark = state.get()._1.sparkSession
+                      val reports = Sparql.update(spark, sp, text, updateId = id)
+                      state.set((graft.io.TableFormat.load(spark, sp),
+                        Some(graft.kg.Pattern.predStatsFromManifest(sp))))
+                      val applied = reports.count(!_.skipped)
+                      (200, s"""{"ops":${reports.size},"applied":$applied,""" +
+                        s""""skipped":${reports.size - applied},""" +
+                        s""""touched_leaves":${reports.map(_.touchedLeaves).sum},""" +
+                        s""""rows_before":${reports.map(_.rowsBefore).sum},""" +
+                        s""""rows_after":${reports.map(_.rowsAfter).sum}}""")
+                    }
+                  }
+                }
               case ("POST", p) => (404, detail(s"unknown path '/$p'"))
               case _           => (405, detail("method not allowed"))
             }
@@ -118,7 +169,8 @@ object KgHttp {
   def startFromStore(port: Int, spark: org.apache.spark.sql.SparkSession,
                      storePath: String, maxRows: Int = 1000): HttpServer =
     start(port, graft.io.TableFormat.load(spark, storePath), maxRows,
-      stats = Some(graft.kg.Pattern.predStatsFromManifest(storePath)))
+      stats = Some(graft.kg.Pattern.predStatsFromManifest(storePath)),
+      storePath = Some(storePath))
 
   /** Stop a listener started by [[start]] (socket + its executor pool). */
   def stop(server: HttpServer): Unit = {

@@ -94,6 +94,65 @@ class KgHttpSpec extends AnyFunSuite {
     } finally KgHttp.stop(server)
   }
 
+  test("update endpoint: HTTP script commits to the store; queries and stats see it; dry-run; read-only guard") {
+    import graft.io.TableFormat
+    val store = java.nio.file.Files.createTempDirectory("graft-kghttp-upd").toString + "/triples"
+    TableFormat.savePartitioned(
+      trip.withColumn("doc_id", org.apache.spark.sql.functions.lit("d1")),
+      store, partCol = "pred", keyCol = "subj", buckets = 2, stage = "triples")
+    val server = KgHttp.startFromStore(0, spark, store)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      // dry-run: parses, reports op count, store untouched
+      val dry = post("/kg/update",
+        """{"update": "INSERT DATA { ent:7 category LOC } ; DELETE WHERE { ?s sameAs ?o }", "dry_run": true}""")
+      assert(dry.statusCode() === 200 && dry.body() === """{"ops":2,"dry_run":true}""")
+      assert(post("/kg", """{"query": "ASK { ?s sameAs ?o }"}""").body().contains("[[1]]"))
+
+      // applied: both ops commit; the next query sees the new state
+      val upd = post("/kg/update",
+        """{"update": "INSERT DATA { ent:7 category LOC } ; DELETE WHERE { ?s sameAs ?o }", "update_id": "http-1"}""")
+      assert(upd.statusCode() === 200)
+      assert(upd.body().contains(""""ops":2,"applied":2,"skipped":0"""))
+      assert(post("/kg", """{"query": "ASK { ?s sameAs ?o }"}""").body().contains("[[0]]"))
+      assert(post("/kg", """{"query": "ASK { ent:7 category LOC }"}""").body().contains("[[1]]"))
+      // the served stats refreshed from the MERGED manifest: the metadata-only
+      // COUNT fast path answers the post-update number
+      val cnt = post("/kg", """{"query": "SELECT (COUNT(*) AS ?n) WHERE { ?s category ?o }"}""")
+      assert(cnt.body().contains("[[4]]"), cnt.body())
+
+      // replay with the same update_id: all ops skip, state unchanged
+      val replay = post("/kg/update",
+        """{"update": "INSERT DATA { ent:7 category LOC } ; DELETE WHERE { ?s sameAs ?o }", "update_id": "http-1"}""")
+      assert(replay.body().contains(""""applied":0,"skipped":2"""))
+
+      // parse error → 400 with the parser's message; missing field → 400
+      assert(post("/kg/update", """{"update": "INSERT DATA { ?v bad form }"}""").statusCode() === 400)
+      assert(post("/kg/update", """{"query": "x"}""").statusCode() === 400)
+    } finally KgHttp.stop(server)
+
+    // a frame-backed (pathless) listener refuses real updates but dry-runs
+    val ro = KgHttp.start(0, trip)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${ro.getAddress.getPort}/kg/update"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val refused = post("""{"update": "INSERT DATA { a b c }"}""")
+      assert(refused.statusCode() === 400 && refused.body().contains("read-only") ||
+        refused.body().contains("store-backed"))
+      assert(post("""{"update": "INSERT DATA { a b c }", "dry_run": true}""").statusCode() === 200)
+    } finally KgHttp.stop(ro)
+  }
+
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }
