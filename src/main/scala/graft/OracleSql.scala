@@ -165,6 +165,19 @@ ${ccClosureCtes}
     * the alias unbound, replayed as a plain SQL LEFT JOIN over the same
     * `trip` CTE (NULL folded to '' on both sides for the string-hash
     * compare). */
+  /** GRAPH-provenance oracle (`nemo_kg_sparql_graph`): the named-graph
+    * dimension is the triple's doc provenance, so the same-graph mention
+    * pair query replays as a doc_id self-join over the trip CTE. */
+  def kgSparqlGraph: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT CAST(m1.doc_id AS VARCHAR) AS g, m1.subj AS a, m2.subj AS b
+       |FROM trip m1 JOIN trip m2 ON m2.doc_id = m1.doc_id
+       |WHERE m1.pred = 'mentions' AND m2.pred = 'mentions' AND m2.subj <> m1.subj"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** SPARQL-UPDATE oracle (`nemo_kg_update`): the 4-op script replayed as
     * set algebra over the trip CTE in script order — drop the sameAs
     * family, derive+persist coDoc edges (from the POST-op-1 state,

@@ -1592,6 +1592,18 @@ object SparkEntry {
       Sparql.query(fixtureTriples(s),
         "SELECT DISTINCT ?a ?d WHERE { ?a inDoc ?d . VALUES ?a { ent:1 ent:2 ent:3 ent:15 ent:999999 } }")
     }),
+    "nemo_kg_sparql_graph" -> ((s, _) => {
+      // GRAPH provenance queries (SPARQL 1.1 §13): the store's per-row doc
+      // provenance read as its named-graph dimension — entity pairs whose
+      // mentions are co-asserted by the SAME document, found by joining on
+      // the graph BINDING alone (no inDoc predicate involved). The graph
+      // variable folds into the BGP join like any shared variable, so the
+      // plan is the same frame join tree; DuckDB replays as a doc_id
+      // self-join over the trip CTE.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT DISTINCT ?g ?a ?b WHERE { GRAPH ?g { ?a mentions ?x . ?b mentions ?y } . FILTER ( ?b != ?a ) }")
+    }),
     "nemo_kg_update" -> ((s, _) => {
       // SPARQL 1.1 UPDATE — the write half of the store surface: a fresh
       // pred-partitioned store (this query's own copy; the shared session
@@ -2071,6 +2083,7 @@ object SparkEntry {
     "nemo_kg_sparql_describe" -> OracleSql.kgSparqlDescribe,
     // parsed (sameAs|^sameAs)+ (doubling) == CC-based twin == recursive CTE
     "nemo_kg_sparql_path" -> OracleSql.kgAliasReach,
+    "nemo_kg_sparql_graph" -> OracleSql.kgSparqlGraph,
     "nemo_kg_update" -> OracleSql.kgUpdate("PER"),
     // CONSTRUCT templates = UNION of selects (graph set semantics)
     "nemo_kg_construct" -> OracleSql.kgConstruct,

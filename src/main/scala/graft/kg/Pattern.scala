@@ -92,6 +92,37 @@ object Pattern {
     if (distinctRows && ordered.columns.nonEmpty) ordered.distinct() else ordered
   }
 
+  /** [[matchBgp]] under a GRAPH scope (SPARQL 1.1 §13.3): every pattern in
+    * the block must match a triple asserted by the same graph binding —
+    * the store's per-row doc provenance read as its named-graph dimension.
+    * A constant graph filters every pattern's scan (provenance-pruned); a
+    * variable graph becomes a normal binding column, so the BGP fold joins
+    * on it like any shared variable ("co-asserted in one document") and
+    * projects it. Same fold/ordering/distinct machinery as [[matchBgp]];
+    * the graph variable appears after the pattern variables in the output
+    * unless the pattern already binds it. */
+  def matchBgpGraph(triples: DataFrame, bgp: Seq[Tp], graph: Term,
+                    distinctRows: Boolean = true,
+                    stats: Option[Map[String, Long]] = None,
+                    provCol: String = "doc_id"): DataFrame = {
+    require(bgp.nonEmpty, "empty basic graph pattern")
+    val folded = stats.fold(bgp)(st => orderBgp(bgp, st))
+    val joined = folded.map(oneGraph(triples, _, graph, provCol)).reduceLeft { (acc, f) =>
+      val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
+      if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
+    }
+    val bgpVars = bgp.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect { case V(n) => n }.distinct
+    val varOrder = graph match {
+      case V(g) if !bgpVars.contains(g) => bgpVars :+ g
+      case _                            => bgpVars
+    }
+    val out = joined.drop("__exists")
+    val ordered =
+      if (varOrder.nonEmpty) out.select(varOrder.map(col): _*) else out
+    if (distinctRows && ordered.columns.nonEmpty) ordered.distinct() else ordered
+  }
+
   /** Per-predicate triple counts — the BGP cost model's one statistic, and
     * deliberately the one a pred-partitioned store yields for free: over
     * the vertical-partitioning layout this groupBy is answered from parquet
@@ -560,10 +591,32 @@ object Pattern {
   def ask(triples: DataFrame, bgp: Seq[Tp]): Boolean =
     !matchBgp(triples, bgp, distinctRows = false).limit(1).isEmpty
 
-  private def one(triples: DataFrame, tp: Tp): DataFrame = {
-    val terms = Seq("subj" -> tp.s, "pred" -> tp.p, "obj" -> tp.o)
+  private def one(triples: DataFrame, tp: Tp): DataFrame =
+    oneTerms(triples.select("subj", "pred", "obj"),
+      Seq("subj" -> tp.s, "pred" -> tp.p, "obj" -> tp.o))
+
+  /** [[one]] with the provenance column bound as a GRAPH term (SPARQL 1.1
+    * §13: the store's doc provenance IS its named-graph dimension — each
+    * source document is the graph that asserts its triples). A constant
+    * graph filters; a variable graph projects the provenance as a binding,
+    * so patterns sharing the graph variable join on provenance — "asserted
+    * by the SAME document" — exactly like any other shared variable. */
+  private def oneGraph(triples: DataFrame, tp: Tp, graph: Term,
+                       provCol: String): DataFrame = {
+    require(triples.columns.contains(provCol),
+      s"GRAPH needs a provenance column '$provCol' on the triple table")
+    oneTerms(
+      triples.select(col("subj"), col("pred"), col("obj"),
+        col(provCol).cast("string").as(GraphCol)),
+      Seq("subj" -> tp.s, "pred" -> tp.p, "obj" -> tp.o, GraphCol -> graph))
+  }
+
+  private val GraphCol = "__graph"
+
+  private def oneTerms(selected: DataFrame,
+                       terms: Seq[(String, Term)]): DataFrame = {
     // constants filter first — these are the scan-stage pruners
-    var df = terms.foldLeft(triples.select("subj", "pred", "obj")) {
+    var df = terms.foldLeft(selected) {
       case (d, (c, C(v))) => d.filter(col(c) === lit(v))
       case (d, _) => d
     }

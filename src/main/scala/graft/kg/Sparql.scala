@@ -123,7 +123,7 @@ object Sparql {
 
   private val kws = Set("OPTIONAL", "MINUS", "FILTER", "UNION", "LIMIT",
     "WHERE", "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "EXISTS", "NOT",
-    "VALUES")
+    "VALUES", "GRAPH")
 
   // ---- property-path expressions (SPARQL 1.1 §9): `p+ p* ^p p₁|p₂ p₁/p₂`,
   // parenthesized; written WITHOUT internal spaces (quote a predicate that
@@ -268,7 +268,8 @@ object Sparql {
                                 optionals: Seq[Seq[Tp]], minus: Seq[Seq[Tp]],
                                 exists: Seq[Seq[Tp]], notExists: Seq[Seq[Tp]],
                                 valueFilters: Seq[VFilter] = Nil,
-                                values: Seq[(String, Seq[String])] = Nil) {
+                                values: Seq[(String, Seq[String])] = Nil,
+                                graph: Option[Term] = None) {
     def vars: Seq[String] = {
       val required: Seq[Term] =
         if (union.nonEmpty) union.flatten.flatMap(tp => Seq(tp.s, tp.p, tp.o))
@@ -276,7 +277,8 @@ object Sparql {
           case Left(tp) => Seq(tp.s, tp.p, tp.o)
           case Right((s, _, o)) => Seq(s, o)
         } ++ optionals.flatten.flatMap(tp => Seq(tp.s, tp.p, tp.o))
-      required.collect { case V(n) => n }.distinct // MINUS/EXISTS never project
+      (required.collect { case V(n) => n } ++
+        graph.collect { case V(g) => g }).distinct // MINUS/EXISTS never project
     }
   }
 
@@ -291,7 +293,25 @@ object Sparql {
       if (bs.size < 2) fail("braced group without UNION — drop the inner braces")
       Body(bs, Nil, Nil, Nil, Nil, Nil)
     } else {
-      val prt = parts(p, allowPaths = true)
+      // GRAPH scope (SPARQL 1.1 §13.3): the required pattern matches only
+      // triples asserted by one graph binding — the store's doc provenance.
+      // Plain triples only inside the block; trailing OPTIONAL/FILTER/…
+      // compose OUTSIDE the graph scope as usual.
+      val graphTerm =
+        if (p.eatKw("GRAPH")) {
+          val g = term(p.next())
+          Some(g)
+        } else None
+      val prt =
+        graphTerm match {
+          case Some(_) =>
+            p.expect("{")
+            val inner = parts(p, allowPaths = false)
+            p.expect("}")
+            p.eatKw(".")
+            inner
+          case None => parts(p, allowPaths = true)
+        }
       val (opts, mins, exs, nexs) =
         (Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]],
          Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]])
@@ -347,7 +367,7 @@ object Sparql {
       }
       p.expect("}")
       Body(Nil, prt, opts.result(), mins.result(), exs.result(), nexs.result(),
-        vfs.result(), vls.result())
+        vfs.result(), vls.result(), graphTerm)
     }
   }
 
@@ -408,12 +428,18 @@ object Sparql {
     if (b.union.nonEmpty)
       Pattern.matchUnion(triples, b.union, distinctRows, stats = stats)
     else {
-      val evaluated = b.parts.map {
-        case Left(tp) => Left(tp)
-        case Right((s, path, o)) => Right((s, evalPath(triples, path), o))
+      val prefix = b.graph match {
+        case Some(g) =>
+          Pattern.matchBgpGraph(triples,
+            b.parts.collect { case Left(tp) => tp }, g,
+            distinctRows = false, stats = stats)
+        case None =>
+          val evaluated = b.parts.map {
+            case Left(tp) => Left(tp)
+            case Right((s, path, o)) => Right((s, evalPath(triples, path), o))
+          }
+          Pattern.matchMixed(triples, evaluated, distinctRows = false, stats = stats)
       }
-      val prefix =
-        Pattern.matchMixed(triples, evaluated, distinctRows = false, stats = stats)
       val composed = Pattern.matchPatternFrom(triples, prefix, b.optionals,
         b.minus, b.exists, b.notExists, distinctRows = false)
       val bound = composed.columns.toSet

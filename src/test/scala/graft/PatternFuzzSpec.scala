@@ -116,6 +116,33 @@ class PatternFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAPH scope equals the naive quad evaluator (same-graph conjunction)") {
+    val graphs = Seq("g1", "g2", "g3")
+    val r = new Random(20260820)
+    for (round <- 0 until 25) {
+      val quads = Seq.fill(r.nextInt(30) + 1)((subjects(r.nextInt(subjects.size)),
+        preds(r.nextInt(preds.size)), objects(r.nextInt(objects.size)),
+        graphs(r.nextInt(graphs.size))))
+      val bgp = randBgp(r, r.nextInt(3) + 1)
+      val gterm: Term = if (r.nextBoolean()) V("g") else C(graphs(r.nextInt(graphs.size)))
+      val qdf = quads.toDF("subj", "pred", "obj", "doc_id")
+      val got = collectDf(Pattern.matchBgpGraph(qdf, bgp, gterm))
+      // naive: each pattern must match a quad whose graph unifies with the
+      // graph term — SPARQL 1.1 §13.3's per-block graph substitution
+      val sols = bgp.foldLeft(Seq(Map.empty[String, String])) { (ss, tp) =>
+        ss.flatMap(sol => quads.flatMap { case (s0, p0, o0, g0) =>
+          unify(gterm, g0,
+            unify(tp.o, o0, unify(tp.p, p0, unify(tp.s, s0, Some(sol)))))
+        })
+      }
+      val cols = gterm match {
+        case V(g) if !vars(bgp).contains(g) => vars(bgp) :+ g
+        case _                              => vars(bgp)
+      }
+      assert(got === canon(sols, cols), s"round $round bgp=$bgp graph=$gterm quads=$quads")
+    }
+  }
+
   test("stats-ordered matchBgp binds identically to the naive evaluator") {
     // the selectivity reorder must be invisible in the RESULT for any store
     // shape and any caller order — a BGP is one natural join, so orderBgp

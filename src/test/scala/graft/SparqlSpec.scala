@@ -219,6 +219,39 @@ class SparqlSpec extends AnyFunSuite {
       .contains("not bound"))
   }
 
+  test("GRAPH binds doc provenance as the named-graph dimension; joins enforce same-graph") {
+    // variable graph: provenance projected as a binding
+    val got = Sparql.query(trip,
+      "SELECT DISTINCT ?g ?e WHERE { GRAPH ?g { ?e category PER } }")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("d1", "ent:1"), ("d2", "ent:3")))
+    // shared graph variable joins on provenance: pairs co-asserted by ONE doc
+    val pairs = Sparql.query(trip,
+      "SELECT DISTINCT ?g ?a ?b WHERE { GRAPH ?g { ?a inDoc ?x . ?b inDoc ?y } . FILTER ( ?b != ?a ) }")
+      .as[(String, String, String)].collect().toSet
+    assert(pairs === Set(
+      ("d1", "ent:1", "ent:2"), ("d1", "ent:2", "ent:1"),
+      ("d2", "ent:1", "ent:3"), ("d2", "ent:3", "ent:1")))
+    // constant graph: provenance filter, no extra binding
+    val inD2 = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { GRAPH d2 { ?e inDoc ?d } }")
+      .as[String].collect().toSet
+    assert(inD2 === Set("ent:1", "ent:3"))
+    // OPTIONAL composes OUTSIDE the graph scope (matches any provenance)
+    val withAl = Sparql.query(trip,
+      "SELECT DISTINCT ?g ?e ?al WHERE { GRAPH ?g { ?e category PER } OPTIONAL { ?al sameAs ?e } }")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).getOrElse(""))).toSet
+    assert(withAl === Set(("d1", "ent:1", "ent:4"), ("d2", "ent:3", "")))
+    // guards: no provenance column → loud; paths inside GRAPH → loud
+    val noProv = trip.select("subj", "pred", "obj")
+    assert(intercept[IllegalArgumentException] {
+      Sparql.query(noProv, "SELECT ?g WHERE { GRAPH ?g { ?s category ?o } }").collect()
+    }.getMessage.contains("provenance"))
+    assert(intercept[IllegalArgumentException] {
+      Sparql.query(trip, "SELECT ?g WHERE { GRAPH ?g { ?s sameAs+ ?o } }")
+    }.getMessage.contains("path"))
+  }
+
   test("parse errors are loud and specific") {
     def err(q: String): String =
       intercept[IllegalArgumentException](Sparql.query(trip, q)).getMessage

@@ -82,8 +82,25 @@ class UpdateFuzzSpec extends AnyFunSuite {
         val scanned = Pattern.predStats(TableFormat.load(spark, dir))
         assert(Pattern.predStatsFromManifest(dir) === scanned,
           s"manifest drift: seed=$seed step=$step script=$script")
+        // copy-on-write invariant: every update rewrites its touched leaves
+        // WHOLESALE (one file per leaf), so arbitrary update sequences never
+        // fragment the store — no compaction debt, ever
+        assert(leafFileCounts(dir).forall(_._2 == 1),
+          s"fragmented leaf: seed=$seed step=$step ${leafFileCounts(dir).filter(_._2 > 1)}")
       }
     }
+  }
+
+  private def leafFileCounts(store: String): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(store)
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).getParent.toString)
+      .toSeq.groupBy(identity).view.mapValues(_.size).toSeq
+    finally walk.close()
   }
 
   test("multi-op scripts with ';' apply sequentially (each op sees the previous one's state)") {
