@@ -178,6 +178,49 @@ ${ccClosureCtes}
        |WHERE m1.pred = 'mentions' AND m2.pred = 'mentions' AND m2.subj <> m1.subj"""
       .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
+  /** HAVING oracle (`nemo_kg_sparql_having`): mention count per entity over
+    * the solution multiset with a post-aggregation threshold — SQL HAVING
+    * over the trip CTE's mentions family (UNION ALL, so duplicates count,
+    * matching the engine's §11 multiset rule). */
+  def kgSparqlHaving: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT subj AS e, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM trip WHERE pred = 'mentions'
+       |GROUP BY subj HAVING COUNT(*) >= 3"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** BIND oracle (`nemo_kg_sparql_bind`): the minted (category, doc)
+    * compound key replayed as string concatenation over a two-pattern
+    * self-join of the trip CTE. */
+  def kgSparqlBind: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT c.subj AS e, c.obj || '@' || d.obj AS qid
+       |FROM trip c JOIN trip d ON d.subj = c.subj
+       |WHERE c.pred = 'category' AND d.pred = 'inDoc'"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
+  /** Subquery oracle (`nemo_kg_sparql_subquery`): the aggregate subquery is
+    * a grouped derived table joined back on its projected variable; the
+    * group-end FILTER on the alias becomes the outer WHERE. */
+  def kgSparqlSubquery: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT cat.subj AS e, cat.obj AS c, m.n
+       |FROM trip cat
+       |JOIN (SELECT subj, CAST(COUNT(*) AS BIGINT) AS n FROM trip
+       |      WHERE pred = 'mentions' GROUP BY subj) m
+       |  ON m.subj = cat.subj
+       |WHERE cat.pred = 'category' AND m.n >= 3"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** SPARQL-UPDATE oracle (`nemo_kg_update`): the 4-op script replayed as
     * set algebra over the trip CTE in script order — drop the sameAs
     * family, derive+persist coDoc edges (from the POST-op-1 state,

@@ -1604,6 +1604,35 @@ object SparkEntry {
       Sparql.query(fixtureTriples(s),
         "SELECT DISTINCT ?g ?a ?b WHERE { GRAPH ?g { ?a mentions ?x . ?b mentions ?y } . FILTER ( ?b != ?a ) }")
     }),
+    "nemo_kg_sparql_having" -> ((s, _) => {
+      // HAVING (SPARQL 1.1 §11.2): post-aggregation restriction shipped as
+      // text — mention-count-per-entity over the solution MULTISET, groups
+      // under the threshold dropped AFTER the aggregate. DuckDB replays as
+      // SQL HAVING over the trip CTE's mentions family.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT ?e (COUNT(*) AS ?n) WHERE { ?e mentions ?m } GROUP BY ?e HAVING ( ?n >= 3 )")
+    }),
+    "nemo_kg_sparql_bind" -> ((s, _) => {
+      // BIND (SPARQL 1.1 §10.1): mint a compound key from two bindings —
+      // the IRI/skolem-minting device a KG consumer uses to address
+      // (category, doc) cells. DuckDB replays CONCAT as string ||.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT DISTINCT ?e ?qid WHERE { ?e category ?c . ?e inDoc ?d . BIND ( CONCAT ( ?c , \"@\" , ?d ) AS ?qid ) }")
+    }),
+    "nemo_kg_sparql_subquery" -> ((s, _) => {
+      // subquery (SPARQL 1.1 §12): aggregation INSIDE the pattern —
+      // categories of entities whose mention count clears a threshold, the
+      // aggregate joined back on its shared projected variable and the
+      // group filter reading the subquery's alias. DuckDB replays as a
+      // join against a grouped derived table.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT DISTINCT ?e ?c ?n WHERE { ?e category ?c . " +
+          "{ SELECT ?e (COUNT(*) AS ?n) WHERE { ?e mentions ?m } GROUP BY ?e } " +
+          "FILTER ( ?n >= 3 ) }")
+    }),
     "nemo_kg_update" -> ((s, _) => {
       // SPARQL 1.1 UPDATE — the write half of the store surface: a fresh
       // pred-partitioned store (this query's own copy; the shared session
@@ -2084,6 +2113,9 @@ object SparkEntry {
     // parsed (sameAs|^sameAs)+ (doubling) == CC-based twin == recursive CTE
     "nemo_kg_sparql_path" -> OracleSql.kgAliasReach,
     "nemo_kg_sparql_graph" -> OracleSql.kgSparqlGraph,
+    "nemo_kg_sparql_having" -> OracleSql.kgSparqlHaving,
+    "nemo_kg_sparql_bind" -> OracleSql.kgSparqlBind,
+    "nemo_kg_sparql_subquery" -> OracleSql.kgSparqlSubquery,
     "nemo_kg_update" -> OracleSql.kgUpdate("PER"),
     // CONSTRUCT templates = UNION of selects (graph set semantics)
     "nemo_kg_construct" -> OracleSql.kgConstruct,

@@ -14,7 +14,8 @@ import graft.io.TableFormat
   *
   * {{{
   * SELECT [DISTINCT] item … WHERE { body }
-  *        [GROUP BY ?v …] [ORDER BY ord …] [LIMIT n] [OFFSET n]
+  *        [GROUP BY ?v …] [HAVING ( operand cmp operand ) …]
+  *        [ORDER BY ord …] [LIMIT n] [OFFSET n]
   * item  :=  ?v | * | ( FUNC ( [DISTINCT] ?v | * ) AS ?alias )
   * FUNC  :=  COUNT | MIN | MAX                            -- string bindings
   *        |  SUM | AVG                                    -- try_cast-double
@@ -28,8 +29,21 @@ import graft.io.TableFormat
   *        |  FILTER EXISTS { triples } | FILTER NOT EXISTS { triples }
   *        |  FILTER ( operand cmp operand ) | FILTER [(] REGEX ( ?v , "re" ) [)]
   *        |  VALUES ?v { const … }
+  *        |  BIND ( operand AS ?v ) | BIND ( CONCAT ( operand [, operand …] ) AS ?v )
+  *        |  { SELECT … }                                 -- subquery (§12)
   * cmp   :=  = | != | < | <= | > | >=
   * }}}
+  *
+  * Subqueries (SPARQL 1.1 §12) evaluate bottom-up and join the enclosing
+  * group on their shared PROJECTED variables — the aggregation-inside-a-
+  * pattern device ("entities whose mention count clears k" as one query).
+  * They follow the required pattern (a leading `{` is the UNION form) and
+  * must project explicitly (no `SELECT *`) and share ≥1 variable with the
+  * group. BIND (§10.1) introduces a fresh variable from bound operands —
+  * string semantics, matching the store's string terms; later group filters
+  * and projection see it, and sequential BINDs see earlier targets. HAVING
+  * (§11.2) filters the aggregated solutions; its operands resolve against
+  * GROUP BY keys and aggregate aliases.
   *
   * The REQUIRED pattern's predicate position also takes SPARQL property
   * paths (§9.1) written without internal spaces — `sameAs+`, `^p`, `p|q`,
@@ -123,7 +137,7 @@ object Sparql {
 
   private val kws = Set("OPTIONAL", "MINUS", "FILTER", "UNION", "LIMIT",
     "WHERE", "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "EXISTS", "NOT",
-    "VALUES", "GRAPH")
+    "VALUES", "GRAPH", "BIND", "{")
 
   // ---- property-path expressions (SPARQL 1.1 §9): `p+ p* ^p p₁|p₂ p₁/p₂`,
   // parenthesized; written WITHOUT internal spaces (quote a predicate that
@@ -264,12 +278,20 @@ object Sparql {
   private final case class VFilter(op: String, a: VOperand, b: VOperand)
   private val vops = Set("=", "!=", "<", "<=", ">", ">=")
 
+  /** A parsed subquery: its token slice (re-run through [[select]] against
+    * the store at evaluation time — parse-only contexts like update scripts
+    * never need a frame) and its projected variable names (for the
+    * enclosing group's visible-variable set). */
+  private final case class Sub(toks: List[String], projected: Seq[String])
+
   private final case class Body(union: Seq[Seq[Tp]], parts: Seq[Part],
                                 optionals: Seq[Seq[Tp]], minus: Seq[Seq[Tp]],
                                 exists: Seq[Seq[Tp]], notExists: Seq[Seq[Tp]],
                                 valueFilters: Seq[VFilter] = Nil,
                                 values: Seq[(String, Seq[String])] = Nil,
-                                graph: Option[Term] = None) {
+                                graph: Option[Term] = None,
+                                subs: Seq[Sub] = Nil,
+                                binds: Seq[(String, Seq[VOperand])] = Nil) {
     def vars: Seq[String] = {
       val required: Seq[Term] =
         if (union.nonEmpty) union.flatten.flatMap(tp => Seq(tp.s, tp.p, tp.o))
@@ -278,7 +300,9 @@ object Sparql {
           case Right((s, _, o)) => Seq(s, o)
         } ++ optionals.flatten.flatMap(tp => Seq(tp.s, tp.p, tp.o))
       (required.collect { case V(n) => n } ++
-        graph.collect { case V(g) => g }).distinct // MINUS/EXISTS never project
+        graph.collect { case V(g) => g } ++
+        subs.flatMap(_.projected) ++
+        binds.map(_._1)).distinct // MINUS/EXISTS never project
     }
   }
 
@@ -317,9 +341,55 @@ object Sparql {
          Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]])
       val vfs = Seq.newBuilder[VFilter]
       val vls = Seq.newBuilder[(String, Seq[String])]
+      val sbs = Seq.newBuilder[Sub]
+      val bds = Seq.newBuilder[(String, Seq[VOperand])]
       var going = true
       while (going) p.peek.map(_.toUpperCase) match {
         case Some("OPTIONAL") => p.next(); opts += bracedTriples(p)
+        case Some("{") =>
+          // subquery (§12): slice the braced token run, extract its
+          // projection for the group's variable set, defer evaluation
+          p.next()
+          if (!p.peek.exists(_.equalsIgnoreCase("SELECT")))
+            fail("braced block inside a group must be a SELECT subquery (a leading { … } UNION { … } is the union form)")
+          val toks = List.newBuilder[String]
+          var depth = 1
+          while (depth > 0) {
+            if (p.peek.isEmpty) fail("unbalanced { in subquery")
+            val t2 = p.next()
+            if (t2 == "{") depth += 1
+            if (t2 == "}") depth -= 1
+            if (depth > 0) toks += t2
+          }
+          val slice = toks.result()
+          val sp = new P(slice)
+          sp.expect("SELECT")
+          sp.eatKw("DISTINCT")
+          val (sitems, sstar) = selectItems(sp)
+          if (sstar || sitems.isEmpty)
+            fail("subquery must project explicit ?vars or aggregates (no *)")
+          sbs += Sub(slice, sitems.map {
+            case PlainVar(v) => v
+            case a: Agg      => a.alias
+          })
+          p.eatKw(".")
+        case Some("BIND") =>
+          // BIND (§10.1): a fresh string binding from bound operands; the
+          // CONCAT form covers the IRI-minting/compound-key use
+          p.next(); p.expect("(")
+          val ops =
+            if (p.peek.exists(_.equalsIgnoreCase("CONCAT"))) {
+              p.next(); p.expect("(")
+              val bb = Seq.newBuilder[VOperand]
+              bb += voperand(p.next())
+              while (p.peek.contains(",")) { p.next(); bb += voperand(p.next()) }
+              p.expect(")")
+              bb.result()
+            } else Seq(voperand(p.next()))
+          p.expect("AS")
+          val v = varTok(p)
+          p.expect(")")
+          bds += (v -> ops)
         case Some("VALUES") =>
           // single-variable inline data: VALUES ?v { c1 c2 … } — the
           // parameterized-query form an HTTP caller uses for entity lists.
@@ -367,7 +437,7 @@ object Sparql {
       }
       p.expect("}")
       Body(Nil, prt, opts.result(), mins.result(), exs.result(), nexs.result(),
-        vfs.result(), vls.result(), graphTerm)
+        vfs.result(), vls.result(), graphTerm, sbs.result(), bds.result())
     }
   }
 
@@ -442,8 +512,34 @@ object Sparql {
       }
       val composed = Pattern.matchPatternFrom(triples, prefix, b.optionals,
         b.minus, b.exists, b.notExists, distinctRows = false)
-      val bound = composed.columns.toSet
-      val withValues = b.values.foldLeft(composed) { case (d, (v, vs)) =>
+      // subqueries (§12) evaluate bottom-up against the SAME store and join
+      // the group on their shared projected variables — an inner equi-join,
+      // so an aggregate subquery restricts AND annotates the outer solutions
+      val withSubs = b.subs.foldLeft(composed) { case (d, sub) =>
+        val sp = new P(sub.toks)
+        val sq = select(triples, sp, stats)
+        sp.expectEnd()
+        val shared = d.columns.toSeq.intersect(sq.columns.toSeq)
+        if (shared.isEmpty)
+          fail(s"subquery projecting ${sub.projected.map("?" + _).mkString(", ")} shares no variable with the group")
+        d.join(sq, shared)
+      }
+      // BINDs extend solutions left-to-right: later binds and all group
+      // filters see earlier targets
+      val withBinds = b.binds.foldLeft(withSubs) { case (d, (v, ops)) =>
+        if (d.columns.contains(v)) fail(s"BIND target ?$v is already bound")
+        def side(o: VOperand) = o match {
+          case OVar(x) =>
+            if (!d.columns.contains(x)) fail(s"BIND variable ?$x is not bound")
+            col(x)
+          case OLit(x) => lit(x)
+        }
+        d.withColumn(v,
+          if (ops.size == 1) side(ops.head).cast("string")
+          else concat(ops.map(side): _*))
+      }
+      val bound = withBinds.columns.toSet
+      val withValues = b.values.foldLeft(withBinds) { case (d, (v, vs)) =>
         if (!bound(v)) fail(s"VALUES variable ?$v is not bound by the pattern")
         if (vs.isEmpty) d.filter(lit(false)) // zero-row VALUES: no solutions
         else d.filter(col(v).isin(vs: _*))
@@ -522,7 +618,8 @@ object Sparql {
           aggs.head.arg.isEmpty && !aggs.head.dist &&
           b.union.isEmpty && b.optionals.isEmpty && b.minus.isEmpty &&
           b.exists.isEmpty && b.notExists.isEmpty && b.valueFilters.isEmpty &&
-          b.values.isEmpty)
+          b.values.isEmpty && b.graph.isEmpty && b.subs.isEmpty &&
+          b.binds.isEmpty)
         b.parts match {
           case Seq(Left(Tp(V(sv), C(pv), V(ov)))) if sv != ov =>
             Some(t.sparkSession.range(1).select(
@@ -576,6 +673,24 @@ object Sparql {
         agged.select(items.map { case PlainVar(v) => col(v); case a: Agg => col(a.alias) }: _*)
       }
     if (dist) out = out.distinct()
+    // HAVING (§11.2): filter the aggregated solutions; operands resolve
+    // against the GROUP BY keys and aggregate aliases (numeric compare via
+    // the same try_cast rule as value FILTERs)
+    while (p.eatKw("HAVING")) {
+      if (aggs.isEmpty) fail("HAVING needs an aggregating SELECT")
+      p.expect("(")
+      val a = voperand(p.next())
+      val op = p.next()
+      if (!vops(op)) fail(s"unknown HAVING operator '$op' (= != < <= > >=)")
+      val f = VFilter(op, a, voperand(p.next()))
+      p.expect(")")
+      Seq(f.a, f.b).foreach {
+        case OVar(v) if !out.columns.contains(v) =>
+          fail(s"HAVING variable ?$v is neither a GROUP BY key nor an aggregate alias")
+        case _ => ()
+      }
+      out = out.filter(vcol(f, out.columns.toSet))
+    }
     if (p.eatKw("ORDER")) {
       p.expect("BY")
       val sorts = Seq.newBuilder[org.apache.spark.sql.Column]

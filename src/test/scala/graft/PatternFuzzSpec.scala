@@ -324,6 +324,71 @@ class PatternFuzzSpec extends AnyFunSuite {
     }
   }
 
+  private def patStr(bgp: Seq[Tp]): String =
+    bgp.map(tp => Seq(tp.s, tp.p, tp.o).map {
+      case V(n) => s"?$n"
+      case C(c) => c
+    }.mkString(" ")).mkString(" . ")
+
+  test("HAVING equals the naive post-aggregation filter") {
+    val r = new Random(20260901)
+    for (round <- 0 until 20) {
+      val store = randStore(r)
+      val bgp = randBgp(r, r.nextInt(2) + 1)
+      val g = vars(bgp).head
+      val k = r.nextInt(3) + 1
+      val q = s"SELECT ?$g ( COUNT ( * ) AS ?agg_n ) WHERE { ${patStr(bgp)} } " +
+        s"GROUP BY ?$g HAVING ( ?agg_n >= $k )"
+      val got = graft.kg.Sparql.query(df(store), q).collect()
+        .map(row => row.getString(0) -> row.getLong(1)).toMap
+      val want = evalBgp(store, bgp).groupBy(_(g))
+        .view.mapValues(_.size.toLong).filter(_._2 >= k).toMap
+      assert(got === want, s"round $round q=$q store=$store")
+    }
+  }
+
+  test("BIND equals naive solution extension (concat over bound operands)") {
+    val r = new Random(20260902)
+    for (round <- 0 until 20) {
+      val store = randStore(r)
+      val bgp = randBgp(r, r.nextInt(2) + 1)
+      val vs = vars(bgp)
+      val v1 = vs(r.nextInt(vs.size))
+      val v2 = vs(r.nextInt(vs.size))
+      val q = s"SELECT * WHERE { ${patStr(bgp)} . " +
+        s"""BIND ( CONCAT ( ?$v1 , "-" , ?$v2 ) AS ?bnd ) }"""
+      val got = collectDf(graft.kg.Sparql.query(df(store), q))
+      val want = canon(
+        evalBgp(store, bgp).map(m => m + ("bnd" -> s"${m(v1)}-${m(v2)}")),
+        vs :+ "bnd")
+      assert(got === want, s"round $round q=$q store=$store")
+    }
+  }
+
+  test("subqueries equal naive bottom-up evaluation joined on shared projected vars") {
+    val r = new Random(20260903)
+    for (round <- 0 until 20) {
+      val store = randStore(r)
+      val outer = randBgp(r, r.nextInt(2) + 1)
+      val ovs = vars(outer)
+      val shared = ovs(r.nextInt(ovs.size))
+      val pc = preds(r.nextInt(preds.size))
+      val q = s"SELECT DISTINCT * WHERE { ${patStr(outer)} . " +
+        s"{ SELECT ?$shared ( COUNT ( * ) AS ?sq_n ) WHERE { ?$shared $pc ?z } GROUP BY ?$shared } }"
+      val cols = ovs :+ "sq_n"
+      val got = graft.kg.Sparql.query(df(store), q).collect()
+        .map(row => cols.indices.map(i => Option(row.get(i)).map(_.toString))).toSet
+      val innerAgg = store.filter(_._2 == pc).groupBy(_._1)
+        .view.mapValues(_.size.toLong).toMap
+      val want = evalBgp(store, outer)
+        .filter(m => innerAgg.contains(m(shared)))
+        .map(m => cols.map(c =>
+          if (c == "sq_n") Some(innerAgg(m(shared)).toString) else m.get(c)))
+        .toSet
+      assert(got === want, s"round $round q=$q store=$store")
+    }
+  }
+
   test("CONSTRUCT equals naive template instantiation") {
     val r = new Random(1357)
     for (round <- 0 until 15) {

@@ -252,6 +252,72 @@ class SparqlSpec extends AnyFunSuite {
     }.getMessage.contains("path"))
   }
 
+  test("HAVING filters aggregated solutions by key or alias") {
+    // ent:1 is in two docs, ent:2/ent:3 in one each
+    val got = Sparql.query(trip,
+      "SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e HAVING ( ?n >= 2 )")
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("ent:1", 2L)))
+    // two HAVINGs conjoin; key operands work too
+    val both = Sparql.query(trip,
+      "SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e HAVING ( ?n >= 1 ) HAVING ( ?e != ent:1 )")
+      .as[(String, Long)].collect().toSet
+    assert(both === Set(("ent:2", 1L), ("ent:3", 1L)))
+    // guards: unknown alias, non-aggregating SELECT
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e HAVING ( ?zz > 1 )"))
+      .getMessage.contains("HAVING variable"))
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e WHERE { ?e inDoc ?d } HAVING ( ?e != ent:1 )"))
+      .getMessage.contains("aggregating"))
+  }
+
+  test("BIND extends solutions; CONCAT composes; guards are loud") {
+    val got = Sparql.query(trip,
+      "SELECT DISTINCT ?e ?k WHERE { ?e category ?c . BIND ( CONCAT ( ?c , \"/\" , ?e ) AS ?k ) }")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("ent:1", "PER/ent:1"), ("ent:2", "ORG/ent:2"),
+      ("ent:3", "PER/ent:3")))
+    // single-operand form copies a binding; later filters see the target
+    val copy = Sparql.query(trip,
+      "SELECT DISTINCT ?cc WHERE { ?e category ?c . BIND ( ?c AS ?cc ) FILTER ( ?cc = PER ) }")
+      .as[String].collect().toSet
+    assert(copy === Set("PER"))
+    // SELECT * includes bind targets after the pattern vars
+    assert(Sparql.query(trip,
+      "SELECT * WHERE { ?e category ?c . BIND ( ?e AS ?e2 ) }").columns.toSeq
+      === Seq("e", "c", "e2"))
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e WHERE { ?e category ?c . BIND ( ?c AS ?e ) }").collect())
+      .getMessage.contains("already bound"))
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e WHERE { ?e category ?c . BIND ( ?zz AS ?k ) }").collect())
+      .getMessage.contains("not bound"))
+  }
+
+  test("subqueries join the group on shared projected variables") {
+    // aggregate-inside-a-pattern: categories of entities in ≥2 docs
+    val got = Sparql.query(trip,
+      "SELECT DISTINCT ?e ?c ?n WHERE { ?e category ?c . " +
+        "{ SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e } " +
+        "FILTER ( ?n >= 2 ) }")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("ent:1", "PER", 2L)))
+    // subquery HAVING composes (same restriction pushed inside)
+    val having = Sparql.query(trip,
+      "SELECT DISTINCT ?e ?c WHERE { ?e category ?c . " +
+        "{ SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e HAVING ( ?n >= 2 ) } }")
+      .as[(String, String)].collect().toSet
+    assert(having === Set(("ent:1", "PER")))
+    // guards: no shared variable; SELECT * subquery
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e WHERE { ?e category ?c . { SELECT ?q WHERE { ?q sameAs ?w } } }").collect())
+      .getMessage.contains("shares no variable"))
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e WHERE { ?e category ?c . { SELECT * WHERE { ?e sameAs ?w } } }"))
+      .getMessage.contains("no *"))
+  }
+
   test("parse errors are loud and specific") {
     def err(q: String): String =
       intercept[IllegalArgumentException](Sparql.query(trip, q)).getMessage
