@@ -75,22 +75,32 @@ object Pattern {
     * either way. */
   def matchBgp(triples: DataFrame, bgp: Seq[Tp],
                distinctRows: Boolean = true,
-               stats: Option[Map[String, Long]] = None): DataFrame = {
+               stats: Option[Map[String, Long]] = None): DataFrame =
+    foldBgp(bgp, one(triples, _), bgpVarOrder(bgp), distinctRows, stats)
+
+  /** The shared BGP machinery behind [[matchBgp]] and [[matchBgpGraph]]:
+    * stats-ordered fold of per-pattern frames into the conditional
+    * join-vs-crossJoin chain, `__exists` drop, first-appearance column
+    * restore (Spark's USING-join hoists join keys to the front), trailing
+    * set-semantics distinct. One body so a fix to the fold can never drift
+    * between the plain and graph-scoped entry points. */
+  private def foldBgp(bgp: Seq[Tp], leaf: Tp => DataFrame,
+                      varOrder: Seq[String], distinctRows: Boolean,
+                      stats: Option[Map[String, Long]]): DataFrame = {
     require(bgp.nonEmpty, "empty basic graph pattern")
     val folded = stats.fold(bgp)(st => orderBgp(bgp, st))
-    val joined = folded.map(one(triples, _)).reduceLeft { (acc, f) =>
+    val joined = folded.map(leaf).reduceLeft { (acc, f) =>
       val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
       if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
     }
-    // Spark's USING-join hoists join keys to the front — restore global
-    // first-appearance variable order so output shape is caller-predictable
-    val varOrder = bgp.flatMap(tp => Seq(tp.s, tp.p, tp.o))
-      .collect { case V(n) => n }.distinct
     val out = joined.drop("__exists")
     val ordered =
       if (varOrder.nonEmpty) out.select(varOrder.map(col): _*) else out
     if (distinctRows && ordered.columns.nonEmpty) ordered.distinct() else ordered
   }
+
+  private def bgpVarOrder(bgp: Seq[Tp]): Seq[String] =
+    bgp.flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect { case V(n) => n }.distinct
 
   /** [[matchBgp]] under a GRAPH scope (SPARQL 1.1 §13.3): every pattern in
     * the block must match a triple asserted by the same graph binding —
@@ -105,22 +115,13 @@ object Pattern {
                     distinctRows: Boolean = true,
                     stats: Option[Map[String, Long]] = None,
                     provCol: String = "doc_id"): DataFrame = {
-    require(bgp.nonEmpty, "empty basic graph pattern")
-    val folded = stats.fold(bgp)(st => orderBgp(bgp, st))
-    val joined = folded.map(oneGraph(triples, _, graph, provCol)).reduceLeft { (acc, f) =>
-      val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
-      if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
-    }
-    val bgpVars = bgp.flatMap(tp => Seq(tp.s, tp.p, tp.o))
-      .collect { case V(n) => n }.distinct
+    val bgpVars = bgpVarOrder(bgp)
     val varOrder = graph match {
       case V(g) if !bgpVars.contains(g) => bgpVars :+ g
       case _                            => bgpVars
     }
-    val out = joined.drop("__exists")
-    val ordered =
-      if (varOrder.nonEmpty) out.select(varOrder.map(col): _*) else out
-    if (distinctRows && ordered.columns.nonEmpty) ordered.distinct() else ordered
+    foldBgp(bgp, oneGraph(triples, _, graph, provCol), varOrder,
+      distinctRows, stats)
   }
 
   /** Per-predicate triple counts — the BGP cost model's one statistic, and

@@ -43,7 +43,13 @@ import graft.io.TableFormat
   * string semantics, matching the store's string terms; later group filters
   * and projection see it, and sequential BINDs see earlier targets. HAVING
   * (§11.2) filters the aggregated solutions; its operands resolve against
-  * GROUP BY keys and aggregate aliases.
+  * GROUP BY keys (projected or not — a key may gate without being
+  * selected) and aggregate aliases.
+  *
+  * Reserved words: the block keywords (OPTIONAL, MINUS, FILTER, VALUES,
+  * BIND, …) cannot open a pattern as bareword subjects — quote them
+  * ('bind'). GRAPH is reserved only when shaped like a scope
+  * (`GRAPH term {`); elsewhere the bareword stays a constant.
   *
   * The REQUIRED pattern's predicate position also takes SPARQL property
   * paths (§9.1) written without internal spaces — `sameAs+`, `^p`, `p|q`,
@@ -139,6 +145,12 @@ object Sparql {
     "WHERE", "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "EXISTS", "NOT",
     "VALUES", "GRAPH", "BIND", "{")
 
+  /** GRAPH is a keyword only when shaped like a scope (`GRAPH term {`) —
+    * elsewhere the bareword stays a plain constant term. */
+  private def isGraphScope(p: P): Boolean =
+    p.peek.exists(_.equalsIgnoreCase("GRAPH")) &&
+      p.toks.drop(2).headOption.contains("{")
+
   // ---- property-path expressions (SPARQL 1.1 §9): `p+ p* ^p p₁|p₂ p₁/p₂`,
   // parenthesized; written WITHOUT internal spaces (quote a predicate that
   // legitimately contains |/^+*() instead) ----
@@ -218,7 +230,8 @@ object Sparql {
     var going = true
     while (going) p.peek match {
       case None | Some("}") => going = false
-      case Some(t) if kws.contains(t.toUpperCase) => going = false
+      case Some(t) if kws.contains(t.toUpperCase) &&
+          (!t.equalsIgnoreCase("GRAPH") || isGraphScope(p)) => going = false
       case _ =>
         val s = term(p.next())
         val predTok = p.next()
@@ -280,9 +293,12 @@ object Sparql {
 
   /** A parsed subquery: its token slice (re-run through [[select]] against
     * the store at evaluation time — parse-only contexts like update scripts
-    * never need a frame) and its projected variable names (for the
-    * enclosing group's visible-variable set). */
-  private final case class Sub(toks: List[String], projected: Seq[String])
+    * never need a frame), its projected variable names (for the enclosing
+    * group's visible-variable set), and which of those are aggregate
+    * ALIASES (guarded against colliding with outer bindings — the silent
+    * alternative is a string-vs-bigint coercion join). */
+  private final case class Sub(toks: List[String], projected: Seq[String],
+                               aliases: Seq[String])
 
   private final case class Body(union: Seq[Seq[Tp]], parts: Seq[Part],
                                 optionals: Seq[Seq[Tp]], minus: Seq[Seq[Tp]],
@@ -320,11 +336,13 @@ object Sparql {
       // GRAPH scope (SPARQL 1.1 §13.3): the required pattern matches only
       // triples asserted by one graph binding — the store's doc provenance.
       // Plain triples only inside the block; trailing OPTIONAL/FILTER/…
-      // compose OUTSIDE the graph scope as usual.
+      // compose OUTSIDE the graph scope as usual. Keyword only when shaped
+      // like a scope (GRAPH term {) — a bareword 'graph' SUBJECT in a plain
+      // pattern still parses as a constant term.
       val graphTerm =
-        if (p.eatKw("GRAPH")) {
-          val g = term(p.next())
-          Some(g)
+        if (isGraphScope(p)) {
+          p.next()
+          Some(term(p.next()))
         } else None
       val prt =
         graphTerm match {
@@ -368,10 +386,9 @@ object Sparql {
           val (sitems, sstar) = selectItems(sp)
           if (sstar || sitems.isEmpty)
             fail("subquery must project explicit ?vars or aggregates (no *)")
-          sbs += Sub(slice, sitems.map {
-            case PlainVar(v) => v
-            case a: Agg      => a.alias
-          })
+          sbs += Sub(slice,
+            sitems.map { case PlainVar(v) => v; case a: Agg => a.alias },
+            sitems.collect { case a: Agg => a.alias })
           p.eatKw(".")
         case Some("BIND") =>
           // BIND (§10.1): a fresh string binding from bound operands; the
@@ -514,7 +531,17 @@ object Sparql {
         b.minus, b.exists, b.notExists, distinctRows = false)
       // subqueries (§12) evaluate bottom-up against the SAME store and join
       // the group on their shared projected variables — an inner equi-join,
-      // so an aggregate subquery restricts AND annotates the outer solutions
+      // so an aggregate subquery restricts AND annotates the outer solutions.
+      // Two loud guards on the shared set: (a) a shared variable bound ONLY
+      // by an OPTIONAL would hit SQL's NULL-never-joins where SPARQL's
+      // unbound-is-compatible rule keeps the row — reject instead of
+      // silently dropping; (b) a subquery aggregate alias colliding with an
+      // outer binding would join bigint-vs-string through a silent coercion
+      // — demand a rename.
+      val requiredBound: Set[String] = (b.parts.flatMap {
+        case Left(tp) => Seq(tp.s, tp.p, tp.o)
+        case Right((s, _, o)) => Seq(s, o)
+      }.collect { case V(n) => n } ++ b.graph.collect { case V(g) => g }).toSet
       val withSubs = b.subs.foldLeft(composed) { case (d, sub) =>
         val sp = new P(sub.toks)
         val sq = select(triples, sp, stats)
@@ -522,6 +549,13 @@ object Sparql {
         val shared = d.columns.toSeq.intersect(sq.columns.toSeq)
         if (shared.isEmpty)
           fail(s"subquery projecting ${sub.projected.map("?" + _).mkString(", ")} shares no variable with the group")
+        val clash = shared.intersect(sub.aliases)
+        if (clash.nonEmpty)
+          fail(s"subquery aggregate alias ${clash.map("?" + _).mkString(", ")} collides with a variable the group already binds — rename the alias")
+        val optOnly = shared.filterNot(v =>
+          requiredBound(v) || b.subs.takeWhile(_ ne sub).exists(_.projected.contains(v)))
+        if (optOnly.nonEmpty)
+          fail(s"subquery shares OPTIONAL-bound ${optOnly.map("?" + _).mkString(", ")} with the group — an unbound-compatible join is not supported; share required variables only")
         d.join(sq, shared)
       }
       // BINDs extend solutions left-to-right: later binds and all group
@@ -665,32 +699,29 @@ object Sparql {
 
           case _ => fail(s"${a.func} needs a ?var argument")
         }
-        val agged =
+        var agged =
           if (groupVars.isEmpty) sol.agg(aggExpr(aggs.head), aggs.tail.map(aggExpr): _*)
           else sol.groupBy(groupVars.map(col): _*)
             .agg(aggExpr(aggs.head), aggs.tail.map(aggExpr): _*)
+        // HAVING (§11.2): filter the aggregated solutions BEFORE the item
+        // projection — operands resolve against GROUP BY keys (projected or
+        // NOT: a key may gate without being selected) and aggregate aliases
+        // (numeric compare via the same try_cast rule as value FILTERs)
+        while (p.eatKw("HAVING")) {
+          val f = havingFilter(p)
+          Seq(f.a, f.b).foreach {
+            case OVar(v) if !agged.columns.contains(v) =>
+              fail(s"HAVING variable ?$v is neither a GROUP BY key nor an aggregate alias")
+            case _ => ()
+          }
+          agged = agged.filter(vcol(f, agged.columns.toSet))
+        }
         // restore the SELECT clause's own item order
         agged.select(items.map { case PlainVar(v) => col(v); case a: Agg => col(a.alias) }: _*)
       }
+    if (p.peek.exists(_.equalsIgnoreCase("HAVING")))
+      fail("HAVING needs an aggregating SELECT")
     if (dist) out = out.distinct()
-    // HAVING (§11.2): filter the aggregated solutions; operands resolve
-    // against the GROUP BY keys and aggregate aliases (numeric compare via
-    // the same try_cast rule as value FILTERs)
-    while (p.eatKw("HAVING")) {
-      if (aggs.isEmpty) fail("HAVING needs an aggregating SELECT")
-      p.expect("(")
-      val a = voperand(p.next())
-      val op = p.next()
-      if (!vops(op)) fail(s"unknown HAVING operator '$op' (= != < <= > >=)")
-      val f = VFilter(op, a, voperand(p.next()))
-      p.expect(")")
-      Seq(f.a, f.b).foreach {
-        case OVar(v) if !out.columns.contains(v) =>
-          fail(s"HAVING variable ?$v is neither a GROUP BY key nor an aggregate alias")
-        case _ => ()
-      }
-      out = out.filter(vcol(f, out.columns.toSet))
-    }
     if (p.eatKw("ORDER")) {
       p.expect("BY")
       val sorts = Seq.newBuilder[org.apache.spark.sql.Column]
@@ -720,6 +751,17 @@ object Sparql {
   private def varTok(p: P): String = p.next() match {
     case v if v.startsWith("?") => v.drop(1)
     case other => fail(s"expected ?var, got '$other'")
+  }
+
+  /** `( operand cmp operand )` after the HAVING keyword. */
+  private def havingFilter(p: P): VFilter = {
+    p.expect("(")
+    val a = voperand(p.next())
+    val op = p.next()
+    if (!vops(op)) fail(s"unknown HAVING operator '$op' (= != < <= > >=)")
+    val f = VFilter(op, a, voperand(p.next()))
+    p.expect(")")
+    f
   }
 
   private def askDf(t: DataFrame, p: P,
@@ -853,9 +895,16 @@ object Sparql {
             // DELETE WHERE: the pattern doubles as the deletion template, so
             // it must be a plain BGP (every solution names concrete triples)
             val b = body(p)
+            // plain = the pattern IS the deletion template, so nothing may
+            // scope or extend it: a GRAPH-scoped match with a bare-triple
+            // template would delete matched triples across ALL provenances
+            // (the store keeps one row per triple — per-graph deletes are
+            // not expressible), and subqueries/BINDs bind variables the
+            // template cannot name
             val plain = b.union.isEmpty && b.optionals.isEmpty &&
               b.minus.isEmpty && b.exists.isEmpty && b.notExists.isEmpty &&
               b.valueFilters.isEmpty && b.values.isEmpty &&
+              b.graph.isEmpty && b.subs.isEmpty && b.binds.isEmpty &&
               b.parts.forall(_.isLeft)
             if (!plain) fail("DELETE WHERE takes a plain triple pattern — use DELETE { … } WHERE { … } for a full group")
             ops += UModify(b.parts.collect { case Left(tp) => tp }, Nil, b)

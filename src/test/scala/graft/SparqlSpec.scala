@@ -242,6 +242,10 @@ class SparqlSpec extends AnyFunSuite {
       "SELECT DISTINCT ?g ?e ?al WHERE { GRAPH ?g { ?e category PER } OPTIONAL { ?al sameAs ?e } }")
       .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).getOrElse(""))).toSet
     assert(withAl === Set(("d1", "ent:1", "ent:4"), ("d2", "ent:3", "")))
+    // keyword only when shaped like a scope (GRAPH term {): a bareword
+    // 'graph' subject in a plain pattern still parses as a constant
+    assert(Sparql.query(trip, "SELECT ?o WHERE { graph inDoc ?o }")
+      .collect().isEmpty)
     // guards: no provenance column → loud; paths inside GRAPH → loud
     val noProv = trip.select("subj", "pred", "obj")
     assert(intercept[IllegalArgumentException] {
@@ -263,6 +267,12 @@ class SparqlSpec extends AnyFunSuite {
       "SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e HAVING ( ?n >= 1 ) HAVING ( ?e != ent:1 )")
       .as[(String, Long)].collect().toSet
     assert(both === Set(("ent:2", 1L), ("ent:3", 1L)))
+    // an UNPROJECTED group key can still gate (valid SPARQL: the key need
+    // not be selected) — counts of the two non-ent:1 groups survive
+    val unproj = Sparql.query(trip,
+      "SELECT ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e HAVING ( ?e != ent:1 )")
+      .as[Long].collect().sorted.toSeq
+    assert(unproj === Seq(1L, 1L))
     // guards: unknown alias, non-aggregating SELECT
     assert(intercept[IllegalArgumentException](Sparql.query(trip,
       "SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e HAVING ( ?zz > 1 )"))
@@ -309,13 +319,23 @@ class SparqlSpec extends AnyFunSuite {
         "{ SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e HAVING ( ?n >= 2 ) } }")
       .as[(String, String)].collect().toSet
     assert(having === Set(("ent:1", "PER")))
-    // guards: no shared variable; SELECT * subquery
+    // guards: no shared variable; SELECT * subquery; alias colliding with
+    // an outer binding (silent bigint-vs-string coercion otherwise); a
+    // shared variable bound only by an OPTIONAL (SQL NULL-never-joins
+    // would silently drop what SPARQL's unbound-compatible rule keeps)
     assert(intercept[IllegalArgumentException](Sparql.query(trip,
       "SELECT ?e WHERE { ?e category ?c . { SELECT ?q WHERE { ?q sameAs ?w } } }").collect())
       .getMessage.contains("shares no variable"))
     assert(intercept[IllegalArgumentException](Sparql.query(trip,
       "SELECT ?e WHERE { ?e category ?c . { SELECT * WHERE { ?e sameAs ?w } } }"))
       .getMessage.contains("no *"))
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e WHERE { ?e label ?n . { SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e } }").collect())
+      .getMessage.contains("collides"))
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ?e WHERE { ?e category ?c OPTIONAL { ?x sameAs ?e } " +
+        "{ SELECT ?x ( COUNT ( * ) AS ?cnt ) WHERE { ?x inDoc ?d } GROUP BY ?x } }").collect())
+      .getMessage.contains("OPTIONAL-bound"))
   }
 
   test("parse errors are loud and specific") {

@@ -183,6 +183,19 @@ class UpdateSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Sparql.update(spark, store, "DELETE WHERE { ?s category PER OPTIONAL { ?s inDoc ?d } }")
     }.getMessage.contains("plain"))
+    // the pattern IS the template, so nothing may scope or extend it: a
+    // GRAPH-scoped match with a bare-triple template would delete across
+    // ALL provenances; subqueries/BINDs bind vars the template cannot name
+    assert(intercept[IllegalArgumentException] {
+      Sparql.update(spark, store, "DELETE WHERE { GRAPH ?g { ?s category ?c } }")
+    }.getMessage.contains("plain"))
+    assert(intercept[IllegalArgumentException] {
+      Sparql.update(spark, store,
+        "DELETE WHERE { ?s category ?c . { SELECT ?s ( COUNT ( * ) AS ?n ) WHERE { ?s inDoc ?d } GROUP BY ?s } }")
+    }.getMessage.contains("plain"))
+    assert(intercept[IllegalArgumentException] {
+      Sparql.update(spark, store, "DELETE WHERE { ?s category ?c . BIND ( ?c AS ?k ) }")
+    }.getMessage.contains("plain"))
     assert(intercept[IllegalArgumentException] {
       Sparql.update(spark, store, "SELECT ?s WHERE { ?s category PER }")
     }.getMessage.contains("INSERT or DELETE"))
