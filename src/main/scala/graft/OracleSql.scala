@@ -178,6 +178,20 @@ ${ccClosureCtes}
        |WHERE m1.pred = 'mentions' AND m2.pred = 'mentions' AND m2.subj <> m1.subj"""
       .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
+  /** FILTER-connectives oracle (`nemo_kg_sparql_boolfilter`): the ||/&&
+    * expression replayed with SQL OR/AND — both grammars bind AND tighter,
+    * so the unparenthesized mixed tree means the same thing. */
+  def kgSparqlBoolFilter: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT DISTINCT c.subj AS a, c.obj AS c, d.obj AS d
+       |FROM trip c JOIN trip d ON d.subj = c.subj
+       |WHERE c.pred = 'category' AND d.pred = 'inDoc'
+       |  AND (c.obj = 'ORG' OR c.obj = 'PER' AND d.obj < c.subj)"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** HAVING oracle (`nemo_kg_sparql_having`): mention count per entity over
     * the solution multiset with a post-aggregation threshold — SQL HAVING
     * over the trip CTE's mentions family (UNION ALL, so duplicates count,

@@ -1604,6 +1604,16 @@ object SparkEntry {
       Sparql.query(fixtureTriples(s),
         "SELECT DISTINCT ?g ?a ?b WHERE { GRAPH ?g { ?a mentions ?x . ?b mentions ?y } . FILTER ( ?b != ?a ) }")
     }),
+    "nemo_kg_sparql_boolfilter" -> ((s, _) => {
+      // FILTER connectives (SPARQL 1.1 §17): `||`/`&&` with SQL-matching
+      // precedence (&& binds tighter) — ORG entities anywhere, or PER
+      // entities whose doc sorts below the entity id (an arbitrary but
+      // deterministic var-var compare exercising the mixed tree). DuckDB
+      // replays with OR/AND, whose precedence matches the grammar's.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT DISTINCT ?a ?c ?d WHERE { ?a category ?c . ?a inDoc ?d . FILTER ( ?c = ORG || ?c = PER && ?d < ?a ) }")
+    }),
     "nemo_kg_sparql_having" -> ((s, _) => {
       // HAVING (SPARQL 1.1 §11.2): post-aggregation restriction shipped as
       // text — mention-count-per-entity over the solution MULTISET, groups
@@ -2113,6 +2123,7 @@ object SparkEntry {
     // parsed (sameAs|^sameAs)+ (doubling) == CC-based twin == recursive CTE
     "nemo_kg_sparql_path" -> OracleSql.kgAliasReach,
     "nemo_kg_sparql_graph" -> OracleSql.kgSparqlGraph,
+    "nemo_kg_sparql_boolfilter" -> OracleSql.kgSparqlBoolFilter,
     "nemo_kg_sparql_having" -> OracleSql.kgSparqlHaving,
     "nemo_kg_sparql_bind" -> OracleSql.kgSparqlBind,
     "nemo_kg_sparql_subquery" -> OracleSql.kgSparqlSubquery,

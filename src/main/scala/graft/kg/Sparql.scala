@@ -14,7 +14,7 @@ import graft.io.TableFormat
   *
   * {{{
   * SELECT [DISTINCT] item … WHERE { body }
-  *        [GROUP BY ?v …] [HAVING ( operand cmp operand ) …]
+  *        [GROUP BY ?v …] [HAVING ( fx ) …]
   *        [ORDER BY ord …] [LIMIT n] [OFFSET n]
   * item  :=  ?v | * | ( FUNC ( [DISTINCT] ?v | * ) AS ?alias )
   * FUNC  :=  COUNT | MIN | MAX                            -- string bindings
@@ -27,10 +27,13 @@ import graft.io.TableFormat
   *        |  patterns block*                              -- conjunctive form
   * block :=  OPTIONAL { triples } | MINUS { triples }
   *        |  FILTER EXISTS { triples } | FILTER NOT EXISTS { triples }
-  *        |  FILTER ( operand cmp operand ) | FILTER [(] REGEX ( ?v , "re" ) [)]
+  *        |  FILTER ( fx ) | FILTER [(] REGEX ( ?v , "re" ) [)]
   *        |  VALUES ?v { const … }
   *        |  BIND ( operand AS ?v ) | BIND ( CONCAT ( operand [, operand …] ) AS ?v )
   *        |  { SELECT … }                                 -- subquery (§12)
+  * fx    :=  fc ( || fc )*                                -- && binds tighter
+  * fc    :=  fa ( && fa )*
+  * fa    :=  operand cmp operand | REGEX ( ?v , "re" ) | ( fx )
   * cmp   :=  = | != | < | <= | > | >=
   * }}}
   *
@@ -291,6 +294,50 @@ object Sparql {
   private final case class VFilter(op: String, a: VOperand, b: VOperand)
   private val vops = Set("=", "!=", "<", "<=", ">", ">=")
 
+  /** Boolean FILTER expression (§17 connective subset): comparisons / REGEX
+    * combined with `&&` and `||` (space-separated; `&&` binds tighter),
+    * parenthesized for grouping. Compiles to a native Column predicate tree
+    * — Catalyst pushes/splits it like any hand-written filter. */
+  private sealed trait FExpr
+  private final case class FCmp(f: VFilter) extends FExpr
+  private final case class FAnd(parts: Seq[FExpr]) extends FExpr
+  private final case class FOr(parts: Seq[FExpr]) extends FExpr
+
+  private def fexpr(p: P): FExpr = {
+    val parts = Seq.newBuilder[FExpr]
+    parts += fconj(p)
+    while (p.peek.contains("||")) { p.next(); parts += fconj(p) }
+    val ps = parts.result(); if (ps.size == 1) ps.head else FOr(ps)
+  }
+  private def fconj(p: P): FExpr = {
+    val parts = Seq.newBuilder[FExpr]
+    parts += fatom(p)
+    while (p.peek.contains("&&")) { p.next(); parts += fatom(p) }
+    val ps = parts.result(); if (ps.size == 1) ps.head else FAnd(ps)
+  }
+  private def fatom(p: P): FExpr = p.peek match {
+    case Some("(") => p.next(); val e = fexpr(p); p.expect(")"); e
+    case Some(t) if t.equalsIgnoreCase("REGEX") => p.next(); FCmp(vregexArgs(p))
+    case _ =>
+      val a = voperand(p.next())
+      val op = p.next()
+      if (!vops(op)) fail(s"unknown FILTER operator '$op' (= != < <= > >=)")
+      FCmp(VFilter(op, a, voperand(p.next())))
+  }
+
+  private def fvars(e: FExpr): Seq[String] = e match {
+    case FCmp(f)  => Seq(f.a, f.b).collect { case OVar(v) => v }
+    case FAnd(ps) => ps.flatMap(fvars)
+    case FOr(ps)  => ps.flatMap(fvars)
+  }
+
+  private def fcol(e: FExpr, bound: Set[String]): org.apache.spark.sql.Column =
+    e match {
+      case FCmp(f)  => vcol(f, bound)
+      case FAnd(ps) => ps.map(fcol(_, bound)).reduceLeft(_ && _)
+      case FOr(ps)  => ps.map(fcol(_, bound)).reduceLeft(_ || _)
+    }
+
   /** A parsed subquery: its token slice (re-run through [[select]] against
     * the store at evaluation time — parse-only contexts like update scripts
     * never need a frame), its projected variable names (for the enclosing
@@ -303,7 +350,7 @@ object Sparql {
   private final case class Body(union: Seq[Seq[Tp]], parts: Seq[Part],
                                 optionals: Seq[Seq[Tp]], minus: Seq[Seq[Tp]],
                                 exists: Seq[Seq[Tp]], notExists: Seq[Seq[Tp]],
-                                valueFilters: Seq[VFilter] = Nil,
+                                valueFilters: Seq[FExpr] = Nil,
                                 values: Seq[(String, Seq[String])] = Nil,
                                 graph: Option[Term] = None,
                                 subs: Seq[Sub] = Nil,
@@ -357,7 +404,7 @@ object Sparql {
       val (opts, mins, exs, nexs) =
         (Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]],
          Seq.newBuilder[Seq[Tp]], Seq.newBuilder[Seq[Tp]])
-      val vfs = Seq.newBuilder[VFilter]
+      val vfs = Seq.newBuilder[FExpr]
       val vls = Seq.newBuilder[(String, Seq[String])]
       val sbs = Seq.newBuilder[Sub]
       val bds = Seq.newBuilder[(String, Seq[VOperand])]
@@ -435,19 +482,12 @@ object Sparql {
           p.peek.map(_.toUpperCase) match {
             case Some("NOT")    => p.next(); p.expect("EXISTS"); nexs += bracedTriples(p)
             case Some("EXISTS") => p.next(); exs += bracedTriples(p)
-            case Some("REGEX")  => p.next(); vfs += vregexArgs(p)
+            case Some("REGEX")  => p.next(); vfs += FCmp(vregexArgs(p))
             case Some("(") =>
               p.next()
-              val f =
-                if (p.peek.exists(_.equalsIgnoreCase("REGEX"))) { p.next(); vregexArgs(p) }
-                else {
-                  val a = voperand(p.next())
-                  val op = p.next()
-                  if (!vops(op)) fail(s"unknown FILTER operator '$op' (= != < <= > >=)")
-                  VFilter(op, a, voperand(p.next()))
-                }
+              val e = fexpr(p)
               p.expect(")")
-              vfs += f
+              vfs += e
             case other => fail(s"FILTER needs EXISTS, NOT EXISTS, REGEX or ( comparison ), got '${other.getOrElse("end of input")}'")
           }
         case _ => going = false
@@ -579,7 +619,7 @@ object Sparql {
         else d.filter(col(v).isin(vs: _*))
       }
       val filtered =
-        b.valueFilters.foldLeft(withValues)((d, f) => d.filter(vcol(f, bound)))
+        b.valueFilters.foldLeft(withValues)((d, f) => d.filter(fcol(f, bound)))
       if (distinctRows && filtered.columns.nonEmpty) filtered.distinct()
       else filtered
     }
@@ -709,12 +749,11 @@ object Sparql {
         // (numeric compare via the same try_cast rule as value FILTERs)
         while (p.eatKw("HAVING")) {
           val f = havingFilter(p)
-          Seq(f.a, f.b).foreach {
-            case OVar(v) if !agged.columns.contains(v) =>
+          fvars(f).foreach { v =>
+            if (!agged.columns.contains(v))
               fail(s"HAVING variable ?$v is neither a GROUP BY key nor an aggregate alias")
-            case _ => ()
           }
-          agged = agged.filter(vcol(f, agged.columns.toSet))
+          agged = agged.filter(fcol(f, agged.columns.toSet))
         }
         // restore the SELECT clause's own item order
         agged.select(items.map { case PlainVar(v) => col(v); case a: Agg => col(a.alias) }: _*)
@@ -753,15 +792,13 @@ object Sparql {
     case other => fail(s"expected ?var, got '$other'")
   }
 
-  /** `( operand cmp operand )` after the HAVING keyword. */
-  private def havingFilter(p: P): VFilter = {
+  /** `( fx )` after the HAVING keyword — same connective expression
+    * grammar as value FILTERs. */
+  private def havingFilter(p: P): FExpr = {
     p.expect("(")
-    val a = voperand(p.next())
-    val op = p.next()
-    if (!vops(op)) fail(s"unknown HAVING operator '$op' (= != < <= > >=)")
-    val f = VFilter(op, a, voperand(p.next()))
+    val e = fexpr(p)
     p.expect(")")
-    f
+    e
   }
 
   private def askDf(t: DataFrame, p: P,

@@ -330,6 +330,48 @@ class PatternFuzzSpec extends AnyFunSuite {
       case C(c) => c
     }.mkString(" ")).mkString(" . ")
 
+  test("FILTER connectives equal naive boolean evaluation (random &&/|| trees)") {
+    // random expression trees over string comparisons; `&&` binds tighter
+    // than `||` in the grammar, and the generator emits explicit parens for
+    // every composite, so the naive recursive eval is the unambiguous model
+    val r = new Random(20260910)
+    val ops = Seq("=", "!=", "<", ">=")
+    def cmp(op: String, a: String, b: String): Boolean = op match {
+      case "="  => a == b
+      case "!=" => a != b
+      case "<"  => a < b
+      case ">=" => a >= b
+    }
+    sealed trait E
+    case class Leaf(v: String, op: String, rhs: String) extends E
+    case class Node(and: Boolean, l: E, rr: E) extends E
+    def genE(depth: Int, vs: Seq[String]): E =
+      if (depth == 0 || r.nextInt(3) == 0)
+        Leaf(vs(r.nextInt(vs.size)), ops(r.nextInt(ops.size)),
+          objects(r.nextInt(objects.size)))
+      else Node(r.nextBoolean(), genE(depth - 1, vs), genE(depth - 1, vs))
+    def text(e: E): String = e match {
+      case Leaf(v, op, rhs) => s"?$v $op $rhs"
+      case Node(and, l, rr) => s"( ${text(l)} ) ${if (and) "&&" else "||"} ( ${text(rr)} )"
+    }
+    def ev(e: E, m: Sol): Boolean = e match {
+      case Leaf(v, op, rhs) => cmp(op, m(v), rhs)
+      case Node(true, l, rr)  => ev(l, m) && ev(rr, m)
+      case Node(false, l, rr) => ev(l, m) || ev(rr, m)
+    }
+    for (round <- 0 until 25) {
+      val store = randStore(r)
+      val bgp = randBgp(r, r.nextInt(2) + 1)
+      val vs = vars(bgp)
+      val e = genE(2, vs)
+      val q = s"SELECT DISTINCT ${vs.map("?" + _).mkString(" ")} WHERE { ${patStr(bgp)} " +
+        s"FILTER ( ${text(e)} ) }"
+      val got = collectDf(graft.kg.Sparql.query(df(store), q))
+      val want = canon(evalBgp(store, bgp).filter(ev(e, _)), vs)
+      assert(got === want, s"round $round q=$q store=$store")
+    }
+  }
+
   test("HAVING equals the naive post-aggregation filter") {
     val r = new Random(20260901)
     for (round <- 0 until 20) {

@@ -118,7 +118,10 @@ class RobustnessSpec extends AnyFunSuite {
       "FILTER", "EXISTS", "NOT", "UNION", "VALUES", "GROUP", "BY", "ORDER",
       "LIMIT", "OFFSET", "DISTINCT", "REGEX", "{", "}", "(", ")", ".", ",",
       "?a", "?b", "?", "p0", "p1+", "^p0", "p0|p1", "s1", "\"q\"", "'u'",
-      "=", "!=", "<", ">=", "COUNT", "SUM", "AS", "*", "10", "zz")
+      "=", "!=", "<", ">=", "COUNT", "SUM", "AS", "*", "10", "zz",
+      // round-5 grammar growth: GRAPH scopes, subqueries, BIND, HAVING,
+      // boolean connectives — same totality property must hold
+      "GRAPH", "BIND", "HAVING", "CONCAT", "&&", "||")
     var parsed = 0
     for (round <- 0 until 300) {
       val q = Seq.fill(r.nextInt(14) + 1)(frags(r.nextInt(frags.length)))

@@ -305,6 +305,38 @@ class SparqlSpec extends AnyFunSuite {
       .getMessage.contains("not bound"))
   }
 
+  test("FILTER connectives: || and && with precedence, grouping, REGEX; HAVING takes them") {
+    val or = Sparql.query(trip,
+      "SELECT DISTINCT ?e ?c ?d WHERE { ?e category ?c . ?e inDoc ?d . FILTER ( ?c = ORG || ?d = d2 ) }")
+      .as[(String, String, String)].collect().toSet
+    assert(or === Set(("ent:2", "ORG", "d1"), ("ent:1", "PER", "d2"),
+      ("ent:3", "PER", "d2")))
+    val and = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category ?c . ?e inDoc ?d . FILTER ( ?c = PER && ?d = d1 ) }")
+      .as[String].collect().toSet
+    assert(and === Set("ent:1"))
+    // && binds tighter than ||: ORG-anywhere OR (PER on d2)
+    val prec = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category ?c . ?e inDoc ?d . FILTER ( ?c = ORG || ?c = PER && ?d = d2 ) }")
+      .as[String].collect().toSet
+    assert(prec === Set("ent:1", "ent:2", "ent:3"))
+    // explicit parens override: (ORG or PER) AND d2 — drops ent:2
+    val grouped = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category ?c . ?e inDoc ?d . FILTER ( ( ?c = ORG || ?c = PER ) && ?d = d2 ) }")
+      .as[String].collect().toSet
+    assert(grouped === Set("ent:1", "ent:3"))
+    // REGEX composes as an atom
+    val rx = Sparql.query(trip,
+      "SELECT DISTINCT ?e WHERE { ?e category ?c . FILTER ( REGEX ( ?e , \"[13]$\" ) && ?c = PER ) }")
+      .as[String].collect().toSet
+    assert(rx === Set("ent:1", "ent:3"))
+    // HAVING shares the expression grammar
+    val hav = Sparql.query(trip,
+      "SELECT ?e ( COUNT ( * ) AS ?n ) WHERE { ?e inDoc ?d } GROUP BY ?e HAVING ( ?n >= 2 || ?e = ent:3 )")
+      .as[(String, Long)].collect().toSet
+    assert(hav === Set(("ent:1", 2L), ("ent:3", 1L)))
+  }
+
   test("subqueries join the group on shared projected variables") {
     // aggregate-inside-a-pattern: categories of entities in ≥2 docs
     val got = Sparql.query(trip,

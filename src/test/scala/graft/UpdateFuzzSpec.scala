@@ -123,7 +123,8 @@ class UpdateFuzzSpec extends AnyFunSuite {
   test("update parser totality: adversarial strings fail loudly, never crash or hang") {
     val rnd = new Random(42)
     val frags = Vector("INSERT", "DELETE", "DATA", "WHERE", "{", "}", ";", ".",
-      "?s", "?o", "p0", "e1", "\"q\"", "(", ")", "FILTER", "OPTIONAL", "=")
+      "?s", "?o", "p0", "e1", "\"q\"", "(", ")", "FILTER", "OPTIONAL", "=",
+      "GRAPH", "BIND", "SELECT", "AS", "&&", "||")
     var parsed = 0
     for (_ <- 0 until 400) {
       val text = Seq.fill(1 + rnd.nextInt(12))(frags(rnd.nextInt(frags.size)))
