@@ -192,6 +192,20 @@ ${ccClosureCtes}
        |  AND (c.obj = 'ORG' OR c.obj = 'PER' AND d.obj < c.subj)"""
       .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
 
+  /** GROUP_CONCAT/SAMPLE oracle (`nemo_kg_sparql_groupconcat`): the
+    * engine's sorted-group determinism replayed with string_agg(… ORDER BY)
+    * over a distinct subselect (the DISTINCT composes before the sort on
+    * both sides); SAMPLE's deterministic pick is MIN. */
+  def kgSparqlGroupConcat: String =
+    s"""${triplesPrefix("")},
+       |trip AS (
+       |${tripUnionSelect}
+       |)
+       |SELECT d, string_agg(e, ',' ORDER BY e) AS ents, MIN(e) AS one
+       |FROM (SELECT DISTINCT obj AS d, subj AS e FROM trip WHERE pred = 'inDoc')
+       |GROUP BY d"""
+      .stripMargin.replaceFirst("WITH s AS", "WITH RECURSIVE s AS")
+
   /** HAVING oracle (`nemo_kg_sparql_having`): mention count per entity over
     * the solution multiset with a post-aggregation threshold — SQL HAVING
     * over the trip CTE's mentions family (UNION ALL, so duplicates count,

@@ -1604,6 +1604,15 @@ object SparkEntry {
       Sparql.query(fixtureTriples(s),
         "SELECT DISTINCT ?g ?a ?b WHERE { GRAPH ?g { ?a mentions ?x . ?b mentions ?y } . FILTER ( ?b != ?a ) }")
     }),
+    "nemo_kg_sparql_groupconcat" -> ((s, _) => {
+      // GROUP_CONCAT + SAMPLE (SPARQL 1.1 §11.4): per-doc entity rosters.
+      // The spec leaves element order undefined; this engine SORTS the group
+      // (the only deterministic answer a distributed run can promise), so
+      // DuckDB replays with string_agg(... ORDER BY) over the same rows.
+      import graft.kg.Sparql
+      Sparql.query(fixtureTriples(s),
+        "SELECT ?d (GROUP_CONCAT(DISTINCT ?e) AS ?ents) (SAMPLE(?e) AS ?one) WHERE { ?e inDoc ?d } GROUP BY ?d")
+    }),
     "nemo_kg_sparql_boolfilter" -> ((s, _) => {
       // FILTER connectives (SPARQL 1.1 §17): `||`/`&&` with SQL-matching
       // precedence (&& binds tighter) — ORG entities anywhere, or PER
@@ -2124,6 +2133,7 @@ object SparkEntry {
     "nemo_kg_sparql_path" -> OracleSql.kgAliasReach,
     "nemo_kg_sparql_graph" -> OracleSql.kgSparqlGraph,
     "nemo_kg_sparql_boolfilter" -> OracleSql.kgSparqlBoolFilter,
+    "nemo_kg_sparql_groupconcat" -> OracleSql.kgSparqlGroupConcat,
     "nemo_kg_sparql_having" -> OracleSql.kgSparqlHaving,
     "nemo_kg_sparql_bind" -> OracleSql.kgSparqlBind,
     "nemo_kg_sparql_subquery" -> OracleSql.kgSparqlSubquery,

@@ -16,9 +16,10 @@ import graft.io.TableFormat
   * SELECT [DISTINCT] item … WHERE { body }
   *        [GROUP BY ?v …] [HAVING ( fx ) …]
   *        [ORDER BY ord …] [LIMIT n] [OFFSET n]
-  * item  :=  ?v | * | ( FUNC ( [DISTINCT] ?v | * ) AS ?alias )
-  * FUNC  :=  COUNT | MIN | MAX                            -- string bindings
+  * item  :=  ?v | * | ( FUNC ( [DISTINCT] ?v | * [, "sep"] ) AS ?alias )
+  * FUNC  :=  COUNT | MIN | MAX | SAMPLE                   -- string bindings
   *        |  SUM | AVG                                    -- try_cast-double
+  *        |  GROUP_CONCAT                                 -- sorted + joined
   * ord   :=  ?v | ASC ( ?v ) | DESC ( ?v )
   * ASK [WHERE] { body }
   * CONSTRUCT { triples } WHERE { body }
@@ -629,9 +630,11 @@ object Sparql {
   private sealed trait Item
   private final case class PlainVar(v: String) extends Item
   private final case class Agg(func: String, dist: Boolean,
-                               arg: Option[String], alias: String) extends Item
+                               arg: Option[String], alias: String,
+                               sep: Option[String] = None) extends Item
 
-  private val aggFns = Set("COUNT", "MIN", "MAX", "SUM", "AVG")
+  private val aggFns =
+    Set("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE")
 
   private def selectItems(p: P): (Seq[Item], Boolean) = {
     val items = Seq.newBuilder[Item]
@@ -643,7 +646,7 @@ object Sparql {
       case Some("(") =>
         p.next()
         val fn = p.next().toUpperCase
-        if (!aggFns.contains(fn)) fail(s"unknown aggregate '$fn' (COUNT, MIN, MAX, SUM, AVG)")
+        if (!aggFns.contains(fn)) fail(s"unknown aggregate '$fn' (COUNT, MIN, MAX, SUM, AVG, GROUP_CONCAT, SAMPLE)")
         p.expect("(")
         val dist = p.eatKw("DISTINCT")
         val arg = p.next() match {
@@ -651,6 +654,15 @@ object Sparql {
           case v if v.startsWith("?") => Some(v.drop(1))
           case other => fail(s"aggregate argument must be ?var or *, got '$other'")
         }
+        // GROUP_CONCAT ( ?v [, "sep"] ) — the separator must be a constant
+        val sep =
+          if (fn == "GROUP_CONCAT" && p.peek.contains(",")) {
+            p.next()
+            term(p.next()) match {
+              case C(c) => Some(c)
+              case V(x) => fail(s"GROUP_CONCAT separator must be a constant, got ?$x")
+            }
+          } else None
         p.expect(")")
         p.expect("AS")
         val alias = p.next() match {
@@ -658,7 +670,7 @@ object Sparql {
           case other => fail(s"AS needs a ?alias, got '$other'")
         }
         p.expect(")")
-        items += Agg(fn, dist, arg, alias)
+        items += Agg(fn, dist, arg, alias, sep)
       case _ => going = false
     }
     (items.result(), star)
@@ -736,7 +748,15 @@ object Sparql {
           case ("AVG", Some(v), false) =>
             avg(col(v).try_cast("double")).as(a.alias)
           case ("AVG", _, true) => fail("AVG DISTINCT is not supported")
-
+          // §11.4 GROUP_CONCAT: the spec leaves element order undefined —
+          // this engine SORTS the group for a deterministic answer (the only
+          // kind a distributed run can promise); DISTINCT composes before
+          // the sort. SAMPLE's "pick any one" is MIN, same determinism rule.
+          case ("GROUP_CONCAT", Some(v), d) =>
+            val xs = collect_list(col(v))
+            array_join(sort_array(if (d) array_distinct(xs) else xs),
+              a.sep.getOrElse(",")).as(a.alias)
+          case ("SAMPLE", Some(v), _) => min(col(v)).as(a.alias)
           case _ => fail(s"${a.func} needs a ?var argument")
         }
         var agged =

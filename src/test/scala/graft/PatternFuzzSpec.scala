@@ -310,14 +310,18 @@ class PatternFuzzSpec extends AnyFunSuite {
           case C(c) => c
         }.mkString(" ")).mkString(" . ")
         val q = s"SELECT ?$g ( COUNT ( * ) AS ?agg_n ) ( COUNT ( DISTINCT ?$x ) AS ?agg_d ) " +
-          s"( MIN ( ?$x ) AS ?agg_lo ) ( MAX ( ?$x ) AS ?agg_hi ) WHERE { $pat } GROUP BY ?$g"
+          s"( MIN ( ?$x ) AS ?agg_lo ) ( MAX ( ?$x ) AS ?agg_hi ) " +
+          s"""( GROUP_CONCAT ( DISTINCT ?$x , "/" ) AS ?agg_gc ) ( SAMPLE ( ?$x ) AS ?agg_s ) """ +
+          s"WHERE { $pat } GROUP BY ?$g"
         val got = graft.kg.Sparql.query(df(store), q).collect()
           .map(row => row.getString(0) ->
-            ((row.getLong(1), row.getLong(2), row.getString(3), row.getString(4))))
+            ((row.getLong(1), row.getLong(2), row.getString(3), row.getString(4),
+              row.getString(5), row.getString(6))))
           .toMap
         val want = evalBgp(store, bgp).groupBy(_(g)).map { case (k, sols) =>
           val xs = sols.map(_(x))
-          k -> ((xs.size.toLong, xs.distinct.size.toLong, xs.min, xs.max))
+          k -> ((xs.size.toLong, xs.distinct.size.toLong, xs.min, xs.max,
+            xs.distinct.sorted.mkString("/"), xs.min))
         }
         assert(got === want, s"round $round q=$q store=$store")
       }

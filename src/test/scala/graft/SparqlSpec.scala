@@ -305,6 +305,27 @@ class SparqlSpec extends AnyFunSuite {
       .getMessage.contains("not bound"))
   }
 
+  test("GROUP_CONCAT sorts for determinism; SAMPLE is the deterministic pick; separator forms") {
+    val got = Sparql.query(trip,
+      "SELECT ?d ( GROUP_CONCAT ( ?e ) AS ?ents ) ( SAMPLE ( ?e ) AS ?one ) WHERE { ?e inDoc ?d } GROUP BY ?d")
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(("d1", "ent:1,ent:2", "ent:1"), ("d2", "ent:1,ent:3", "ent:1")))
+    // custom separator; DISTINCT composes before the sort (multiset input:
+    // the category join duplicates nothing here, so use inDoc ×2 patterns)
+    val sep = Sparql.query(trip,
+      "SELECT ( GROUP_CONCAT ( DISTINCT ?e , \"|\" ) AS ?all ) WHERE { ?e inDoc ?d }")
+      .as[String].collect().head
+    assert(sep === "ent:1|ent:2|ent:3")
+    // non-distinct keeps multiset copies (ent:1 is in two docs)
+    val multi = Sparql.query(trip,
+      "SELECT ( GROUP_CONCAT ( ?e ) AS ?all ) WHERE { ?e inDoc ?d }")
+      .as[String].collect().head
+    assert(multi === "ent:1,ent:1,ent:2,ent:3")
+    assert(intercept[IllegalArgumentException](Sparql.query(trip,
+      "SELECT ( GROUP_CONCAT ( ?e , ?s ) AS ?x ) WHERE { ?e inDoc ?d }"))
+      .getMessage.contains("separator must be a constant"))
+  }
+
   test("FILTER connectives: || and && with precedence, grouping, REGEX; HAVING takes them") {
     val or = Sparql.query(trip,
       "SELECT DISTINCT ?e ?c ?d WHERE { ?e category ?c . ?e inDoc ?d . FILTER ( ?c = ORG || ?d = d2 ) }")
