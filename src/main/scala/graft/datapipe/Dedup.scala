@@ -134,9 +134,9 @@ object Dedup {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp_hash"))
       .distinct() // a hash selected at several positions is ONE shared gram
-    val buckets = fps.groupBy("fp_hash")
+      .localCheckpoint(false) // two-pass bucketing reads the selections twice
+    val buckets = boundedBuckets(fps, Seq("fp_hash"), maxBucket)
       .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
     bucketPairRows(buckets, "ids")
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared_fps"))
@@ -265,9 +265,8 @@ object Dedup {
       .select(col("id"), col("pos").as("band"), col("col").as("slice"))
     // the band slice itself is the bucket key (arrays group fine; no extra
     // hash layer to replicate in the oracle)
-    val buckets = banded.groupBy("band", "slice")
+    val buckets = boundedBuckets(banded, Seq("band", "slice"), maxBucket)
       .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
     val pairs = bucketPairRows(buckets, "ids").distinct()
     pairs
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
@@ -276,6 +275,37 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
       .filter(col("inter") * 10000L >= col("uni") * thresholdBp)
       .select(col("id_a"), col("id_b"), expr("inter * 10000 div uni").as("jaccard_bp"))
+  }
+
+  /** TWO-PASS bounded bucket build — the hot-key guard shared by every LSH
+    * banding path (winnow / MinHash / Hamming): count members per bucket key
+    * first (constant aggregation state per key, map-side combined — a
+    * corpus-scale hot key is a few count rows per map task), keep only keys
+    * with `[2, maxBucket]` members, then LEFT-SEMI join the member stream
+    * against the surviving keys BEFORE any `collect_list`. The returned
+    * [[org.apache.spark.sql.RelationalGroupedDataset]] is ready for the
+    * caller's collect aggregate, whose per-key buffer is now ≤ maxBucket by
+    * construction.
+    *
+    * Why not filter AFTER collect_list (the previous shape): the filter
+    * bounds pair EMISSION but not aggregation STATE — a stop-gram
+    * fingerprint shared by 10⁹ docs materializes the full membership array
+    * in one aggregation buffer before the size filter drops it (the
+    * sort-based fallback spills the build, but the finalized array row must
+    * still assemble → executor OOM at corpus scale). Here hot-key member
+    * rows never reach the collect exchange at all. Bucket membership is
+    * IDENTICAL: count-per-key equals the old list size (members are distinct
+    * per key upstream), so the surviving key set and their collected members
+    * are row-for-row the same, and every downstream consumer sorts the
+    * bucket, so collect order is immaterial. */
+  private[datapipe] def boundedBuckets(members: DataFrame, keyCols: Seq[String],
+                                       maxBucket: Int) = {
+    val keep = members.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bb_n"))
+      .filter(col("_bb_n").between(2, maxBucket))
+      .select(keyCols.map(col): _*)
+    members.join(keep, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
   }
 
   /** Within-bucket ordered pairs (id_a < id_b) as ROWS, pure Catalyst and
@@ -411,9 +441,12 @@ object Dedup {
     val banded = sh.select(col("id"), col("sim"),
       posexplode(expr("transform(sequence(0,3), b -> (sim >> (b*12)) & 4095)")))
       .select(col("id"), col("sim"), col("pos").as("band"), col("col").as("chunk"))
-    val buckets = banded.groupBy("band", "chunk")
+      // lazy cut: the two-pass bucketing below reads the banded stream twice,
+      // and the upstream signature build (simhashUdf / media decode+aHash) is
+      // the expensive part — it must run once, not once per pass
+      .localCheckpoint(false)
+    val buckets = boundedBuckets(banded, Seq("band", "chunk"), maxBucket)
       .agg(collect_list(struct(col("id"), col("sim"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
     // ordered within-bucket pairs + Hamming distance, pure Catalyst (struct
     // sort_array orders by id first — generic over the id type, no UDF).
     // The sorted bucket is PROJECTED to an attribute and two Generate stages

@@ -441,9 +441,12 @@ object Similarity {
     val banded = sigs.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> (sig >> (b * $rows)) & $mask)")))
       .select(col("id"), col("pos").as("band"), col("col").as("chunk"))
-    val buckets = banded.groupBy("band", "chunk")
+    // two-pass bounded bucket build (Dedup.boundedBuckets): hot keys are
+    // count-filtered BEFORE the collect_list, so no aggregation buffer ever
+    // materializes an over-cap membership array (same membership — see the
+    // helper's equivalence note)
+    val buckets = Dedup.boundedBuckets(banded, Seq("band", "chunk"), maxBucket)
       .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
     // ordered within-bucket pairs, pure Catalyst and id-type-generic
     // (Dedup.bucketPairRows: projected sort + two Generates — no UDF
     // boundary, no per-pair re-sort, O(k) peak memory per bucket)

@@ -153,8 +153,13 @@ object TableFormat {
     val countsJson = counts.map { case (b, n) => s""""$b": $n""" }.mkString("{", ", ", "}")
     val metrics = s"""{"rows": ${counts.map(_._2).sum}, "files": $nFiles, """ +
       s""""bytes": $nBytes, "write_ms": $writeMs}"""
+    // JSON-escape quotes/backslashes in the flat fields: untrusted strings
+    // (the HTTP surface's update_id stamp) ride here, and an unescaped quote
+    // would corrupt the store's completeness marker. readManifest's field
+    // regex already unescapes \" and \\ symmetrically.
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val kv = (fields + ("wall_ms" -> System.currentTimeMillis().toString))
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }.mkString(", ")
     val json = s"""{$kv, "partition_rows": $countsJson, "metrics": $metrics, "complete": true}"""
     // Atomic publish: the manifest is the stage's "complete" marker, so a
     // crash mid-write must not leave a readable half manifest (resume would

@@ -39,9 +39,12 @@ object Bfs {
     require(maxRounds >= 0, s"need maxRounds >= 0, got $maxRounds")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .na.drop().filter(col("src") =!= col("dst"))
+    // repartition on the frontier-join key FIRST, then dedup — the
+    // partition-local distinct plans no exchange of its own; one edge
+    // shuffle instead of two (the PageRank/LabelProp static-build fusion)
     val sym = e.union(e.select(col("dst"), col("src")))
-      .distinct()
       .repartition(col("src"))
+      .distinct()
       .localCheckpoint()
     var visited = seeds.select(col("id").cast("long")).na.drop().distinct()
       .select(col("id"), lit(0).as("level"))

@@ -39,10 +39,14 @@ object KCore {
     require(rounds >= 1, s"need at least one peel round, got $rounds")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .na.drop().filter(col("src") =!= col("dst"))
+    // repartition on the join key FIRST, then dedup — the partition-local
+    // distinct is globally complete (same-key rows co-located) and plans no
+    // exchange of its own; one edge shuffle instead of two (the
+    // PageRank/LabelProp static-build fusion)
     val sym = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
-      .distinct()
       .repartition(col("u"))
+      .distinct()
       .persist()
     var alive = sym.select(col("u")).distinct()
     for (_ <- 1 to rounds) {

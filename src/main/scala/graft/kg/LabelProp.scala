@@ -45,10 +45,16 @@ object LabelProp {
     // carry no community information and are dropped
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .na.drop().filter(col("src") =!= col("dst"))
+    // repartition on the iteration key FIRST, then dedup: rows sharing
+    // (src, dst) share src, so the partition-local distinct is globally
+    // complete and needs no exchange of its own (HashPartitioning(src)
+    // satisfies ClusteredDistribution(src, dst)) — one edge shuffle where
+    // the previous distinct-then-repartition shape paid two
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .repartition(col("src"))
+      .distinct()
       .persist()
+    // sym is partitioned on src, so this distinct is also partition-local
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
     var iter = 0

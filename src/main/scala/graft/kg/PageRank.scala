@@ -48,31 +48,41 @@ object PageRank {
           allReceive: Boolean = false): DataFrame = {
     require(scale % 100L == 0L, "scale must be a multiple of 100")
     require(iterations >= 1 && checkpointEvery >= 1)
-    // static build, fused: dedup (one shuffle on (src,dst)), then one
-    // repartition onto the iteration key and the out-degree as a full-frame
-    // window count over that SAME partitioning — no separate groupBy
-    // aggregate and no deg join, which would each shuffle the edge set again
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // static build, fused into ONE exchange: repartition onto the iteration
+    // key FIRST, then dedup — rows sharing (src, dst) share src, so the
+    // partition-local distinct is globally complete and Catalyst plans no
+    // second exchange for it (HashPartitioning(src) satisfies the
+    // aggregate's ClusteredDistribution(src, dst)); the out-degree is a
+    // full-frame window count over that SAME partitioning. The previous
+    // shape (distinct, then repartition) exchanged the edge set twice.
+    val e2 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
       .distinct()
-    val e2 = e.repartition(col("src"))
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .persist()
-    // under allReceive every vertex occurs as a dst, so the vertex set needs
-    // only the dst side — half the distinct input
-    val verts = (if (allReceive) e2.select(col("dst").as("node"))
-                 else e2.select(col("src").as("node"))
-                   .union(e2.select(col("dst").as("node"))))
-      .distinct()
-      .repartition(col("node")).persist()
+    // the vertex set only exists to seed iteration 1 and (without
+    // allReceive) to hand teleport-only rank to in-degree-0 nodes; under
+    // allReceive it is never built at all — see the iteration-1 fusion below
+    val verts = if (allReceive) null
+      else e2.select(col("src").as("node"))
+        .union(e2.select(col("dst").as("node")))
+        .distinct()
+        .repartition(col("node")).persist()
     val teleport = 15L * scale / 100L
 
-    var ranks = verts.withColumn("rank", lit(scale))
+    // iteration 1 fused: the initial rank is the CONSTANT `scale` on every
+    // vertex, so the first edge⋈rank join is an identity — contribs are
+    // `scale div deg` straight off the edge set (identical result, one join
+    // stage and the whole verts build saved under allReceive)
+    var ranks: DataFrame = null
     var iter = 0
     while (iter < iterations) {
-      val contribs = e2
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+      val contribs = (if (iter == 0)
+          e2.select(col("dst").as("node"), expr(s"${scale}L div deg").as("contrib"))
+        else e2
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("rank div deg").as("contrib")))
         .groupBy("node").agg(sum("contrib").as("inc"))
       val joined = if (allReceive) contribs
         else verts.join(contribs, Seq("node"), "left")
@@ -87,7 +97,7 @@ object PageRank {
     // result and the static persisted sets can be dropped immediately
     val out = ranks.localCheckpoint()
     e2.unpersist(false)
-    verts.unpersist(false)
+    if (verts != null) verts.unpersist(false)
     out
   }
 }

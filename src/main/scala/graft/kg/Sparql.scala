@@ -752,6 +752,9 @@ object Sparql {
           // this engine SORTS the group for a deterministic answer (the only
           // kind a distributed run can promise); DISTINCT composes before
           // the sort. SAMPLE's "pick any one" is MIN, same determinism rule.
+          // Documented divergence: the default separator is ',' where
+          // §18.5.1.7 specifies a single space — pinned by the oracle, so
+          // callers wanting the spec default pass SEPARATOR=" " explicitly.
           case ("GROUP_CONCAT", Some(v), d) =>
             val xs = collect_list(col(v))
             array_join(sort_array(if (d) array_distinct(xs) else xs),
@@ -786,7 +789,10 @@ object Sparql {
       val sorts = Seq.newBuilder[org.apache.spark.sql.Column]
       var going = true
       while (going) p.peek.map(_.toUpperCase) match {
-        case Some(v) if v.startsWith("?") => p.next(); sorts += col(v.drop(1)).asc
+        // sort on the RAW token, not the uppercased match key — `ORDER BY
+        // ?myVar` must reference myVar (the uppercased name only worked by
+        // luck of spark.sql.caseSensitive=false)
+        case Some(v) if v.startsWith("?") => sorts += col(p.next().drop(1)).asc
         case Some("ASC")  => p.next(); p.expect("("); sorts += col(varTok(p)).asc;  p.expect(")")
         case Some("DESC") => p.next(); p.expect("("); sorts += col(varTok(p)).desc; p.expect(")")
         case _ => going = false
@@ -1016,8 +1022,14 @@ object Sparql {
     * its lineage, so a replay of the same id skips ops the manifest already
     * recorded and a crash between ops resumes at the first uncommitted one.
     * Idempotence of the ops themselves (set-semantics insert/delete) covers
-    * the crash WINDOW — a re-run of an op whose manifest publish never
-    * landed converges to the same state. */
+    * the crash WINDOW for DATA ops and for modify-forms whose WHERE is
+    * insensitive to the op's own delta. Restriction (documented, not
+    * enforced): a modify op whose WHERE matches rows the op itself writes
+    * or deletes (e.g. `DELETE { ?a p ?b } INSERT { ?b p ?a } WHERE
+    * { ?a p ?b }`) re-evaluates WHERE against the partially-committed state
+    * on such a replay and may re-apply a DIFFERENT delta; making that safe
+    * needs the instantiated delta snapshotted before the store write (the
+    * Iceberg-snapshot upgrade point). */
   def update(spark: SparkSession, storePath: String, text: String,
              updateId: Option[String] = None,
              stats: Option[Map[String, Long]] = None): Seq[Update.Report] = {

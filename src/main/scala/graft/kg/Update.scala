@@ -40,7 +40,9 @@ import scala.jdk.CollectionConverters._
   *
   * Lineage: the manifest's per-leaf row counts are MERGED — untouched
   * leaves inherit their write-time counts with no re-scan, touched leaves
-  * are re-counted from just-written parquet footers, and file/byte
+  * carry the per-leaf counts of the exact survivor rows written (one
+  * aggregate over the checkpointed survivor frame — equal to a footer
+  * recount, without re-opening the just-written files), and file/byte
   * metrics merge from walks of the touched leaf directories only. The
   * publish stays atomic (temp + rename), so a crash mid-update leaves the
   * OLD manifest intact and re-running the update is the recovery rule;
@@ -167,8 +169,15 @@ object Update {
       .withColumn(bcol, leafOf)
       .repartition(col("pred"), col(bcol)) // one file per leaf per update
       .localCheckpoint()
-    val written = surv.select(col("pred"), col(bcol)).distinct()
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    // ONE aggregate over the checkpointed survivors yields both the
+    // written-leaf set AND the per-leaf row counts the merged manifest needs
+    // — the write below persists exactly these rows, so counting surv now
+    // equals the old post-write footer recount, minus one distinct-collect
+    // job and one parquet re-read job per op
+    val leafCounts = surv.groupBy(col("pred"), col(bcol)).count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val written = leafCounts.map(t => (t._1, t._2))
 
     if (written.nonEmpty)
       surv.write.mode(SaveMode.Overwrite)
@@ -186,25 +195,21 @@ object Update {
         finally walk.close()
       }
       val parent = dir.getParent // pred=<v> dir: drop it when emptied
-      if (Files.exists(parent) && !Files.list(parent).iterator().hasNext)
-        Files.delete(parent)
+      if (Files.exists(parent)) {
+        // close the listing stream — a leaked directory handle per emptied
+        // leaf accumulates open descriptors in a long-running store listener
+        val ls = Files.list(parent)
+        val empty = try !ls.iterator().hasNext finally ls.close()
+        if (empty) Files.delete(parent)
+      }
     }
     spark.catalog.refreshByPath(storePath)
     graft.plans.BucketPrune.invalidate(storePath)
 
-    // merged lineage: untouched leaves inherit, written leaves re-count
-    // from the fresh files' footers (zero data columns read)
+    // merged lineage: untouched leaves inherit, written leaves carry the
+    // counts of the exact rows just written (from the surv aggregate above)
     val recount: Seq[(String, Long)] =
-      if (written.isEmpty) Nil
-      else {
-        val wPrune = written.groupBy(_._1).map { case (p, pbs) =>
-          col("pred") === p && col(bcol).isin(pbs.map(b => Integer.valueOf(b._2)): _*)
-        }.reduce(_ || _)
-        spark.read.parquet(storePath).filter(wPrune)
-          .select(col("pred"), col(bcol)).groupBy(col("pred"), col(bcol)).count()
-          .collect().map(r => (s"pred=${r.getString(0)}/$bcol=${r.getInt(1)}", r.getLong(2)))
-          .toSeq
-      }
+      leafCounts.map(t => (leafKey((t._1, t._2)), t._3))
     val touchedKeys = touched.map(leafKey).toSet
     val mergedCounts = (m.leafRows.filterNot(c => touchedKeys(c._1)) ++ recount)
       .sortBy(_._1)

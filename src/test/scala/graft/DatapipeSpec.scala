@@ -1315,6 +1315,29 @@ class DatapipeSpec extends AnyFunSuite {
     assert(got.keySet === expected.keySet)
   }
 
+  test("LSH bucket builds gate hot keys BEFORE collect_list (two-pass plan shape)") {
+    // The scale contract (100 TB): a bucket key shared by 10^9 docs must be
+    // dropped by a count filter before any collect_list buffer materializes
+    // its membership — the optimized plan therefore shows the collect
+    // aggregate ABOVE a left-semi join against the count-filtered key set.
+    def assertGated(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.optimizedPlan.toString
+      val collectAt = plan.indexOf("collect_list")
+      assert(collectAt >= 0, s"$what: no collect_list in plan")
+      val semiAt = plan.indexOf("LeftSemi")
+      assert(semiAt >= 0, s"$what: no left-semi key gate in plan:\n$plan")
+      // children print below parents: the gate must sit under the collect
+      assert(semiAt > collectAt,
+        s"$what: left-semi gate not below the collect aggregate:\n$plan")
+    }
+    assertGated(Dedup.winnowOverlapPairs(docs, "doc_id", "text"), "winnow")
+    assertGated(Dedup.minhashNearDuplicates(docs, "doc_id", "text"), "minhash")
+    assertGated(Dedup.simhashNearDuplicates(docs, "doc_id", "text"), "simhash")
+    val vecs = (0 until 8).map(i => (i.toLong, Array.fill(8)(i / 7.0f)))
+    assertGated(Similarity.cosineNearDuplicates(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding"), "cosine")
+  }
+
   test("media near-dup: aHash from decoded pixels; identical and rescaled re-encodes collide; banding replay") {
     import Multimodal._
     def img(w: Int, h: Int, px: Array[Byte]): Array[Byte] =

@@ -161,6 +161,16 @@ class SparqlSpec extends AnyFunSuite {
       "SELECT ?e (COUNT(DISTINCT ?d) AS ?deg) WHERE { ?e inDoc ?d } GROUP BY ?e ORDER BY DESC(?deg) ?e LIMIT 1")
       .as[(String, Long)].collect().toSeq
     assert(top === Seq(("ent:1", 2L)))
+    // bare ?var keeps its case: under a case-sensitive session the sort
+    // column must be the raw variable name, not the parser's uppercased peek
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val mixed = Sparql.query(trip,
+        "SELECT DISTINCT ?myEnt WHERE { ?myEnt category ?c } ORDER BY ?myEnt")
+        .as[String].collect().toSeq
+      assert(mixed === Seq("ent:1", "ent:2", "ent:3"))
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
   }
 
   test("property paths in the predicate position compile to the path algebra") {
