@@ -258,7 +258,7 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), shingleUdf(shingleN)(col(textCol)).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashUdf(m)(col("shingles")))
-      .localCheckpoint() // shingles reused by verify; don't recompute
+      .localCheckpoint(false) // shingles reused by verify; don't recompute
     val banded = sh.select(
       col("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
@@ -386,7 +386,7 @@ object Dedup {
       .select(col("id"),
         array_distinct(transform(ngramShinglesFromToks(col("toks"), shingleN), s => hash48Col(s))).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).cast("long").as("na"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).cast("long").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -484,7 +484,7 @@ object Dedup {
     // chain (tokenize → simhash → band → self-join) would execute twice
     val edges = simhashNearDuplicates(df, idCol, textCol, maxDist, maxBucket)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val comp = graft.kg.Canonicalize.connectedComponents(spark, edges)
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "component")
@@ -512,7 +512,7 @@ object Dedup {
         filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
       .select(col("doc_id"), explode(ngramShinglesFromToks(col("toks"), n)).as("g"))
       .select(col("doc_id"), hash48Col(col("g")).as("h"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val freq = sh.groupBy("h").agg(count(lit(1)).as("ndocs"))
     sh.join(freq, "h")
       .groupBy("doc_id").agg(
@@ -574,7 +574,7 @@ object Dedup {
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
-      .localCheckpoint() // three consumers below; tokenize once
+      .localCheckpoint(false) // three consumers below; tokenize once
     val positional = toks
       .select(col("doc_id"), posexplode(
         when(size(col("toks")) < n, array().cast("array<string>"))

@@ -437,7 +437,7 @@ object Similarity {
     val mask = (1L << rows) - 1
     val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("sig", sigUdf(col("vec")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val banded = sigs.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> (sig >> (b * $rows)) & $mask)")))
       .select(col("id"), col("pos").as("band"), col("col").as("chunk"))

@@ -687,10 +687,10 @@ object TextQuality {
     // (V scalar, unigram model, bigram model) would otherwise each re-read
     // and re-tokenize the 80% slice; uni0 likewise feeds both V and uniM
     val train = seqs.filter(hashBucket(col(idCol), salt) < lit(trainBp))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the V action below materializes both
     val uni0 = train.select(explode(col("seq")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
-      .localCheckpoint() // vocab-sized
+      .localCheckpoint(false) // vocab-sized
     // V and the backoff constant L(V): two scalars (metadata-scale action)
     val v = uni0.agg(count(lit(1))).first().getLong(0)
     require(v > 0, "empty LM training slice — raise trainBp or check the corpus")
@@ -759,11 +759,11 @@ object TextQuality {
     // second-level fold of this aggregate, so tokenize+md5 runs one time
     val docB = tokB.groupBy(col(idCol), col("is_tgt"), col("b"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the totals action below materializes it
     val bc = docB.groupBy("b").agg(
         sum("cnt").as("cr"),
         sum(when(col("is_tgt"), col("cnt")).otherwise(lit(0L))).as("ct"))
-      .localCheckpoint() // ≤ B rows
+      .localCheckpoint(false) // ≤ B rows
     val r = bc.agg(sum("cr"), sum("ct")).first()
     val tr = r.getLong(0)
     val tt = r.getLong(1)

@@ -25,10 +25,19 @@ object Canonicalize {
     * of its component). */
   def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     import spark.implicits._
+    // partitioned ONCE on the per-iteration join key (dst), with the dedup
+    // fused into that same exchange (partition-local distinct: same-dst rows
+    // are co-located, and HashPartitioning(dst) satisfies the aggregate's
+    // ClusteredDistribution(src, dst)); localCheckpoint preserves the
+    // physical partitioning, so every iteration's neighbor join reuses it
+    // and only the vertex-sized label side shuffles per round. The previous
+    // shape (distinct, then checkpoint, no repartition) left sym hashed on
+    // (src, dst) and re-exchanged the whole edge set EVERY iteration.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: materializes inside iteration 1's job
     val numericIds = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
@@ -38,7 +47,7 @@ object Canonicalize {
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // Fixpoint detector, numeric ids: min-label propagation is MONOTONE (a
     // node's label only ever decreases), so Σ labels strictly decreases until
@@ -76,9 +85,12 @@ object Canonicalize {
       // re-computing the groupBy on both sides, and sidesteps Catalyst's
       // Union-constraint rewrite tripping on a Union self-joined with
       // shared attribute ids (NoSuchElementException in rewriteConstraints)
+      // lazy cut: the convergence scan below is the materializing action —
+      // an eager checkpoint here launched a separate job per iteration for
+      // the same work
       val half = labels.select("node", "component").union(viaNeighbor)
         .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // pointer jump (path doubling): also adopt label(label(v)) — turns
       // convergence from O(diameter) iterations into O(log diameter). A
       // transitively-chained near-dup component (fuzzy dedup's classic

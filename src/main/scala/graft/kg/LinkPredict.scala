@@ -42,7 +42,7 @@ object LinkPredict {
         greatest(col("src"), col("dst")).cast("long").as("pb"))
       .filter(col("pa") =!= col("pb") && col("pa").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val adj = e.select(col("pa").as("v"), col("pb").as("n"))
@@ -56,7 +56,7 @@ object LinkPredict {
     // codegen end-to-end.
     val adjCapped = adj
       .join(deg.filter(col("d") <= maxPivotDegree).select(col("node").as("v")), "v")
-      .localCheckpoint() // wedge self-join reads it twice
+      .localCheckpoint(false) // wedge self-join reads it twice
     val cand = adjCapped.as("a")
       .join(adjCapped.as("b"),
         col("a.v") === col("b.v") && col("a.n") < col("b.n"))

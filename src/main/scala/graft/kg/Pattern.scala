@@ -342,15 +342,17 @@ object Pattern {
     * labels (kg.Canonicalize / q_cc_components). `maxRounds` caps runaway
     * closures (paths to length 2^maxRounds are complete at the default). */
   def pathPlus(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // lazy cuts throughout: the per-round count IS the materializing action
+    // (an eager checkpoint launched a second job per round for the same work)
     var reach = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var n = reach.count()
     var round = 0
     var done = n == 0L
     while (!done && round < maxRounds) {
       val step = reach.as("r").join(reach.as("e"), col("r.dst") === col("e.src"))
         .select(col("r.src").as("src"), col("e.dst").as("dst"))
-      val next = reach.unionByName(step).distinct().localCheckpoint(true)
+      val next = reach.unionByName(step).distinct().localCheckpoint(false)
       val m = next.count()
       done = m == n
       reach = next; n = m; round += 1

@@ -209,6 +209,20 @@ object Sparql {
     r
   }
 
+  /** The symmetric-closure shape `(p|^p)+` (either alternation order): its
+    * edge set is symmetric BY CONSTRUCTION, so the closure is "same
+    * connected component" and takes [[Pattern.symClosurePairs]] — component
+    * labels (linear shuffles) + ONE output-sized expansion — instead of
+    * iterative doubling, which pushes ~c³ intermediate rows per round on a
+    * c-node dense component. Result-equal to pathPlus on any symmetric
+    * input (asserted in PatternSpec); same oracle (`nemo_kg_sparql_path` vs
+    * the CC-based programmatic twin). */
+  private def symClosureShape(p: Path): Boolean = p match {
+    case PAltE(Seq(PPred(a), PInv(PPred(b)))) => a == b
+    case PAltE(Seq(PInv(PPred(a)), PPred(b))) => a == b
+    case _ => false
+  }
+
   private def evalPath(t: DataFrame, p: Path): DataFrame = p match {
     case PPred(pr)      => Pattern.predAlt(t, Seq(pr))
     case PInv(PPred(pr)) => Pattern.predInv(t, pr)
@@ -216,6 +230,8 @@ object Sparql {
       .select(col("dst").as("src"), col("src").as("dst"))
     case PSeqE(ps)      => ps.map(evalPath(t, _)).reduceLeft(Pattern.pathSeq)
     case PAltE(ps)      => ps.map(evalPath(t, _)).reduceLeft(_.unionByName(_)).distinct()
+    case PClosure(i, false) if symClosureShape(i) =>
+      Pattern.symClosurePairs(evalPath(t, i))
     case PClosure(i, false) => Pattern.pathPlus(evalPath(t, i))
     case PClosure(i, true) =>
       val nodes = t.select(col("subj").as("n"))

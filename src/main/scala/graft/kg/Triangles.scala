@@ -43,7 +43,7 @@ object Triangles {
         greatest(col("src"), col("dst")).cast("long").as("pb"))
       .filter(col("pa") =!= col("pb") && col("pa").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // degree per endpoint (one explode + map-side-combined groupBy), then
     // orient low→high by (deg, id): ties MUST break on id or an equal-degree
     // edge would orient both ways / neither way

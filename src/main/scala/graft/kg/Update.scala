@@ -161,14 +161,16 @@ object Update {
     val insNew = insAligned.join(kept.select(TripleCols.map(col): _*),
       TripleCols, "left_anti")
 
-    // eager checkpoint: severs lineage from the files the write replaces
-    // (Spark refuses to overwrite a path its own plan still reads). The
+    // lazy cut, materialized by the leafCounts collect BELOW — i.e. before
+    // the write — which both severs lineage from the files the write
+    // replaces (Spark refuses to overwrite a path its own plan still reads)
+    // and folds the old eager-checkpoint job into the counting job. The
     // materialization is touched-leaf-sized, not store-sized; a real
     // Iceberg sink writes new snapshot files instead and skips this.
     val surv = kept.unionByName(insNew)
       .withColumn(bcol, leafOf)
       .repartition(col("pred"), col(bcol)) // one file per leaf per update
-      .localCheckpoint()
+      .localCheckpoint(false)
     // ONE aggregate over the checkpointed survivors yields both the
     // written-leaf set AND the per-leaf row counts the merged manifest needs
     // — the write below persists exactly these rows, so counting surv now
