@@ -147,8 +147,10 @@ object SparkEntry {
       else {
         val store = java.nio.file.Files.createTempDirectory("graft-kgstore")
           .toString + "/triples"
-        TableFormat.savePartitioned(fixtureTriples(s), store,
-          partCol = "pred", keyCol = "subj", stage = "triples")
+        val t = fixtureTriples(s) // checkpointed: the sizing count is a cache scan
+        TableFormat.savePartitioned(t, store,
+          partCol = "pred", keyCol = "subj", stage = "triples",
+          buckets = TableFormat.adaptiveBuckets(t.count()))
         tripleStoreCache.put(s, store); evictOnStop(tripleStoreCache, s)
         store
       }
@@ -1669,8 +1671,10 @@ object SparkEntry {
       import graft.kg.Sparql
       val work = java.nio.file.Files.createTempDirectory("graft-kgupd")
         .toString + "/triples"
-      TableFormat.savePartitioned(fixtureTriples(s), work,
-        partCol = "pred", keyCol = "subj", stage = "triples")
+      val trip = fixtureTriples(s) // checkpointed: the sizing count is a cache scan
+      TableFormat.savePartitioned(trip, work,
+        partCol = "pred", keyCol = "subj", stage = "triples",
+        buckets = TableFormat.adaptiveBuckets(trip.count()))
       Sparql.update(s, work,
         """DELETE WHERE { ?a sameAs ?b } ;
           |INSERT { ?a coDoc ?b } WHERE { ?a category PER . ?a inDoc ?d . ?b inDoc ?d . FILTER ( ?b != ?a ) } ;

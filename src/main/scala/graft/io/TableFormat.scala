@@ -88,6 +88,22 @@ object TableFormat {
     graft.plans.BucketPrune.invalidate(path)
   }
 
+  /** Scale-adaptive bucket count (guide-§2 rule: derive partitioning from
+    * input size, never from a constant tuned to one deployment): enough
+    * buckets that a leaf holds ≤ ~targetRows rows (≈ the 128 MB–1 GB output
+    * file-sizing guidance at the store's ~30–100 B triple rows), clamped to
+    * [1, maxBuckets]. The same call yields 1 bucket per predicate for a
+    * fixture-sized store — one well-sized file instead of 32 ten-row ones —
+    * and hundreds for a corpus-scale one. Callers with a fixed production
+    * layout keep passing an explicit bucket count. */
+  def adaptiveBuckets(rows: Long, targetRows: Long = 4000000L,
+                      maxBuckets: Int = 1024): Int = {
+    val r = math.max(rows, 0L)
+    // overflow-safe ceiling division (r + target - 1 wraps near Long.MaxValue)
+    val q = r / targetRows + (if (r % targetRows == 0L) 0L else 1L)
+    math.max(1L, math.min(maxBuckets.toLong, q)).toInt
+  }
+
   private def writeManifest(spark: SparkSession, path: String, stage: String,
                             extra: Map[String, String], writeMs: Long,
                             lineageCols: Seq[String] = Seq(BucketCol)): Unit = {

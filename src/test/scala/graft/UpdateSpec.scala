@@ -210,4 +210,25 @@ class UpdateSpec extends AnyFunSuite {
         Seq.empty[(String, String, String)].toDF("subj", "pred", "obj"))
     }.getMessage.contains("triple store"))
   }
+
+  test("adaptiveBuckets derives the leaf count from the data, never a constant") {
+    assert(TableFormat.adaptiveBuckets(0L) === 1)
+    assert(TableFormat.adaptiveBuckets(2000L) === 1) // fixture-sized: one file per pred
+    assert(TableFormat.adaptiveBuckets(4000000L) === 1)
+    assert(TableFormat.adaptiveBuckets(4000001L) === 2)
+    assert(TableFormat.adaptiveBuckets(40000000L) === 10)
+    assert(TableFormat.adaptiveBuckets(Long.MaxValue) === 1024) // clamp
+    // a store written with the adaptive count round-trips through the
+    // update path (the manifest carries the modulus, applyDelta reads it)
+    val dir = Files.createTempDirectory("graft-adapt").toString + "/t"
+    val t = Seq(("a", "p", "x"), ("b", "p", "y")).toDF("subj", "pred", "obj")
+    TableFormat.savePartitioned(t, dir, partCol = "pred", keyCol = "subj",
+      buckets = TableFormat.adaptiveBuckets(2L), stage = "triples")
+    val r = Update.applyDelta(spark, dir,
+      delete = Seq(("a", "p", "x")).toDF("subj", "pred", "obj"),
+      insert = Seq(("c", "p", "z")).toDF("subj", "pred", "obj"))
+    assert(r.writtenLeaves === 1) // single adaptive bucket
+    assert(TableFormat.load(spark, dir).select("subj", "obj")
+      .as[(String, String)].collect().toSet === Set(("b", "y"), ("c", "z")))
+  }
 }
