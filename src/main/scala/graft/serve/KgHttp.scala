@@ -50,6 +50,21 @@ object KgHttp {
 
   private def detail(msg: String): String = s"""{"detail":${jsonStr(String.valueOf(msg))}}"""
 
+  /** A read that failed because the parquet facade's files moved under it —
+    * an update overwrote/deleted leaf files the served frame's FileIndex
+    * still lists. Spark surfaces this as a FileNotFoundException somewhere
+    * in the cause chain, or the "REFRESH TABLE" advice message. */
+  private[graft] def isStaleRead(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = String.valueOf(c.getMessage)
+      if (m.contains("REFRESH TABLE") || m.contains("FILE_NOT_EXIST")) return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
   private[graft] def runQuery(triples: DataFrame, q: String, maxRows: Int,
                               stats: Option[Map[String, Long]] = None): String = {
     val df = Sparql.query(triples, q, stats)
@@ -106,7 +121,24 @@ object KgHttp {
                   (400, detail("body must be a JSON object with a string 'query' field"))
                 else {
                   val (t, st) = state.get()
-                  (200, runQuery(t, root.get("query").asText, maxRows, st))
+                  val q = root.get("query").asText
+                  try (200, runQuery(t, q, maxRows, st))
+                  catch {
+                    // stale-file read: a store update raced this query and
+                    // replaced leaf files the served frame still lists. A
+                    // store-backed listener self-heals — reload the frame +
+                    // stats from the committed store and retry once —
+                    // instead of handing an innocent reader a 500 (the
+                    // Iceberg-snapshot upgrade removes the race entirely).
+                    case e: Exception if isStaleRead(e) && storePath.isDefined =>
+                      val sp = storePath.get
+                      val spark = t.sparkSession
+                      spark.catalog.refreshByPath(sp)
+                      val fresh = (graft.io.TableFormat.load(spark, sp),
+                        Some(graft.kg.Pattern.predStatsFromManifest(sp)))
+                      state.set(fresh)
+                      (200, runQuery(fresh._1, q, maxRows, fresh._2))
+                  }
                 }
               case ("POST", "kg/update") =>
                 val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)

@@ -153,6 +153,36 @@ class KgHttpSpec extends AnyFunSuite {
     } finally KgHttp.stop(ro)
   }
 
+  test("stale-read self-heal: a query racing an out-of-band store update retries against the committed state") {
+    import graft.io.TableFormat
+    val store = java.nio.file.Files.createTempDirectory("graft-kghttp-stale").toString + "/triples"
+    TableFormat.savePartitioned(
+      trip.withColumn("doc_id", org.apache.spark.sql.functions.lit("d1")),
+      store, partCol = "pred", keyCol = "subj", buckets = 2, stage = "triples")
+    val server = KgHttp.startFromStore(0, spark, store)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.getAddress.getPort}/kg"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // mutate the store BEHIND the listener (the in-flight-overwrite race,
+      // made deterministic): the served frame still lists the pre-update
+      // leaf files, which this update rewrites/deletes
+      spark.catalog.refreshByPath(store) // isolate: listener frame keeps OLD listing
+      Sparql.update(spark, store,
+        "DELETE WHERE { ?s category ?o } ; INSERT DATA { ent:8 category LOC }")
+      // the stale frame's scan would 500 (FileNotFound / REFRESH TABLE);
+      // the store-backed listener must self-heal and answer from the
+      // committed post-update state
+      val r = post("""{"query": "SELECT DISTINCT ?s WHERE { ?s category LOC }"}""")
+      assert(r.statusCode() === 200, r.body())
+      assert(r.body().contains("ent:8"), r.body())
+      assert(post("""{"query": "ASK { ?s category PER }"}""").body().contains("[[0]]"))
+    } finally KgHttp.stop(server)
+  }
+
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }
